@@ -1,0 +1,150 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline flagship pipeline (parse -> geoip enrich -> route fan-out to
+parquet sinks -> per-sink aggregates) over transcripts at the scale factor of
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and prints ONE JSON line.
+
+``--scaling`` runs the identical job in two fresh processes at
+``num_cpus=8`` and ``num_cpus=32`` on the same input and reports both
+throughputs plus scaling efficiency = (T32/T8)/4 (sandbox evidence for the
+north_rule's N->4N cluster criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fluent_plugin_geoip_ray.sources.transcripts import (
+        ensure_for_sf_dir,
+        sf_from_dir,
+    )
+
+    path = ensure_for_sf_dir(sf_dir)  # generate before timing
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    with open(path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from fluent_plugin_geoip_ray.pipelines.flagship import (
+        build_enriched,
+        run_flagship,
+    )
+    from fluent_plugin_geoip_ray.stages.aggregate import count_by
+
+    import ray.data as rd
+
+    queries = {}
+    rows = None
+
+    out_dir = tempfile.mkdtemp(prefix="graft_bench_")
+    try:
+        t0 = time.perf_counter()
+        stats = run_flagship(
+            path,
+            out_dir=out_dir,
+            enrich_concurrency=(2, max(4, num_cpus)),
+        )
+        flagship_sec = time.perf_counter() - t0
+        queries["flagship"] = round(flagship_sec, 3)
+        import pyarrow.compute as pc
+
+        rows = int(
+            pc.sum(
+                stats.filter(
+                    pc.and_(
+                        pc.equal(stats["route"], "raw"),
+                        pc.equal(stats["kind"], "rows"),
+                    )
+                )["n"]
+            ).as_py()
+        )
+
+        # secondary: enrich-only scan (no sink IO) and aggregate
+        t0 = time.perf_counter()
+        enr = build_enriched(
+            rd.read_parquet(path), enrich_concurrency=(2, max(4, num_cpus))
+        )
+        agg = count_by(enr, "country_code").to_pandas()
+        queries["enrich_agg_country"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    ray.shutdown()
+
+    sf = sf_from_dir(sf_dir)
+    return {
+        "metric": "flagship_e2e_sec",
+        "value": queries["flagship"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "rows": rows,
+        "turns_per_sec": round(rows / queries["flagship"], 1) if rows else None,
+    }
+
+
+def run_child(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_child(lo)
+        r_hi = run_child(hi)
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        eff = (t_lo / t_hi) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sec_8": t_lo,
+                    "sec_32": t_hi,
+                    "turns_per_sec_8": r_lo.get("turns_per_sec"),
+                    "turns_per_sec_32": r_hi.get("turns_per_sec"),
+                    "sf": r_hi.get("sf"),
+                }
+            )
+        )
+        return
+    print(json.dumps(run_bench()))
+
+
+if __name__ == "__main__":
+    main()

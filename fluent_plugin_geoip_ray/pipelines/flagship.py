@@ -1,0 +1,291 @@
+"""Flagship pipeline: parse -> enrich -> route fan-out -> aggregate.
+
+End-to-end Ray-Data re-expression of the reference deployment
+(``<source>`` -> ``<filter geoip>`` -> ``<match>`` sinks, README.md:248-266)
+over transcript Parquet (SURVEY §3.4):
+
+* ONE streaming pass over the input: the fan-out stage writes every route's
+  sink files as it goes (the Fluentd ``emit``-to-many-outputs analog) and
+  emits tiny partial-count rows downstream, so sinks + aggregates cost a
+  single scan and the only all-to-all is over per-batch partials
+  (O(distinct keys), not O(rows)).
+* sink files are named deterministically from batch content, written via
+  tmp+rename -- a retried Ray task overwrites its own file instead of
+  duplicating rows (idempotent under task retry).
+* resumable partitioned mode in :func:`run_partitioned` -- partition =
+  input-file chunk, per-partition manifest + partial aggregates, resume skips
+  committed partitions (lineage.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..config import RecordSpec, compile_record_spec
+from ..lineage import (
+    Partition,
+    clean_partition_outputs,
+    completed_pids,
+    plan_partitions,
+    write_manifest,
+)
+from ..stages.aggregate import count_by
+from ..stages.enrich import enrich_dataset
+from ..stages.parse import parse_dataset
+from ..stages.route import RouteSpec
+
+
+def canonical_record_spec(**overrides) -> RecordSpec:
+    """The canonical enrich spec (FIXTURES.md §3; mirrors the reference's
+    record-directive matrix, test_filter_geoip.rb:258-277)."""
+    kwargs = dict(
+        lookup_keys=["ip"],
+        record={
+            "city": "${city.names.en['ip']}",
+            "latitude": "${location.latitude['ip']}",
+            "longitude": "${location.longitude['ip']}",
+            "country_code": "${country.iso_code['ip']}",
+            "country_name": "${country.names.en['ip']}",
+            "region": "${subdivisions.0.iso_code['ip']}",
+            "float_concat": "${location.latitude['ip']},${location.longitude['ip']}",
+            "geopoint": "[${location.longitude['ip']}, ${location.latitude['ip']}]",
+            "location_properties": '{ "lat": ${location.latitude["ip"]}, "lon": ${location.longitude["ip"]} }',
+        },
+        skip_adding_null_record=False,  # routes own the gate per-sink
+    )
+    kwargs.update(overrides)
+    return RecordSpec(**kwargs)
+
+
+def canonical_routes(out_dir: str | None) -> list[RouteSpec]:
+    """FIXTURES.md §4: an enriched sink (gated) and a raw passthrough sink."""
+
+    def sink(name):
+        return os.path.join(out_dir, name) if out_dir else None
+
+    return [
+        RouteSpec(
+            name="enriched",
+            match="transcripts.**",
+            remove_tag_prefix="transcripts.",
+            add_tag_prefix="enriched.",
+            skip_adding_null_record=True,
+            sink=sink("enriched"),
+        ),
+        RouteSpec(
+            name="raw",
+            match="transcripts.**",
+            add_tag_suffix=".raw",
+            sink=sink("raw"),
+        ),
+    ]
+
+
+def build_enriched(
+    ds,
+    record_spec: RecordSpec | None = None,
+    backend_spec: dict | None = None,
+    enrich_batch_size: int = 16384,
+    enrich_concurrency=None,
+):
+    """parse + enrich stages attached to a Dataset (lazy)."""
+    spec = compile_record_spec(record_spec or canonical_record_spec())
+    ds = parse_dataset(ds)
+    return enrich_dataset(
+        ds,
+        spec,
+        backend_spec=backend_spec,
+        batch_size=enrich_batch_size,
+        concurrency=enrich_concurrency,
+    )
+
+
+class FanoutWrite:
+    """Single-pass route fan-out: write sink files, emit partial counts.
+
+    ``map_batches`` actor-pool callable: per batch, apply every route
+    (vectorized mask + tag rewrite), write the routed sub-table as one
+    deterministically-named parquet file under ``<sink>/part=<pid>/``, and
+    return partial groupby-count rows (route x {country_code, conv_id}) --
+    the combiner side of the per-sink aggregates.
+    """
+
+    STATS_SCHEMA = pa.schema(
+        [("route", pa.string()), ("kind", pa.string()), ("key", pa.string()), ("n", pa.int64())]
+    )
+
+    def __init__(self, routes: list[RouteSpec], pid: int = 0,
+                 agg_keys: tuple = ("country_code", "conv_id")):
+        self.routes = routes
+        self.pid = pid
+        self.agg_keys = agg_keys
+
+    def _file_name(self, routed: pa.Table) -> str:
+        h = hashlib.sha1()
+        h.update(str(routed.num_rows).encode())
+        if routed.num_rows:
+            h.update(str(routed.column("conv_id")[0].as_py()).encode())
+            h.update(str(routed.column("turn_idx")[0].as_py()).encode())
+            h.update(str(routed.column("ts")[-1].as_py()).encode())
+        return f"batch-{h.hexdigest()[:16]}.parquet"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        stats = {"route": [], "kind": [], "key": [], "n": []}
+        for route in self.routes:
+            routed = route.apply(batch)
+            if route.sink and routed.num_rows:
+                part_dir = os.path.join(route.sink, f"part={self.pid:06d}")
+                os.makedirs(part_dir, exist_ok=True)
+                path = os.path.join(part_dir, self._file_name(routed))
+                tmp = path + f".tmp{os.getpid()}"
+                pq.write_table(routed, tmp)
+                os.replace(tmp, path)
+            kinds = [("rows", None)] + [(k, k) for k in self.agg_keys
+                                        if k in routed.column_names]
+            for kind, col in kinds:
+                if col is None:
+                    stats["route"].append(route.name)
+                    stats["kind"].append("rows")
+                    stats["key"].append("")
+                    stats["n"].append(routed.num_rows)
+                    continue
+                g = routed.group_by(col).aggregate([([], "count_all")])
+                keys = g.column(col)
+                if not pa.types.is_string(keys.type):
+                    keys = keys.cast(pa.string())
+                stats["route"].extend([route.name] * g.num_rows)
+                stats["kind"].extend([kind] * g.num_rows)
+                stats["key"].extend(keys.to_pylist())
+                stats["n"].extend(g.column("count_all").to_pylist())
+        return pa.table(stats, schema=self.STATS_SCHEMA)
+
+
+def run_fanout(
+    enriched,
+    routes: list[RouteSpec],
+    pid: int = 0,
+    batch_size: int = 32768,
+):
+    """Consume the enriched Dataset: write sinks, return final stats table.
+
+    The returned table is the fully-merged (route, kind, key, n) aggregate --
+    the per-sink counts by country_code and conv_id plus per-route row totals.
+    """
+    from ray.data.aggregate import Sum
+
+    stats_ds = enriched.map_batches(
+        FanoutWrite(routes, pid=pid),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    # final combine is a Ray groupby over per-batch partials -- shuffle volume
+    # O(distinct keys x blocks), never O(rows); result is small enough to pull
+    merged = stats_ds.groupby(["route", "kind", "key"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+    df = merged.to_pandas()
+    return pa.Table.from_pandas(df, schema=FanoutWrite.STATS_SCHEMA, preserve_index=False)
+
+
+def run_flagship(
+    input_path: str,
+    out_dir: str | None = None,
+    record_spec: RecordSpec | None = None,
+    routes: list[RouteSpec] | None = None,
+    enrich_batch_size: int = 16384,
+    enrich_concurrency=None,
+):
+    """One-shot (non-partitioned) flagship run. Returns the stats table."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(input_path)
+    routes = routes if routes is not None else canonical_routes(out_dir)
+    enriched = build_enriched(
+        ds,
+        record_spec=record_spec,
+        enrich_batch_size=enrich_batch_size,
+        enrich_concurrency=enrich_concurrency,
+    )
+    return run_fanout(enriched, routes)
+
+
+def run_partitioned(
+    input_files: list[str],
+    out_dir: str,
+    record_spec: RecordSpec | None = None,
+    routes: list[RouteSpec] | None = None,
+    files_per_partition: int = 1,
+    resume: bool = True,
+    enrich_concurrency=None,
+) -> dict:
+    """Resumable partitioned run (lineage.py): skip committed partitions,
+    re-run (after cleanup) incomplete ones, then merge partial aggregates."""
+    import ray.data as rd
+
+    routes = routes if routes is not None else canonical_routes(out_dir)
+    sinks = {r.name: r.sink for r in routes if r.sink}
+    partitions = plan_partitions(input_files, files_per_partition)
+    done = completed_pids(out_dir) if resume else set()
+    ran, skipped = [], []
+    for part in partitions:
+        if part.pid in done:
+            skipped.append(part.pid)
+            continue
+        clean_partition_outputs(out_dir, sinks, part.pid)
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(list(part.files))
+        enriched = build_enriched(
+            ds, record_spec=record_spec, enrich_concurrency=enrich_concurrency
+        )
+        stats = run_fanout(enriched, routes, pid=part.pid)
+        partial_dir = os.path.join(out_dir, "_partials", f"{part.pid:06d}")
+        os.makedirs(partial_dir, exist_ok=True)
+        tmp = os.path.join(partial_dir, "stats.parquet.tmp")
+        pq.write_table(stats, tmp)
+        os.replace(tmp, os.path.join(partial_dir, "stats.parquet"))
+        rows = {
+            r.name: int(
+                pc.sum(
+                    stats.filter(
+                        pc.and_(
+                            pc.equal(stats.column("route"), r.name),
+                            pc.equal(stats.column("kind"), "rows"),
+                        )
+                    ).column("n")
+                ).as_py()
+                or 0
+            )
+            for r in routes
+        }
+        write_manifest(
+            out_dir,
+            part.pid,
+            {
+                "input_files": list(part.files),
+                "rows_out": rows,
+                "elapsed_sec": round(time.perf_counter() - t0, 3),
+            },
+        )
+        ran.append(part.pid)
+
+    # final aggregate merge over committed partials (small)
+    import glob
+
+    partial_files = sorted(glob.glob(os.path.join(out_dir, "_partials", "*", "stats.parquet")))
+    merged = None
+    if partial_files:
+        tables = [pq.read_table(f) for f in partial_files]
+        allt = pa.concat_tables(tables)
+        merged = allt.group_by(["route", "kind", "key"]).aggregate([("n", "sum")])
+        merged = merged.rename_columns(["route", "kind", "key", "n"])
+        agg_path = os.path.join(out_dir, "aggregates.parquet")
+        pq.write_table(merged, agg_path + ".tmp")
+        os.replace(agg_path + ".tmp", agg_path)
+    return {"ran": ran, "skipped": skipped, "aggregates": merged}

@@ -1,0 +1,172 @@
+"""Deterministic synthetic transcript table (FIXTURES.md §1).
+
+Exactly the ``BASELINE.json:input_hint`` shape:
+``conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp[us]`` -- seed=42 everywhere, no wall-clock, no external data.
+5% of rows share one hot ``conv_id`` (``conv00000000``) to exercise the
+hotspot-skew handling the north_rule demands.
+
+Written once per scale factor to ``/tmp/graft_data/sf{sf}/transcripts.parquet``
+(atomic rename, idempotent) so tests, bench and the DuckDB oracle all read the
+same bytes.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+
+DATA_ROOT = os.environ.get("GRAFT_DATA_ROOT", "/tmp/graft_data")
+BASE_TS_US = np.datetime64("2026-01-01T00:00:00", "us").astype("int64")
+
+ROLES = np.asarray(["user", "assistant", "tool"])
+TOOLS = np.asarray(["bash", "fetch", "search"])
+
+# IP pool: canonical fixture IPs (heavy-hitter skew on the Mountain View IP)
+# + unknown/invalid tokens (RFC5737, private ranges) that must miss cleanly
+KNOWN_IPS = ["66.102.3.80", "66.102.9.80", "8.8.8.8", "125.54.15.42", "180.94.85.84"]
+MISS_IPS = ["203.0.113.1", "10.0.0.1", "192.168.1.1", "999.999.999.999"]
+IP_POOL = np.asarray(KNOWN_IPS + MISS_IPS)
+IP_P = np.asarray([0.30, 0.10, 0.12, 0.12, 0.06, 0.10, 0.08, 0.07, 0.05])
+
+HOST_POOL = np.asarray(["host_google", "host_tokorozawa", "host_unknown"])
+HOST_P = np.asarray([0.5, 0.3, 0.2])
+
+LEADS = np.asarray(
+    [
+        "checked the service logs",
+        "user reports latency from",
+        "tool call traced request",
+        "deploy touched upstream",
+        "session continued, packet from",
+        "agent resolved lookup",
+    ]
+)
+TAILS = np.asarray(
+    ["retrying now", "all good", "needs review", "escalated", "done", "queued"]
+)
+
+
+def n_rows_for_sf(sf: float) -> int:
+    return max(60, int(round(6_000_000 * sf)))
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    if not m:
+        raise ValueError(f"cannot parse scale factor from {sf_dir!r}")
+    return float(m.group(1))
+
+
+def transcripts_path(sf: float) -> str:
+    return os.path.join(DATA_ROOT, f"sf{sf:g}", "transcripts.parquet")
+
+
+def geo_fixture_path() -> str:
+    return os.path.join(DATA_ROOT, "geo_fixture.parquet")
+
+
+def build_transcripts_table(sf: float):
+    """Pure-numpy deterministic generation; returns a pyarrow.Table."""
+    import pyarrow as pa
+
+    n = n_rows_for_sf(sf)
+    rng = np.random.default_rng(42)
+
+    # --- conversation structure: 5% hot conv, rest in convs of length 1..12
+    hot_n = n // 20
+    rest = n - hot_n
+    lengths = rng.integers(1, 13, size=rest // 2 + 16)
+    cum = np.cumsum(lengths)
+    n_convs = int(np.searchsorted(cum, rest, side="left")) + 1
+    lengths = lengths[:n_convs]
+    lengths[-1] = rest - (cum[n_convs - 2] if n_convs > 1 else 0)
+    conv_idx_rest = np.repeat(np.arange(1, n_convs + 1), lengths)
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    turn_rest = np.arange(rest) - np.repeat(starts, lengths)
+
+    conv_num = np.concatenate([np.zeros(hot_n, dtype=np.int64), conv_idx_rest])
+    turn_idx = np.concatenate([np.arange(hot_n, dtype=np.int64), turn_rest])
+    conv_id = np.char.add("conv", np.char.zfill(conv_num.astype("U8"), 8))
+
+    role = ROLES[turn_idx % 3]
+    tool = np.where(role == "tool", TOOLS[rng.integers(0, 3, size=n)], "")
+    ts = BASE_TS_US + np.arange(n, dtype=np.int64) * 1_000_000
+
+    # --- text: lead + optional ip1 + optional host + optional ip2 + tail
+    has_ip1 = rng.random(n) >= 0.20          # ~20% of turns carry no IP
+    has_ip2 = has_ip1 & (rng.random(n) < 0.30)
+    has_host = rng.random(n) < 0.25
+    ip1 = IP_POOL[rng.choice(len(IP_POOL), size=n, p=IP_P)]
+    ip2 = IP_POOL[rng.choice(len(IP_POOL), size=n, p=IP_P)]
+    host = HOST_POOL[rng.choice(len(HOST_POOL), size=n, p=HOST_P)]
+    lead = LEADS[rng.integers(0, len(LEADS), size=n)]
+    tail = TAILS[rng.integers(0, len(TAILS), size=n)]
+
+    seg_ip1 = np.where(has_ip1, np.char.add(" src=", ip1), "")
+    seg_ip2 = np.where(has_ip2, np.char.add(" dst=", ip2), "")
+    seg_host = np.where(has_host, np.char.add(" via ", host), "")
+    text = np.char.add(lead, seg_ip1)
+    text = np.char.add(text, seg_host)
+    text = np.char.add(text, seg_ip2)
+    text = np.char.add(np.char.add(text, " :: "), tail)
+
+    return pa.table(
+        {
+            "conv_id": pa.array(conv_id, type=pa.string()),
+            "turn_idx": pa.array(turn_idx.astype(np.int32), type=pa.int32()),
+            "role": pa.array(role, type=pa.string()),
+            "text": pa.array(text, type=pa.string()),
+            "tool": pa.array(tool, type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+        }
+    )
+
+
+def ensure_transcripts(sf: float, row_group_size: int = 65536) -> str:
+    """Idempotent: write the table once, atomic rename; returns the path.
+
+    Row groups are kept small enough that Ray's parquet reader can split the
+    file into parallel read tasks.
+    """
+    import pyarrow.parquet as pq
+
+    path = transcripts_path(sf)
+    if os.path.exists(path):
+        return path
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    table = build_transcripts_table(sf)
+    tmp = path + f".tmp{os.getpid()}"
+    pq.write_table(table, tmp, row_group_size=row_group_size)
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_geo_fixture() -> str:
+    from ..state.fixture import write_geo_fixture_parquet
+
+    path = geo_fixture_path()
+    if os.path.exists(path):
+        return path
+    return write_geo_fixture_parquet(path)
+
+
+def ensure_for_sf_dir(sf_dir: str) -> str:
+    """Transcripts parquet for a driver sf dir (e.g. /root/testdata/sf0.01)."""
+    ensure_geo_fixture()
+    return ensure_transcripts(sf_from_dir(sf_dir))
+
+
+def read_transcripts(sf_dir_or_sf, **read_kwargs):
+    """ray.data Dataset over the generated transcripts for a scale."""
+    import ray.data as rd
+
+    sf = (
+        sf_from_dir(sf_dir_or_sf)
+        if isinstance(sf_dir_or_sf, str)
+        else float(sf_dir_or_sf)
+    )
+    path = ensure_transcripts(sf)
+    return rd.read_parquet(path, **read_kwargs)

@@ -1,0 +1,192 @@
+"""GeoEnrich: the stateful enrich stage (actor-pool ``map_batches`` callable).
+
+Ray-Data-native re-expression of the reference's per-event chain
+``get_address -> geolocate -> create_placeholder -> add_geoip_field``
+(``lib/fluent/plugin/filter_geoip.rb:106-139,159-202``):
+
+* the backend is opened ONCE per actor in ``__init__`` -- the analog of
+  ``load_database`` running once per Fluentd worker in ``configure``
+  (``filter_geoip.rb:103,204-217``); use
+  ``ds.map_batches(GeoEnrich, fn_constructor_kwargs=..., concurrency=N,
+  batch_format="pyarrow", zero_copy_batch=True)``.
+* per batch, lookup values are dictionary-encoded so the trie/dict is probed
+  once per UNIQUE value (transcript traffic is heavy-hitter skewed), then
+  placeholder arrays are gathered back to rows -- a broadcast-small-side
+  lookup join (SURVEY §2.3 "Joins/lookups").
+* the ``skip_adding_null_record`` gate (``filter_geoip.rb:40,122-123``)
+  becomes a per-row boolean: skip fires iff no lookup succeeded, or the first
+  placeholder (template order) whose lookup succeeded has a nil value --
+  exactly ``placeholder.values.first.nil?`` on the insertion-ordered hash.
+  The batch keeps a fixed schema: enrich columns are nulled on skipped rows
+  and a ``geoip_enriched:bool`` column records the gate (SURVEY §2.1 P6);
+  routes filter on it.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import CompiledRecordSpec, RecordSpec, compile_record_spec
+from ..state.backends import make_backend
+from ..templates import PlaceholderColumns, dig, evaluate_plan
+
+logger = logging.getLogger(__name__)
+
+ENRICHED_COL = "geoip_enriched"
+
+
+class GeoEnrich:
+    def __init__(
+        self,
+        spec: RecordSpec | CompiledRecordSpec,
+        backend_spec: dict | None = None,
+        backend_ref=None,
+    ):
+        """``backend_spec`` is a small config dict (serialized once per actor);
+        ``backend_ref`` is a ``ray.put`` ObjectRef to a docs dict for larger
+        side tables (broadcast once per node, zero re-ship per batch)."""
+        self.spec = (
+            spec if isinstance(spec, CompiledRecordSpec) else compile_record_spec(spec)
+        )
+        if backend_ref is not None:
+            import ray
+
+            self.backend = make_backend({"library": "dict", "docs": ray.get(backend_ref)})
+        else:
+            self.backend = make_backend(backend_spec or {"library": "dict"})
+        # cache: lookup value -> doc|None, persists across batches (actor state)
+        self._doc_cache: dict = {}
+        self._warned_empty = False
+        # record_keys referenced by placeholders that are NOT lookup keys dig
+        # into a missing geodata entry -> always nil (test_filter_geoip.rb:273-297)
+        self._live_keys = set(self.spec.lookup_keys)
+
+    # -- per-batch core ------------------------------------------------------
+
+    def _lookup_column(self, batch: pa.Table, key: str):
+        """Return (codes:int64[n] into uniques+[miss], unique_docs:list)."""
+        n = batch.num_rows
+        if key not in batch.column_names or key not in self._live_keys:
+            return np.full(n, 0, dtype=np.int64), [None], [None]
+        col = batch.column(key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+            col = col.cast(pa.string())
+        enc = pc.dictionary_encode(col)
+        uniques = enc.dictionary.to_pylist()
+        idx = pc.fill_null(enc.indices, len(uniques)).to_numpy(zero_copy_only=False)
+        codes = idx.astype(np.int64)
+        docs = []
+        for v in uniques:
+            if v in self._doc_cache:
+                docs.append(self._doc_cache[v])
+                continue
+            if v == "":
+                if not self._warned_empty:
+                    logger.warning("%s is empty string", key)  # filter_geoip.rb:172-174
+                    self._warned_empty = True
+                doc = None
+            else:
+                doc = self.backend.lookup(v)
+            self._doc_cache[v] = doc
+            docs.append(doc)
+        docs.append(None)  # sentinel slot for null input rows
+        uniques.append(None)
+        return codes, docs, uniques
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        spec = self.spec
+        record_keys = {p.record_key for p in spec.placeholders} | set(spec.lookup_keys)
+        codes: dict[str, np.ndarray] = {}
+        docs: dict[str, list] = {}
+        for key in record_keys:
+            codes[key], docs[key], _ = self._lookup_column(batch, key)
+
+        # per-placeholder unique-level values (create_placeholder,
+        # filter_geoip.rb:187-202)
+        unique_values: dict[str, list] = {}
+        for ph in spec.placeholders:
+            ds_ = docs[ph.record_key]
+            vals = []
+            for doc in ds_:
+                if doc is None:
+                    vals.append(None)
+                else:
+                    v = dig(doc, ph.geoip_path)
+                    if ph.is_latlon and v is None:
+                        v = 0.0  # filter_geoip.rb:194-198
+                    vals.append(v)
+            unique_values[ph.key] = vals
+
+        cols = PlaceholderColumns(n, spec.placeholders, unique_values, codes)
+
+        # skip gate: first-found placeholder nil, or none found
+        # (placeholder.values.first.nil?, filter_geoip.rb:123)
+        undecided = np.ones(n, dtype=bool)
+        skip = np.ones(n, dtype=bool)
+        for ph in spec.placeholders:
+            found_u = np.asarray(
+                [d is not None for d in docs[ph.record_key]], dtype=bool
+            )
+            inserted = found_u[codes[ph.record_key]]
+            newly = inserted & undecided
+            if newly.any():
+                isnull = cols.typed_array(ph.key).is_null().to_numpy(
+                    zero_copy_only=False
+                )
+                skip[newly] = isnull[newly]
+                undecided &= ~newly
+            if not undecided.any():
+                break
+        enriched_mask = pa.array(~skip)
+
+        out = batch
+        for name, plan in spec.plans.items():
+            arr = evaluate_plan(plan, cols)
+            if spec.skip_adding_null_record:
+                arr = pc.if_else(enriched_mask, arr, pa.scalar(None, arr.type))
+            if name in out.column_names:
+                out = out.set_column(out.column_names.index(name), name, arr)
+            else:
+                out = out.append_column(name, arr)
+        if ENRICHED_COL in out.column_names:
+            out = out.set_column(
+                out.column_names.index(ENRICHED_COL), ENRICHED_COL, enriched_mask
+            )
+        else:
+            out = out.append_column(ENRICHED_COL, enriched_mask)
+        return out
+
+
+def enrich_dataset(
+    ds,
+    spec: RecordSpec | CompiledRecordSpec,
+    backend_spec: dict | None = None,
+    backend_ref=None,
+    batch_size: int = 8192,
+    concurrency=None,
+    num_cpus: float = 1,
+):
+    """Attach the enrich stage to a Dataset as an actor pool."""
+    kwargs = dict(
+        spec=spec if isinstance(spec, CompiledRecordSpec) else compile_record_spec(spec)
+    )
+    if backend_ref is not None:
+        kwargs["backend_ref"] = backend_ref
+    else:
+        kwargs["backend_spec"] = backend_spec or {"library": "dict"}
+    return ds.map_batches(
+        GeoEnrich,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency or (2, 8),
+        num_cpus=num_cpus,
+    )

@@ -1,0 +1,85 @@
+"""Geo lookup backends.
+
+The reference supports three backends behind one duck-typed ``lookup`` /
+``look_up`` call (``lib/fluent/plugin/filter_geoip.rb:19,44,175-179,204-217``),
+each opened ONCE per worker process in ``configure``.  Here a backend is a
+:class:`GeoBackend` opened once per Ray actor (in the enrich stage's
+``__init__``), the direct analog of "DB loaded once per Fluentd worker".
+
+Backends return the nested GeoIP2-style document for an IP/host string, or
+``None`` for a miss -- exactly the contract ``geolocate`` consumes
+(``filter_geoip.rb:167-185``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Protocol
+
+
+class GeoBackend(Protocol):
+    def lookup(self, address: str) -> Optional[dict]:
+        """Nested geo document for *address*, or None on miss."""
+        ...
+
+
+class DictBackend:
+    """In-memory dict-of-nested-docs backend.
+
+    Mirrors the reference's mock database (``test/plugin/test_filter_geoip.rb:
+    33-40``) generalized to a full fixture table; the default backend in this
+    sandbox (no mmdb blobs, no maxminddb wheel).  Cheap to broadcast: the
+    docs dict is a few KB, shipped via ``ray.put`` once and rehydrated in each
+    enrich actor.
+    """
+
+    def __init__(self, docs: Optional[dict[str, dict]] = None):
+        if docs is None:
+            from .fixture import fixture_geo_docs
+
+            docs = fixture_geo_docs()
+        self._docs = docs
+
+    def lookup(self, address: str) -> Optional[dict]:
+        return self._docs.get(address)
+
+
+class MaxmindBackend:
+    """MaxMind binary-trie backend via the public ``maxminddb`` package.
+
+    The production analog of ``GeoIP2::Database.new(path)``
+    (``filter_geoip.rb:215``): one memory-mapped reader per actor, opened in
+    ``__init__``.  Import-gated -- the wheel is not present in this sandbox.
+    """
+
+    def __init__(self, mmdb_path: str):
+        try:
+            import maxminddb
+        except ImportError as e:  # pragma: no cover - not installed here
+            raise RuntimeError(
+                "maxminddb is not installed; use DictBackend "
+                "(reference raises ConfigError on a missing backend gem, "
+                "filter_geoip.rb:216-217)"
+            ) from e
+        self._reader = maxminddb.open_database(mmdb_path)
+
+    def lookup(self, address: str) -> Optional[dict]:
+        try:
+            return self._reader.get(address)
+        except ValueError:
+            # invalid IP string -> miss, matching the reference where the C
+            # lib returns nil for unresolvable input (test_filter_geoip.rb:189-210)
+            return None
+
+
+def make_backend(spec: dict) -> GeoBackend:
+    """Backend factory from a config dict: {"library": "dict"|"maxmind", ...}.
+
+    Mirrors ``load_database``'s enum dispatch (``filter_geoip.rb:204-217``);
+    unknown library -> ConfigError-equivalent ValueError.
+    """
+    lib = spec.get("library", "dict")
+    if lib == "dict":
+        return DictBackend(spec.get("docs"))
+    if lib == "maxmind":
+        return MaxmindBackend(spec["path"])
+    raise ValueError(f"unsupported backend_library: {lib!r}")

@@ -1,0 +1,110 @@
+"""End-to-end pipeline tests over the deterministic transcript fixture:
+routed-row counts, aggregate equality, sort stability, text byte-identity,
+and resume idempotence (north_rule correctness gates)."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from fluent_plugin_geoip_ray.pipelines.flagship import (
+    canonical_routes,
+    run_flagship,
+    run_partitioned,
+)
+from fluent_plugin_geoip_ray.sources.transcripts import ensure_transcripts
+
+
+@pytest.fixture(scope="module")
+def sf_path():
+    return ensure_transcripts(0.001)
+
+
+def read_sink(out_dir, name):
+    files = sorted(glob.glob(os.path.join(out_dir, name, "part=*", "*.parquet")))
+    assert files, f"no sink files for {name}"
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def test_flagship_end_to_end(sf_path, tmp_path):
+    out_dir = str(tmp_path / "out")
+    stats = run_flagship(sf_path, out_dir=out_dir)
+    total = pq.read_metadata(sf_path).num_rows
+
+    raw = read_sink(out_dir, "raw")
+    assert raw.num_rows == total
+
+    enriched = read_sink(out_dir, "enriched")
+    # gate: kept iff city (first record entry) resolved
+    assert 0 < enriched.num_rows < total
+    assert pc.all(pc.is_valid(enriched.column("city"))).as_py()
+    assert pc.all(
+        pc.match_substring_regex(enriched.column("tag"), "^enriched\\.")
+    ).as_py()
+
+    # stats rows agree with sink files
+    srows = {
+        (r["route"], r["kind"], r["key"]): r["n"] for r in stats.to_pylist()
+    }
+    assert srows[("raw", "rows", "")] == total
+    assert srows[("enriched", "rows", "")] == enriched.num_rows
+
+    # per-sink country aggregate equals a direct count over the sink
+    direct = enriched.group_by("country_code").aggregate([([], "count_all")])
+    for k, n in zip(
+        direct.column("country_code").to_pylist(),
+        direct.column("count_all").to_pylist(),
+    ):
+        assert srows[("enriched", "country_code", k)] == n
+
+
+def test_text_byte_identity_under_stable_order(sf_path, tmp_path):
+    """Per-turn text byte-identical under (conv_id, turn_idx) order
+    (BASELINE.json input_hint invariant)."""
+    out_dir = str(tmp_path / "out")
+    run_flagship(sf_path, out_dir=out_dir)
+    raw = read_sink(out_dir, "raw")
+    raw = raw.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    src = pq.read_table(sf_path).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert raw.column("text").combine_chunks().equals(
+        src.column("text").combine_chunks()
+    )
+    assert raw.column("ts").combine_chunks().equals(src.column("ts").combine_chunks())
+
+
+def test_partitioned_run_and_resume(sf_path, tmp_path):
+    out_dir = str(tmp_path / "out")
+    r1 = run_partitioned([sf_path], out_dir)
+    assert r1["ran"] and not r1["skipped"]
+    agg1 = r1["aggregates"].sort_by(
+        [("route", "ascending"), ("kind", "ascending"), ("key", "ascending")]
+    )
+    sink1 = read_sink(out_dir, "enriched")
+
+    # resume: nothing re-runs, outputs unchanged
+    r2 = run_partitioned([sf_path], out_dir)
+    assert not r2["ran"] and r2["skipped"] == r1["ran"]
+    agg2 = r2["aggregates"].sort_by(
+        [("route", "ascending"), ("kind", "ascending"), ("key", "ascending")]
+    )
+    assert agg1.equals(agg2)
+    sink2 = read_sink(out_dir, "enriched")
+    assert sink1.num_rows == sink2.num_rows
+
+
+def test_partition_crash_recovery(sf_path, tmp_path):
+    """A partition without a manifest is garbage: cleaned and re-run."""
+    out_dir = str(tmp_path / "out")
+    r1 = run_partitioned([sf_path], out_dir)
+    # simulate crash: delete the manifest, leave sink files behind
+    mpath = os.path.join(out_dir, "_manifests", "part-000000.json")
+    os.remove(mpath)
+    r2 = run_partitioned([sf_path], out_dir)
+    assert r2["ran"] == r1["ran"]
+    sink = read_sink(out_dir, "raw")
+    assert sink.num_rows == pq.read_metadata(sf_path).num_rows
