@@ -27,8 +27,9 @@ from fluent_plugin_geoip_ray.sources.transcripts import (
 )
 
 # the driver compares at sf=0.01; oracle SQL is static so paths are pinned
+# (transcripts is a directory of part files -> glob for DuckDB)
 _SF01 = 0.01
-_T_PATH = transcripts_path(_SF01)
+_T_PATH = transcripts_path(_SF01) + "/*.parquet"
 _G_PATH = geo_fixture_path()
 
 

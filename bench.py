@@ -35,9 +35,11 @@ def run_bench() -> dict:
 
     path = ensure_for_sf_dir(sf_dir)  # generate before timing
     # warm the page cache so we measure compute+shuffle, not first disk read
-    with open(path, "rb") as f:
-        while f.read(1 << 24):
-            pass
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            with open(os.path.join(path, name), "rb") as f:
+                while f.read(1 << 24):
+                    pass
 
     ray.init(
         address="local",

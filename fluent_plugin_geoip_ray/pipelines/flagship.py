@@ -35,7 +35,7 @@ from ..lineage import (
     plan_partitions,
     write_manifest,
 )
-from ..stages.aggregate import count_by
+from ..stages.aggregate import NULL_KEY, count_by
 from ..stages.enrich import enrich_dataset
 from ..stages.parse import parse_dataset
 from ..stages.route import RouteSpec
@@ -159,6 +159,9 @@ class FanoutWrite:
                 keys = g.column(col)
                 if not pa.types.is_string(keys.type):
                     keys = keys.cast(pa.string())
+                # null keys can't cross Ray's sort-based shuffle; sentinel now,
+                # restored after the final merge (stages/aggregate.py)
+                keys = pc.fill_null(keys, NULL_KEY)
                 stats["route"].extend([route.name] * g.num_rows)
                 stats["kind"].extend([kind] * g.num_rows)
                 stats["key"].extend(keys.to_pylist())
@@ -170,28 +173,64 @@ def run_fanout(
     enriched,
     routes: list[RouteSpec],
     pid: int = 0,
-    batch_size: int = 32768,
+    batch_size: int | None = None,
+    merge: str = "driver",
 ):
     """Consume the enriched Dataset: write sinks, return final stats table.
 
     The returned table is the fully-merged (route, kind, key, n) aggregate --
     the per-sink counts by country_code and conv_id plus per-route row totals.
-    """
-    from ray.data.aggregate import Sum
 
+    ``merge="driver"`` streams the per-batch combiner outputs (O(distinct
+    keys x blocks) tiny rows) to the driver and merges them with one C++
+    ``pyarrow.Table.group_by`` -- no all-to-all at all.  At full 10^12-turn
+    scale a per-conv_id count is itself a large dataset: use
+    ``merge="ray"`` (hash/sort-shuffled groupby over the partials) and
+    consume the returned Dataset with ``write_parquet`` instead.
+    """
     stats_ds = enriched.map_batches(
         FanoutWrite(routes, pid=pid),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
     )
-    # final combine is a Ray groupby over per-batch partials -- shuffle volume
-    # O(distinct keys x blocks), never O(rows); result is small enough to pull
-    merged = stats_ds.groupby(["route", "kind", "key"]).aggregate(
-        Sum("n", alias_name="n")
+    if merge == "ray":
+        from ray.data.aggregate import Sum
+
+        merged_ds = stats_ds.groupby(["route", "kind", "key"]).aggregate(
+            Sum("n", alias_name="n")
+        )
+        df = merged_ds.to_pandas()
+        df.loc[df["key"] == NULL_KEY, "key"] = None
+        return pa.Table.from_pandas(
+            df, schema=FanoutWrite.STATS_SCHEMA, preserve_index=False
+        )
+    batches = [
+        b for b in stats_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    if not batches:
+        allt = FanoutWrite.STATS_SCHEMA.empty_table()
+    else:
+        allt = pa.concat_tables(batches)
+    merged = (
+        allt.group_by(["route", "kind", "key"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["route", "kind", "key", "n"])
     )
-    df = merged.to_pandas()
-    return pa.Table.from_pandas(df, schema=FanoutWrite.STATS_SCHEMA, preserve_index=False)
+    keys = merged.column("key").combine_chunks()
+    if not pa.types.is_string(keys.type):
+        keys = keys.cast(pa.string())
+    mask = pc.fill_null(pc.equal(keys, NULL_KEY), False)
+    keys = pc.if_else(mask, pa.scalar(None, pa.string()), keys)
+    return pa.table(
+        {
+            "route": merged.column("route").combine_chunks().cast(pa.string()),
+            "kind": merged.column("kind").combine_chunks().cast(pa.string()),
+            "key": keys,
+            "n": merged.column("n").combine_chunks().cast(pa.int64()),
+        },
+        schema=FanoutWrite.STATS_SCHEMA,
+    )
 
 
 def run_flagship(
@@ -285,6 +324,12 @@ def run_partitioned(
         allt = pa.concat_tables(tables)
         merged = allt.group_by(["route", "kind", "key"]).aggregate([("n", "sum")])
         merged = merged.rename_columns(["route", "kind", "key", "n"])
+        key_col = pc.if_else(
+            pc.equal(merged.column("key"), NULL_KEY),
+            pa.scalar(None, pa.string()),
+            merged.column("key"),
+        )
+        merged = merged.set_column(merged.column_names.index("key"), "key", key_col)
         agg_path = os.path.join(out_dir, "aggregates.parquet")
         pq.write_table(merged, agg_path + ".tmp")
         os.replace(agg_path + ".tmp", agg_path)

@@ -61,7 +61,13 @@ def sf_from_dir(sf_dir: str) -> float:
 
 
 def transcripts_path(sf: float) -> str:
-    return os.path.join(DATA_ROOT, f"sf{sf:g}", "transcripts.parquet")
+    """Directory of part files -- a single parquet file reads as ONE Ray task
+    (sequential bottleneck) and gives resume only one partition; a 100 TB
+    table is always many files, so the fixture mirrors that layout."""
+    return os.path.join(DATA_ROOT, f"sf{sf:g}", "transcripts")
+
+
+ROWS_PER_FILE = 32768
 
 
 def geo_fixture_path() -> str:
@@ -125,23 +131,42 @@ def build_transcripts_table(sf: float):
     )
 
 
-def ensure_transcripts(sf: float, row_group_size: int = 65536) -> str:
-    """Idempotent: write the table once, atomic rename; returns the path.
-
-    Row groups are kept small enough that Ray's parquet reader can split the
-    file into parallel read tasks.
-    """
+def ensure_transcripts(sf: float, row_group_size: int = 16384) -> str:
+    """Idempotent: write the part-file directory once (atomic via tmp dir +
+    rename); returns the directory path."""
     import pyarrow.parquet as pq
 
     path = transcripts_path(sf)
-    if os.path.exists(path):
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
-    os.makedirs(os.path.dirname(path), exist_ok=True)
     table = build_transcripts_table(sf)
     tmp = path + f".tmp{os.getpid()}"
-    pq.write_table(table, tmp, row_group_size=row_group_size)
+    os.makedirs(tmp, exist_ok=True)
+    n = table.num_rows
+    for i, start in enumerate(range(0, n, ROWS_PER_FILE)):
+        part = table.slice(start, ROWS_PER_FILE)
+        pq.write_table(
+            part, os.path.join(tmp, f"part-{i:05d}.parquet"),
+            row_group_size=row_group_size,
+        )
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+        f.write("ok")
+    if os.path.exists(path):  # racing writer finished first
+        import shutil
+
+        shutil.rmtree(tmp)
+        return path
     os.replace(tmp, path)
     return path
+
+
+def transcript_files(sf: float) -> list[str]:
+    path = ensure_transcripts(sf)
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
 
 
 def ensure_geo_fixture() -> str:

@@ -13,13 +13,40 @@ contributes at most one row per key.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data.aggregate import Sum
+
+# Ray's sort-based shuffle cannot range-partition on null keys (None vs str
+# comparison in find_partition_index); nulls are sentinel-encoded through the
+# shuffle and restored afterwards.  SQL GROUP BY keeps a NULL group, so the
+# restore preserves oracle equality.
+NULL_KEY = "\x00__NULL__\x00"
+
+
+def _encode_nulls(arr):
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return pc.fill_null(arr, NULL_KEY)
+    return arr
+
+
+def _restore_nulls(key: str):
+    def restore(batch: pa.Table) -> pa.Table:
+        col = batch.column(key)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            col = pc.if_else(pc.equal(col, NULL_KEY), pa.scalar(None, col.type), col)
+            batch = batch.set_column(batch.column_names.index(key), key, col)
+        return batch
+
+    return restore
 
 
 def _partial_count(key: str):
     def partial(batch: pa.Table) -> pa.Table:
-        out = batch.group_by(key).aggregate([([], "count_all")])
+        keyed = batch.set_column(
+            batch.column_names.index(key), key, _encode_nulls(batch.column(key))
+        )
+        out = keyed.group_by(key).aggregate([([], "count_all")])
         return out.rename_columns([key, "n"])
 
     return partial
@@ -34,7 +61,92 @@ def count_by(ds, key: str, batch_size: int = 65536):
         batch_size=batch_size,
     )
     agg = partials.groupby(key).aggregate(Sum("n", alias_name="n"))
-    return agg
+    return agg.map_batches(_restore_nulls(key), batch_format="pyarrow")
+
+
+def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536):
+    """General partial+final grouped aggregate.
+
+    ``aggs`` entries are ``(col, fn, out_name)`` with fn in
+    {sum, count, min, max, mean}; partials run vectorized per batch
+    (pyarrow ``Table.group_by``), the final pass is a Ray groupby over the
+    tiny partials (re-aggregating sums-of-sums, mins-of-mins, and computing
+    mean = sum/count at the end).  Null string keys survive the sort shuffle
+    via sentinel encoding.
+    """
+    from ray.data.aggregate import Max, Min
+
+    # which pyarrow partial aggregations are needed (deduped by output name)
+    need: dict[str, tuple] = {}
+    for col, fn, _out in aggs:
+        if fn in ("count", "mean"):
+            need["count_all"] = ([], "count_all")
+        if fn == "mean":
+            need[f"{col}_sum"] = (col, "sum")
+        if fn in ("sum", "min", "max"):
+            need[f"{col}_{fn}"] = (col, fn)
+    pa_aggs = list(need.values())
+    partial_rename = {pa_name: f"__p_{pa_name}" for pa_name in need}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        for k in keys:
+            batch = batch.set_column(
+                batch.column_names.index(k), k, _encode_nulls(batch.column(k))
+            )
+        g = batch.group_by(keys).aggregate(pa_aggs)
+        return g.rename_columns(
+            [partial_rename.get(nm, nm) for nm in g.column_names]
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    )
+    refit = {"sum": Sum, "count_all": Sum, "min": Min, "max": Max}
+    ray_aggs = []
+    for pa_name, (col, fn) in need.items():
+        ctor = Sum if fn in ("sum", "count_all") else refit[fn]
+        ray_aggs.append(ctor(f"__p_{pa_name}", alias_name=f"__f_{pa_name}"))
+    agg = partials.groupby(keys).aggregate(*ray_aggs)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        for col, fn, out in aggs:
+            if fn == "count":
+                arr = batch.column("__f_count_all")
+            elif fn == "mean":
+                arr = pc.divide(
+                    pc.cast(batch.column(f"__f_{col}_sum"), pa.float64()),
+                    pc.cast(batch.column("__f_count_all"), pa.float64()),
+                )
+            else:
+                arr = batch.column(f"__f_{col}_{fn}")
+            batch = batch.append_column(out, arr)
+        batch = batch.drop_columns([f"__f_{nm}" for nm in need])
+        for k in keys:
+            batch = _restore_nulls(k)(batch)
+        return batch
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def top_k(ds, col: str, k: int, keep_cols: list[str] | None = None,
+          descending: bool = True, batch_size: int = 65536):
+    """Global top-k without a full sort: per-batch top-k partials, merged on
+    the driver (k x blocks rows, tiny)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if keep_cols:
+            batch = batch.select(keep_cols)
+        order = "descending" if descending else "ascending"
+        idx = pc.select_k_unstable(
+            batch, k=min(k, batch.num_rows), sort_keys=[(col, order)]
+        )
+        return batch.take(idx)
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+    ).to_pandas()
+    out = partials.sort_values(col, ascending=not descending).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
 def _partial_sum_count(key: str, value: str):

@@ -169,7 +169,7 @@ def enrich_dataset(
     spec: RecordSpec | CompiledRecordSpec,
     backend_spec: dict | None = None,
     backend_ref=None,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
     concurrency=None,
     num_cpus: float = 1,
 ):

@@ -50,7 +50,9 @@ def parse_transcripts(batch: pa.Table, tag_prefix: str = "transcripts.") -> pa.T
     return out
 
 
-def parse_dataset(ds, batch_size: int = 16384):
+def parse_dataset(ds, batch_size: int | None = None):
+    # batch_size=None processes whole blocks zero-copy (no rebatch buffering);
+    # block size is governed by the input file layout / target_max_block_size
     return ds.map_batches(
         parse_transcripts,
         batch_format="pyarrow",

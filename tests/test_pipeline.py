@@ -15,12 +15,19 @@ from fluent_plugin_geoip_ray.pipelines.flagship import (
     run_flagship,
     run_partitioned,
 )
-from fluent_plugin_geoip_ray.sources.transcripts import ensure_transcripts
+from fluent_plugin_geoip_ray.sources.transcripts import (
+    ensure_transcripts,
+    transcript_files,
+)
 
 
 @pytest.fixture(scope="module")
 def sf_path():
-    return ensure_transcripts(0.001)
+    return ensure_transcripts(0.001)  # a DIRECTORY of part files
+
+
+def total_rows(path):
+    return pq.read_table(path).num_rows
 
 
 def read_sink(out_dir, name):
@@ -32,7 +39,7 @@ def read_sink(out_dir, name):
 def test_flagship_end_to_end(sf_path, tmp_path):
     out_dir = str(tmp_path / "out")
     stats = run_flagship(sf_path, out_dir=out_dir)
-    total = pq.read_metadata(sf_path).num_rows
+    total = total_rows(sf_path)
 
     raw = read_sink(out_dir, "raw")
     assert raw.num_rows == total
@@ -79,7 +86,7 @@ def test_text_byte_identity_under_stable_order(sf_path, tmp_path):
 
 def test_partitioned_run_and_resume(sf_path, tmp_path):
     out_dir = str(tmp_path / "out")
-    r1 = run_partitioned([sf_path], out_dir)
+    r1 = run_partitioned(transcript_files(0.001), out_dir)
     assert r1["ran"] and not r1["skipped"]
     agg1 = r1["aggregates"].sort_by(
         [("route", "ascending"), ("kind", "ascending"), ("key", "ascending")]
@@ -87,7 +94,7 @@ def test_partitioned_run_and_resume(sf_path, tmp_path):
     sink1 = read_sink(out_dir, "enriched")
 
     # resume: nothing re-runs, outputs unchanged
-    r2 = run_partitioned([sf_path], out_dir)
+    r2 = run_partitioned(transcript_files(0.001), out_dir)
     assert not r2["ran"] and r2["skipped"] == r1["ran"]
     agg2 = r2["aggregates"].sort_by(
         [("route", "ascending"), ("kind", "ascending"), ("key", "ascending")]
@@ -100,11 +107,11 @@ def test_partitioned_run_and_resume(sf_path, tmp_path):
 def test_partition_crash_recovery(sf_path, tmp_path):
     """A partition without a manifest is garbage: cleaned and re-run."""
     out_dir = str(tmp_path / "out")
-    r1 = run_partitioned([sf_path], out_dir)
+    r1 = run_partitioned(transcript_files(0.001), out_dir)
     # simulate crash: delete the manifest, leave sink files behind
     mpath = os.path.join(out_dir, "_manifests", "part-000000.json")
     os.remove(mpath)
-    r2 = run_partitioned([sf_path], out_dir)
+    r2 = run_partitioned(transcript_files(0.001), out_dir)
     assert r2["ran"] == r1["ran"]
     sink = read_sink(out_dir, "raw")
-    assert sink.num_rows == pq.read_metadata(sf_path).num_rows
+    assert sink.num_rows == total_rows(sf_path)
