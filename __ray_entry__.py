@@ -144,6 +144,178 @@ def q_events_extract(sf_dir: str):
     return ds.map_batches(fn, batch_format="pyarrow").select_columns(["event_id", "k"])
 
 
+# ---- training-data operators over the driver tables ----------------------
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup on documents: keep min(doc_id) per distinct text."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_exact
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return dedup_exact(ds).select_columns(["doc_id", "lang", "source"])
+
+
+def q_token_count(sf_dir: str):
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import token_count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(token_count, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens", "n_chars_calc"]
+    )
+
+
+def q_quality(sf_dir: str):
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import QualityScore
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(QualityScore, concurrency=(1, 4),
+                          batch_format="pyarrow").select_columns(
+        ["doc_id", "mean_token_len", "punct_ratio"]
+    )
+
+
+def q_lang_id(sf_dir: str):
+    """Language-ID heuristic (rows-only check: not SQL-expressible)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import LangId
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(LangId, concurrency=(1, 4),
+                          batch_format="pyarrow").select_columns(
+        ["doc_id", "lang_pred", "lang_score"]
+    )
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup (rows-only: LSH is not SQL-expressible)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_minhash
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return dedup_minhash(ds).select_columns(["doc_id", "lang", "source"])
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup (rows-only)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_simhash
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return dedup_simhash(ds).select_columns(["doc_id", "lang", "source"])
+
+
+def q_knn(sf_dir: str):
+    """Brute-force cosine top-10 for the first 3 vectors as queries."""
+    import numpy as np
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.similarity import knn_brute_force
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = ds.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
+    queries = np.stack(qrows["embedding"].to_numpy())
+    out = knn_brute_force(ds, queries, k=10,
+                          query_ids=qrows["vec_id"].to_numpy())
+    return out.select(["query_id", "vec_id", "rank"])
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF approximate top-10 (rows-only: approximate by construction)."""
+    import numpy as np
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.similarity import knn_ivf
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = ds.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
+    queries = np.stack(qrows["embedding"].to_numpy())
+    return knn_ivf(ds, queries, k=10).select(["query_id", "vec_id", "rank"])
+
+
+def q_embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-dup survivors (rows-only)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.similarity import embedding_near_dup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dup(ds, threshold=0.95).select_columns(["vec_id", "label"])
+
+
+# ---- relational operator coverage over the TPC-H-ish tables ---------------
+
+def q_events_topk(sf_dir: str):
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import top_k
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return top_k(ds, "value", 100, tie_breakers=["event_id"])
+
+
+def q_events_join(sf_dir: str):
+    """Broadcast join: events -> customer -> nation (small sides shipped once)."""
+    import duckdb
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.join import broadcast_join
+
+    cust = duckdb.sql(
+        f"SELECT c_custkey AS user_id, c_name, c_nationkey FROM "
+        f"read_parquet('{sf_dir}/customer.parquet')"
+    ).fetchdf()
+    nation = duckdb.sql(
+        f"SELECT n_nationkey AS c_nationkey, n_name FROM "
+        f"read_parquet('{sf_dir}/nation.parquet')"
+    ).fetchdf()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    ds = broadcast_join(ds, cust, on="user_id", how="inner")
+    ds = broadcast_join(ds, nation, on="c_nationkey", how="inner")
+    return ds.select_columns(["event_id", "c_name", "n_name"])
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate via partial+final groupby_agg."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import groupby_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    agg = groupby_agg(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_extendedprice", "sum", "sum_price"),
+            ("l_quantity", "mean", "avg_qty"),
+            ("l_quantity", "count", "n"),
+        ],
+    )
+
+    def round_cols(t):
+        for c, nd in (("sum_qty", 2), ("sum_price", 2), ("avg_qty", 4)):
+            t = t.set_column(
+                t.column_names.index(c), c,
+                pc.round(pc.cast(t.column(c), "float64"), ndigits=nd),
+            )
+        return t
+
+    return agg.map_batches(round_cols, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_extract": q_parse_extract,
@@ -153,6 +325,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_conv": q_agg_conv,
         "sorted_text": q_sorted_text,
         "events_extract": q_events_extract,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "knn": q_knn,
+        "knn_ivf": q_knn_ivf,
+        "embedding_near_dup": q_embedding_near_dup,
+        "events_topk": q_events_topk,
+        "events_join": q_events_join,
+        "pricing_summary": q_pricing_summary,
     }
 
 
@@ -204,4 +388,47 @@ def oracle_sql() -> dict[str, str]:
                        f" WHERE enriched ORDER BY conv_id, turn_idx",
         "events_extract": "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1)"
                           " AS BIGINT) AS k FROM events",
+        "dedup_exact": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
+        "token_count": r"""
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(text, '\s+')) END AS n_tokens,
+                   length(text) AS n_chars_calc
+            FROM documents""",
+        "quality": r"""
+            SELECT doc_id,
+                   length(text)::DOUBLE
+                     / greatest(CASE WHEN length(text) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(text, '\s+')) END, 1)
+                     AS mean_token_len,
+                   (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                     / greatest(length(text), 1) AS punct_ratio
+            FROM documents""",
+        "knn": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+                 s AS (SELECT q.qid AS query_id, e.vec_id,
+                              list_cosine_similarity(q.qe, e.embedding) AS sim
+                       FROM q CROSS JOIN embeddings e),
+                 r AS (SELECT query_id, vec_id,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY sim DESC, vec_id) AS rank
+                       FROM s)
+            SELECT query_id, vec_id, rank FROM r WHERE rank <= 10""",
+        "events_topk": """
+            SELECT event_id, event_type, value FROM events
+            ORDER BY value DESC, event_id LIMIT 100""",
+        "events_join": """
+            SELECT e.event_id, c.c_name, n.n_name
+            FROM events e
+            JOIN customer c ON e.user_id = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     }

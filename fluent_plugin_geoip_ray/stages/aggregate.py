@@ -129,23 +129,29 @@ def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536)
 
 
 def top_k(ds, col: str, k: int, keep_cols: list[str] | None = None,
-          descending: bool = True, batch_size: int = 65536):
+          descending: bool = True, tie_breakers: list[str] | None = None,
+          batch_size: int = 65536):
     """Global top-k without a full sort: per-batch top-k partials, merged on
-    the driver (k x blocks rows, tiny)."""
+    the driver (k x blocks rows, tiny).  ``tie_breakers`` (ascending) make
+    the result deterministic when ``col`` has duplicates at the boundary."""
+    ties = tie_breakers or []
 
     def partial(batch: pa.Table) -> pa.Table:
         if keep_cols:
             batch = batch.select(keep_cols)
         order = "descending" if descending else "ascending"
+        sort_keys = [(col, order)] + [(t, "ascending") for t in ties]
         idx = pc.select_k_unstable(
-            batch, k=min(k, batch.num_rows), sort_keys=[(col, order)]
+            batch, k=min(k, batch.num_rows), sort_keys=sort_keys
         )
         return batch.take(idx)
 
     partials = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     ).to_pandas()
-    out = partials.sort_values(col, ascending=not descending).head(k)
+    out = partials.sort_values(
+        [col] + ties, ascending=[not descending] + [True] * len(ties)
+    ).head(k)
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 

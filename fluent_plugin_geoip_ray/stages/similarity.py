@@ -1,0 +1,208 @@
+"""Similarity search over an embedding column (driver-mandated extension).
+
+Brute-force cosine top-k is the exactness baseline: the query matrix is
+broadcast ONCE (``ray.put``), every batch does one numpy matmul against it,
+emits its local top-k (the combiner), and the driver merges tiny per-batch
+partials -- no shuffle at all.  The scale path is IVF: a seeded numpy k-means
+on a sample builds centroids (broadcast), vectors are bucketed by nearest
+centroid, and queries probe only the closest ``nprobe`` buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = np.asarray(m, dtype=np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-12)
+
+
+def _embedding_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // max(batch.num_rows, 1)
+    return flat.reshape(batch.num_rows, dim)
+
+
+class BruteForceTopK:
+    """Per-batch cosine scores vs a broadcast query matrix, local top-k."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, emb_col: str):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(q)  # (nq, dim), float64 for oracle-stable ordering
+        self.k = k
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_embedding_matrix(batch, self.emb_col))      # (n, dim)
+        scores = self.q @ m.T                                       # (nq, n)
+        k = min(self.k, m.shape[0])
+        idx = np.argpartition(-scores, k - 1, axis=1)[:, :k]        # (nq, k)
+        rows = np.take_along_axis(scores, idx, axis=1)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        nq = self.q.shape[0]
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(np.arange(nq, dtype=np.int64), k)),
+                self.id_col: pa.array(ids[idx.ravel()]),
+                "score": pa.array(rows.ravel().astype(np.float64)),
+            }
+        )
+
+
+def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    query_ids=None):
+    """Exact cosine top-k for each query row; returns a pyarrow Table
+    (query_id, id, score, rank) -- the merge is over per-batch partials only.
+    Ties break on ascending id (deterministic, matches the SQL oracle's
+    ``ORDER BY sim DESC, id``)."""
+    import ray
+
+    q = np.asarray(queries, dtype=np.float64)
+    q_ref = ray.put(q)
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs=dict(queries_ref=q_ref, k=k, id_col=id_col, emb_col=emb_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).to_pandas()
+    if query_ids is None:
+        query_ids = np.arange(q.shape[0])
+    out = {"query_id": [], id_col: [], "score": [], "rank": []}
+    for qid, g in partials.groupby("query_id"):
+        top = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        out["query_id"].extend([query_ids[qid]] * len(top))
+        out[id_col].extend(top[id_col])
+        out["score"].extend(top["score"])
+        out["rank"].extend(range(1, len(top) + 1))
+    return pa.table({k_: pa.array(v) for k_, v in out.items()})
+
+
+# --------------------------------------------------------------------------
+# IVF (scale path)
+# --------------------------------------------------------------------------
+
+def train_centroids(sample: np.ndarray, n_clusters: int, iters: int = 10,
+                    seed: int = 42) -> np.ndarray:
+    """Seeded numpy Lloyd's k-means on a driver-side sample (the classic IVF
+    coarse quantizer; sample is small, training is O(sample x clusters))."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(np.asarray(sample, dtype=np.float32))
+    cents = sample[rng.choice(len(sample), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cents.T).argmax(axis=1)
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+def assign_buckets(ds, centroids_ref, id_col: str = "vec_id",
+                   emb_col: str = "embedding"):
+    """Add an ``ivf_bucket`` column = nearest centroid id (broadcast probe)."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cents = ray.get(centroids_ref)
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        bucket = (m @ cents.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("ivf_bucket", pa.array(bucket))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+            nprobe: int = 4, sample_n: int = 4096,
+            id_col: str = "vec_id", emb_col: str = "embedding"):
+    """IVF approximate top-k: bucket by coarse quantizer, probe the nprobe
+    nearest buckets per query.  At 100 TB the bucketed dataset is written
+    partitioned by ``ivf_bucket`` once and queries touch only their buckets."""
+    import ray
+
+    sample_rows = ds.limit(sample_n).to_pandas()
+    sample = np.stack(sample_rows[emb_col].to_numpy())
+    cents = train_centroids(sample, n_clusters)
+    cents_ref = ray.put(cents)
+    bucketed = assign_buckets(ds, cents_ref, id_col=id_col, emb_col=emb_col)
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]          # (nq, nprobe)
+    wanted = set(np.unique(probe).tolist())
+    wanted_ref = ray.put(wanted)
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        b = batch.column("ivf_bucket").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.isin(b, list(w))))
+
+    pruned = bucketed.map_batches(keep_probed, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    # exact search within the probed buckets
+    return knn_brute_force(pruned, q, k=k, id_col=id_col, emb_col=emb_col)
+
+
+def embedding_near_dup(ds, threshold: float = 0.95, id_col: str = "vec_id",
+                       emb_col: str = "embedding", n_planes: int = 16,
+                       seed: int = 42):
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets +
+    within-bucket exact cosine; keeps the min-id representative per cluster."""
+    import pandas as pd
+    import ray
+
+    from .dedup import connected_components
+
+    # dimension probe from one row
+    first = ds.limit(1).to_pandas()
+    dim = len(first[emb_col].iloc[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    planes_ref = ray.put(planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        p = ray.get(planes_ref)
+        m = _normalize(_embedding_matrix(batch, emb_col))
+        bits = (m @ p) > 0
+        code = (bits.astype(np.uint32) << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            emb_col: batch.column(emb_col),
+            "lsh": pa.array(code.astype(np.int64)),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
+        g = g.sort_values(id_col)
+        m = _normalize(np.stack(g[emb_col].to_numpy()))
+        ids = g[id_col].to_numpy()
+        sims = m @ m.T
+        ai, bi = np.where(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+
+    edges = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lsh")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    labels = connected_components(edges)
+    losers = {k for k, root in labels.items() if root != k}
+    losers_ref = ray.put(losers)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        ls = ray.get(losers_ref)
+        keys = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(keys, list(ls)) if ls else np.ones(len(keys), bool)))
+
+    return ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,97 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash, n-gram Jaccard --
+behavior on constructed near/exact duplicates plus determinism."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fluent_plugin_geoip_ray.stages.dedup import (
+    dedup_exact,
+    dedup_minhash,
+    dedup_simhash,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash_bits,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden all afternoon long"
+)
+
+
+def make_docs():
+    rows = []
+    # exact dup pair (0, 1); near-dup pair (2, 3); distinct (4..9)
+    rows.append((0, BASE))
+    rows.append((1, BASE))
+    rows.append((2, BASE + " extra tail words here"))
+    rows.append((3, BASE + " extra tail words there"))
+    rng = np.random.default_rng(7)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    for i in range(4, 10):
+        rows.append((i, " ".join(rng.choice(words, size=40))))
+    return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                     "text": pa.array([r[1] for r in rows])})
+
+
+@pytest.fixture()
+def docs_ds():
+    return rd.from_arrow(make_docs())
+
+
+def test_dedup_exact_keeps_min_id(docs_ds):
+    out = dedup_exact(docs_ds).to_pandas()
+    ids = set(out["doc_id"])
+    assert 0 in ids and 1 not in ids       # exact dup dropped, min kept
+    assert {2, 3}.issubset(ids)            # near-dups survive exact dedup
+    assert len(out) == 9
+
+
+def test_minhash_signature_similarity():
+    t = make_docs()
+    sig = minhash_signatures(t)
+    # identical docs -> identical signatures
+    assert (sig[0] == sig[1]).all()
+    # near-dups agree on most permutations; distinct docs on few
+    near = (sig[2] == sig[3]).mean()
+    far = (sig[0] == sig[5]).mean()
+    assert near > 0.6 > far
+
+
+def test_dedup_minhash_removes_exact_and_near(docs_ds):
+    out = dedup_minhash(docs_ds, jaccard_threshold=0.6).to_pandas()
+    ids = set(out["doc_id"])
+    assert 0 in ids and 1 not in ids
+    assert (2 in ids) != (3 in ids) or {2, 3}.issubset(ids) is False
+    assert {4, 5, 6, 7, 8, 9}.issubset(ids)
+
+
+def test_dedup_minhash_deterministic(docs_ds):
+    a = sorted(dedup_minhash(docs_ds).to_pandas()["doc_id"])
+    b = sorted(dedup_minhash(rd.from_arrow(make_docs())).to_pandas()["doc_id"])
+    assert a == b
+
+
+def test_simhash_hamming_properties():
+    t = make_docs()
+    sh = simhash_bits(t)
+    assert sh[0] == sh[1]
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+    assert ham(sh[2], sh[3]) <= 6
+    assert ham(sh[0], sh[5]) > 10
+
+
+def test_dedup_simhash(docs_ds):
+    out = dedup_simhash(docs_ds).to_pandas()
+    ids = set(out["doc_id"])
+    assert 0 in ids and 1 not in ids
+    assert {4, 5, 6, 7, 8, 9}.issubset(ids)
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    assert ngram_jaccard(BASE, BASE + " x y z") > 0.7
+    assert ngram_jaccard("a b c d e", "v w x y z") == 0.0

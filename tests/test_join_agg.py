@@ -1,0 +1,74 @@
+"""Join + aggregate operator tests against pandas ground truth."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from fluent_plugin_geoip_ray.stages.aggregate import (
+    count_by,
+    groupby_agg,
+    top_k,
+)
+from fluent_plugin_geoip_ray.stages.join import broadcast_join, semi_join_filter
+
+
+def sample_df(n=5000, seed=11):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c", None], size=n, p=[0.5, 0.3, 0.15, 0.05]),
+            "g": rng.integers(0, 7, size=n),
+            "v": np.round(rng.random(n) * 100, 2),
+        }
+    )
+
+
+def test_count_by_with_nulls():
+    df = sample_df()
+    out = count_by(rd.from_pandas(df), "k").to_pandas()
+    expect = df.groupby("k", dropna=False).size()
+    got = {(None if pd.isna(r["k"]) else r["k"]): r["n"] for _, r in out.iterrows()}
+    for key, n in expect.items():
+        key = None if pd.isna(key) else key
+        assert got[key] == n
+
+
+def test_groupby_agg_matches_pandas():
+    df = sample_df()
+    out = groupby_agg(
+        rd.from_pandas(df),
+        ["g"],
+        [("v", "sum", "s"), ("v", "min", "lo"), ("v", "max", "hi"),
+         ("v", "mean", "m"), ("v", "count", "n")],
+    ).to_pandas().set_index("g").sort_index()
+    exp = df.groupby("g")["v"].agg(["sum", "min", "max", "mean", "count"])
+    assert np.allclose(out["s"], exp["sum"])
+    assert np.allclose(out["lo"], exp["min"])
+    assert np.allclose(out["hi"], exp["max"])
+    assert np.allclose(out["m"], exp["mean"])
+    assert (out["n"] == exp["count"]).all()
+
+
+def test_top_k_with_ties():
+    df = pd.DataFrame({"id": range(100), "v": [i // 10 for i in range(100)]})
+    out = top_k(rd.from_pandas(df), "v", 15, tie_breakers=["id"]).to_pandas()
+    exp = df.sort_values(["v", "id"], ascending=[False, True]).head(15)
+    assert list(out["id"]) == list(exp["id"])
+
+
+def test_broadcast_join_inner_and_left():
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "x": list("wxyz")})
+    right = pd.DataFrame({"k": [2, 3, 5], "y": ["b", "c", "e"]})
+    inner = broadcast_join(rd.from_pandas(left), right, on="k").to_pandas()
+    assert sorted(inner["k"]) == [2, 3]
+    outer = broadcast_join(rd.from_pandas(left), right, on="k", how="left").to_pandas()
+    assert len(outer) == 4 and outer["y"].isna().sum() == 2
+
+
+def test_semi_and_anti_join():
+    df = pd.DataFrame({"k": ["a", "b", "c", "d"], "v": [1, 2, 3, 4]})
+    semi = semi_join_filter(rd.from_pandas(df), "k", {"a", "c"}).to_pandas()
+    assert sorted(semi["k"]) == ["a", "c"]
+    anti = semi_join_filter(rd.from_pandas(df), "k", {"a", "c"}, anti=True).to_pandas()
+    assert sorted(anti["k"]) == ["b", "d"]

@@ -1,0 +1,52 @@
+"""Text-analysis operator tests (token counting, quality, lang-id,
+fingerprint)."""
+
+import pyarrow as pa
+
+from fluent_plugin_geoip_ray.stages.text import (
+    LangId,
+    QualityScore,
+    fingerprint,
+    token_count,
+)
+
+
+def tbl(texts):
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts)})
+
+
+def test_token_count():
+    out = token_count(tbl(["one two three", "single", ""])).to_pylist()
+    assert [r["n_tokens"] for r in out] == [3, 1, 0]
+    assert [r["n_chars_calc"] for r in out] == [13, 6, 0]
+
+
+def test_quality_score_features():
+    out = QualityScore()(tbl(["the cat sat on the mat", "zzzz!!!! ????"])).to_pylist()
+    good, bad = out
+    assert good["stop_ratio"] > 0.3
+    assert bad["punct_ratio"] > 0.4
+    assert good["quality"] > bad["quality"]
+    assert good["bpe_tokens_est"] == -(-len("the cat sat on the mat") // 4)
+
+
+def test_lang_id():
+    out = LangId()(
+        tbl([
+            "the cat is in the house and it was for him",
+            "el perro y la casa de los vecinos en un dia",
+            "qwerty zxcvb asdfgh",
+        ])
+    ).to_pylist()
+    assert out[0]["lang_pred"] == "en"
+    assert out[1]["lang_pred"] == "es"
+    assert out[2]["lang_pred"] == "unknown"
+
+
+def test_fingerprint_deterministic():
+    a = fingerprint(tbl(["abc", "def", "abc"])).to_pylist()
+    b = fingerprint(tbl(["abc", "def", "abc"])).to_pylist()
+    assert [r["fingerprint"] for r in a] == [r["fingerprint"] for r in b]
+    assert a[0]["fingerprint"] == a[2]["fingerprint"]
+    assert a[0]["fingerprint"] != a[1]["fingerprint"]
