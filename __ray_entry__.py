@@ -128,6 +128,27 @@ def q_sorted_text(sf_dir: str):
     )
 
 
+def q_enrich_multi(sf_dir: str):
+    """Multiple lookup keys resolve independently (test_filter_geoip.rb:325-362):
+    ip (first IPv4), ip2 (second IPv4) and host token each drive their own
+    placeholders."""
+    from fluent_plugin_geoip_ray.config import RecordSpec
+    from fluent_plugin_geoip_ray.pipelines.flagship import build_enriched
+
+    spec = RecordSpec(
+        lookup_keys=["ip", "ip2", "host"],
+        record={
+            "from_country": "${country.iso_code['ip']}",
+            "to_country": "${country.iso_code['ip2']}",
+            "host_city": "${city.names.en['host']}",
+        },
+    )
+    ds = build_enriched(_transcripts_ds(sf_dir), record_spec=spec)
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "from_country", "to_country", "host_city"]
+    )
+
+
 def q_events_extract(sf_dir: str):
     """Regex parse over the driver events table (grok analog on props)."""
     import pyarrow.compute as pc
@@ -306,14 +327,83 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def round_cols(t):
-        for c, nd in (("sum_qty", 2), ("sum_price", 2), ("avg_qty", 4)):
+        # integer fixed-point (see events_tumbling note on rounding modes)
+        for c, scale in (("sum_qty", 100.0), ("sum_price", 100.0), ("avg_qty", 10000.0)):
             t = t.set_column(
                 t.column_names.index(c), c,
-                pc.round(pc.cast(t.column(c), "float64"), ndigits=nd),
+                pc.cast(pc.round(pc.multiply(pc.cast(t.column(c), "float64"), scale)), "int64"),
             )
         return t
 
     return agg.map_batches(round_cols, batch_format="pyarrow")
+
+
+def q_events_tumbling(sf_dir: str):
+    """Tumbling 1h event-time windows per event_type (count + sum(value))."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import tumbling_window
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value", "ts"])
+    agg = tumbling_window(
+        ds, size_sec=3600, keys=["event_type"],
+        aggs=[("value", "count", "n"), ("value", "sum", "sum_value")],
+    )
+
+    def rounder(t):
+        # integer cents: immune to float summation-order last-bit drift and
+        # to the half-even (pyarrow) vs half-up (DuckDB) rounding-mode split
+        i = t.column_names.index("sum_value")
+        cents = pc.cast(
+            pc.round(pc.multiply(pc.cast(t.column("sum_value"), "float64"), 100.0)),
+            "int64",
+        )
+        return t.set_column(i, "sum_value_cents", cents).rename_columns(
+            [c if c != "sum_value" else "sum_value_cents" for c in t.column_names]
+        )
+
+    return agg.map_batches(rounder, batch_format="pyarrow")
+
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization per user (30 min gap)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import session_windows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+    return session_windows(ds, key="user_id", gap_sec=1800,
+                           order_tiebreak="event_id")
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding 1h windows stepping 15 min (rows-only; window explode)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import sliding_window_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return sliding_window_counts(ds, size_sec=3600, step_sec=900,
+                                 keys=["event_type"])
+
+
+def q_conv_stats(sf_dir: str):
+    """Per-conversation stats over transcripts: turns, distinct roles span."""
+    from fluent_plugin_geoip_ray.stages.aggregate import groupby_agg
+
+    ds = _transcripts_ds(sf_dir)
+    return groupby_agg(
+        ds,
+        ["conv_id"],
+        [("turn_idx", "count", "n_turns"),
+         ("turn_idx", "max", "max_turn"),
+         ("ts", "min", "ts_first"),
+         ("ts", "max", "ts_last")],
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -324,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_country": q_agg_country,
         "agg_conv": q_agg_conv,
         "sorted_text": q_sorted_text,
+        "enrich_multi": q_enrich_multi,
         "events_extract": q_events_extract,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -337,6 +428,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk": q_events_topk,
         "events_join": q_events_join,
         "pricing_summary": q_pricing_summary,
+        "events_tumbling": q_events_tumbling,
+        "events_sessions": q_events_sessions,
+        "events_sliding": q_events_sliding,
+        "conv_stats": q_conv_stats,
     }
 
 
@@ -386,6 +481,15 @@ def oracle_sql() -> dict[str, str]:
                     f" WHERE enriched GROUP BY conv_id",
         "sorted_text": f"SELECT conv_id, turn_idx, text FROM ({_ENRICHED})"
                        f" WHERE enriched ORDER BY conv_id, turn_idx",
+        "enrich_multi": f"""
+            SELECT p.conv_id, p.turn_idx,
+                   g1.country_iso_code AS from_country,
+                   g2.country_iso_code AS to_country,
+                   g3.city_names_en AS host_city
+            FROM ({_PARSED}) p
+            LEFT JOIN read_parquet('{_G_PATH}') g1 ON p.ip = g1.ip
+            LEFT JOIN read_parquet('{_G_PATH}') g2 ON p.ip2 = g2.ip
+            LEFT JOIN read_parquet('{_G_PATH}') g3 ON p.host = g3.ip""",
         "events_extract": "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1)"
                           " AS BIGINT) AS k FROM events",
         "dedup_exact": """
@@ -426,9 +530,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_price,
-                   round(avg(l_quantity), 4) AS avg_qty,
+                   CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty,
+                   CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_price,
+                   CAST(round(avg(l_quantity) * 10000) AS BIGINT) AS avg_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "events_tumbling": """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                   count(*) AS n,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY event_type, window_start""",
+        "events_sessions": """
+            WITH x AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+                SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM x
+            )
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts) AS ts_min, max(ts) AS ts_max
+            FROM s GROUP BY user_id, session_idx""",
+        "conv_stats": f"""
+            SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn,
+                   min(ts) AS ts_first, max(ts) AS ts_last
+            FROM read_parquet('{_T_PATH}') GROUP BY conv_id""",
     }

@@ -23,6 +23,7 @@ import hashlib
 import os
 import time
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -91,12 +92,18 @@ def build_enriched(
     ds,
     record_spec: RecordSpec | None = None,
     backend_spec: dict | None = None,
-    enrich_batch_size: int = 16384,
+    enrich_batch_size: int | None = None,
     enrich_concurrency=None,
 ):
-    """parse + enrich stages attached to a Dataset (lazy)."""
+    """parse + enrich stages attached to a Dataset (lazy).
+
+    ``enrich_batch_size=None`` = whole blocks, zero-copy, no rebatch buffers
+    (block size is set by the input layout / target_max_block_size)."""
     spec = compile_record_spec(record_spec or canonical_record_spec())
-    ds = parse_dataset(ds)
+    # extract only the parse fields this spec's lookup keys consume (each is
+    # an RE2 pass over text); other lookup keys are pre-existing columns
+    fields = tuple(f for f in ("ip", "ip2", "host") if f in spec.lookup_keys)
+    ds = parse_dataset(ds, fields=fields or ("ip",))
     return enrich_dataset(
         ds,
         spec,
@@ -121,10 +128,24 @@ class FanoutWrite:
     )
 
     def __init__(self, routes: list[RouteSpec], pid: int = 0,
-                 agg_keys: tuple = ("country_code", "conv_id")):
+                 agg_keys: tuple = ("country_code", "conv_id"),
+                 agg_dir: str | None = None,
+                 driver_kinds: tuple = ("rows", "country_code")):
+        """``agg_dir``: when set, the FULL per-batch partial counts (including
+        the high-cardinality conv_id kind) are written as parquet side-outputs
+        under ``agg_dir/part=<pid>/`` -- they never cross the cluster -- and
+        only the ``driver_kinds`` partials (constant-size) flow downstream to
+        the driver merge.  At 10^12-turn scale a per-conv_id count is itself a
+        large table; producing it as mergeable partitioned parquet (merged
+        distributed on consumption, exactly like run_partitioned's final
+        merge) is the scale-true semantic.  With ``agg_dir=None`` every
+        partial flows downstream (correctness paths, small inputs)."""
         self.routes = routes
         self.pid = pid
         self.agg_keys = agg_keys
+        self.agg_dir = agg_dir
+        self.driver_kinds = driver_kinds
+        self._group_tables: list = []
 
     def _file_name(self, routed: pa.Table) -> str:
         h = hashlib.sha1()
@@ -146,27 +167,50 @@ class FanoutWrite:
                 tmp = path + f".tmp{os.getpid()}"
                 pq.write_table(routed, tmp)
                 os.replace(tmp, path)
-            kinds = [("rows", None)] + [(k, k) for k in self.agg_keys
-                                        if k in routed.column_names]
-            for kind, col in kinds:
-                if col is None:
-                    stats["route"].append(route.name)
-                    stats["kind"].append("rows")
-                    stats["key"].append("")
-                    stats["n"].append(routed.num_rows)
+            stats["route"].append(route.name)
+            stats["kind"].append("rows")
+            stats["key"].append("")
+            stats["n"].append(routed.num_rows)
+            for col in self.agg_keys:
+                if col not in routed.column_names:
                     continue
                 g = routed.group_by(col).aggregate([([], "count_all")])
                 keys = g.column(col)
+                if isinstance(keys, pa.ChunkedArray):
+                    keys = keys.combine_chunks()
                 if not pa.types.is_string(keys.type):
                     keys = keys.cast(pa.string())
                 # null keys can't cross Ray's sort-based shuffle; sentinel now,
                 # restored after the final merge (stages/aggregate.py)
                 keys = pc.fill_null(keys, NULL_KEY)
-                stats["route"].extend([route.name] * g.num_rows)
-                stats["kind"].extend([kind] * g.num_rows)
-                stats["key"].extend(keys.to_pylist())
-                stats["n"].extend(g.column("count_all").to_pylist())
-        return pa.table(stats, schema=self.STATS_SCHEMA)
+                self._group_tables.append(
+                    pa.table(
+                        {
+                            "route": pa.array(
+                                np.repeat(np.asarray([route.name]), g.num_rows)
+                            ),
+                            "kind": pa.array(np.repeat(np.asarray([col]), g.num_rows)),
+                            "key": keys,
+                            "n": g.column("count_all").cast(pa.int64()),
+                        },
+                        schema=self.STATS_SCHEMA,
+                    )
+                )
+        parts = [pa.table(stats, schema=self.STATS_SCHEMA)] + self._group_tables
+        self._group_tables = []
+        full = pa.concat_tables(parts).combine_chunks()
+        if self.agg_dir is None:
+            return full
+        # side-output the full partials (incl. high-cardinality kinds) ...
+        part_dir = os.path.join(self.agg_dir, f"part={self.pid:06d}")
+        os.makedirs(part_dir, exist_ok=True)
+        path = os.path.join(part_dir, self._file_name(batch).replace("batch-", "agg-"))
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(full, tmp)
+        os.replace(tmp, path)
+        # ... and only the constant-size kinds travel to the driver merge
+        mask = pc.is_in(full.column("kind"), value_set=pa.array(list(self.driver_kinds)))
+        return full.filter(mask)
 
 
 def run_fanout(
@@ -175,21 +219,22 @@ def run_fanout(
     pid: int = 0,
     batch_size: int | None = None,
     merge: str = "driver",
+    agg_dir: str | None = None,
 ):
     """Consume the enriched Dataset: write sinks, return final stats table.
 
-    The returned table is the fully-merged (route, kind, key, n) aggregate --
-    the per-sink counts by country_code and conv_id plus per-route row totals.
+    The returned table is the merged (route, kind, key, n) aggregate.
 
-    ``merge="driver"`` streams the per-batch combiner outputs (O(distinct
-    keys x blocks) tiny rows) to the driver and merges them with one C++
-    ``pyarrow.Table.group_by`` -- no all-to-all at all.  At full 10^12-turn
-    scale a per-conv_id count is itself a large dataset: use
-    ``merge="ray"`` (hash/sort-shuffled groupby over the partials) and
-    consume the returned Dataset with ``write_parquet`` instead.
+    ``merge="driver"`` streams the per-batch combiner outputs to the driver
+    and merges them with one C++ ``pyarrow.Table.group_by`` -- no all-to-all.
+    With ``agg_dir`` set, high-cardinality kinds (conv_id) are written as
+    parquet side-outputs by the workers and never reach the driver (see
+    FanoutWrite) -- the returned table then carries rows + country_code only.
+    ``merge="ray"`` runs a distributed groupby instead (for consuming the
+    result with write_parquet at very large scale).
     """
     stats_ds = enriched.map_batches(
-        FanoutWrite(routes, pid=pid),
+        FanoutWrite(routes, pid=pid, agg_dir=agg_dir),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -205,9 +250,10 @@ def run_fanout(
         return pa.Table.from_pandas(
             df, schema=FanoutWrite.STATS_SCHEMA, preserve_index=False
         )
-    batches = [
-        b for b in stats_ds.iter_batches(batch_size=None, batch_format="pyarrow")
-    ]
+    import ray
+
+    refs = stats_ds.to_arrow_refs()  # executes; blocks fetched in parallel
+    batches = [t for t in ray.get(refs) if t.num_rows]
     if not batches:
         allt = FanoutWrite.STATS_SCHEMA.empty_table()
     else:
@@ -238,10 +284,16 @@ def run_flagship(
     out_dir: str | None = None,
     record_spec: RecordSpec | None = None,
     routes: list[RouteSpec] | None = None,
-    enrich_batch_size: int = 16384,
+    enrich_batch_size: int | None = None,
     enrich_concurrency=None,
+    scale_agg: bool = True,
 ):
-    """One-shot (non-partitioned) flagship run. Returns the stats table."""
+    """One-shot (non-partitioned) flagship run. Returns the stats table.
+
+    ``scale_agg=True`` (default, requires ``out_dir``): conv_id count
+    partials are written distributed under ``<out_dir>/agg_partials/`` and
+    the returned table carries the constant-size kinds (rows, country_code);
+    ``scale_agg=False`` merges everything onto the driver (small inputs)."""
     import ray.data as rd
 
     ds = rd.read_parquet(input_path)
@@ -252,7 +304,8 @@ def run_flagship(
         enrich_batch_size=enrich_batch_size,
         enrich_concurrency=enrich_concurrency,
     )
-    return run_fanout(enriched, routes)
+    agg_dir = os.path.join(out_dir, "agg_partials") if (out_dir and scale_agg) else None
+    return run_fanout(enriched, routes, agg_dir=agg_dir)
 
 
 def run_partitioned(

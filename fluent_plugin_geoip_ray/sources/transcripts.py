@@ -67,7 +67,7 @@ def transcripts_path(sf: float) -> str:
     return os.path.join(DATA_ROOT, f"sf{sf:g}", "transcripts")
 
 
-ROWS_PER_FILE = 32768
+ROWS_PER_FILE = 65536
 
 
 def geo_fixture_path() -> str:
@@ -75,8 +75,10 @@ def geo_fixture_path() -> str:
 
 
 def build_transcripts_table(sf: float):
-    """Pure-numpy deterministic generation; returns a pyarrow.Table."""
+    """Deterministic generation: numpy for draws, pyarrow C++ kernels for all
+    string assembly (np.char is far too slow beyond ~10^6 rows)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     n = n_rows_for_sf(sf)
     rng = np.random.default_rng(42)
@@ -95,37 +97,53 @@ def build_transcripts_table(sf: float):
 
     conv_num = np.concatenate([np.zeros(hot_n, dtype=np.int64), conv_idx_rest])
     turn_idx = np.concatenate([np.arange(hot_n, dtype=np.int64), turn_rest])
-    conv_id = np.char.add("conv", np.char.zfill(conv_num.astype("U8"), 8))
+    conv_id = pc.binary_join_element_wise(
+        pa.scalar("conv"),
+        pc.utf8_lpad(pc.cast(pa.array(conv_num), pa.string()), 8, padding="0"),
+        "",
+    )
 
-    role = ROLES[turn_idx % 3]
-    tool = np.where(role == "tool", TOOLS[rng.integers(0, 3, size=n)], "")
+    role_idx = pa.array(turn_idx % 3)
+    role = pa.array(ROLES.tolist()).take(role_idx)
+    is_tool = pc.equal(role, "tool")
+    tool_pick = pa.array(TOOLS.tolist()).take(pa.array(rng.integers(0, 3, size=n)))
+    tool = pc.if_else(is_tool, tool_pick, pa.scalar(""))
     ts = BASE_TS_US + np.arange(n, dtype=np.int64) * 1_000_000
 
     # --- text: lead + optional ip1 + optional host + optional ip2 + tail
     has_ip1 = rng.random(n) >= 0.20          # ~20% of turns carry no IP
     has_ip2 = has_ip1 & (rng.random(n) < 0.30)
     has_host = rng.random(n) < 0.25
-    ip1 = IP_POOL[rng.choice(len(IP_POOL), size=n, p=IP_P)]
-    ip2 = IP_POOL[rng.choice(len(IP_POOL), size=n, p=IP_P)]
-    host = HOST_POOL[rng.choice(len(HOST_POOL), size=n, p=HOST_P)]
-    lead = LEADS[rng.integers(0, len(LEADS), size=n)]
-    tail = TAILS[rng.integers(0, len(TAILS), size=n)]
+    ip_pool = pa.array(IP_POOL.tolist())
+    ip1 = ip_pool.take(pa.array(rng.choice(len(IP_POOL), size=n, p=IP_P)))
+    ip2 = ip_pool.take(pa.array(rng.choice(len(IP_POOL), size=n, p=IP_P)))
+    host = pa.array(HOST_POOL.tolist()).take(
+        pa.array(rng.choice(len(HOST_POOL), size=n, p=HOST_P))
+    )
+    lead = pa.array(LEADS.tolist()).take(pa.array(rng.integers(0, len(LEADS), size=n)))
+    tail = pa.array(TAILS.tolist()).take(pa.array(rng.integers(0, len(TAILS), size=n)))
 
-    seg_ip1 = np.where(has_ip1, np.char.add(" src=", ip1), "")
-    seg_ip2 = np.where(has_ip2, np.char.add(" dst=", ip2), "")
-    seg_host = np.where(has_host, np.char.add(" via ", host), "")
-    text = np.char.add(lead, seg_ip1)
-    text = np.char.add(text, seg_host)
-    text = np.char.add(text, seg_ip2)
-    text = np.char.add(np.char.add(text, " :: "), tail)
+    empty = pa.scalar("")
+    seg_ip1 = pc.if_else(
+        pa.array(has_ip1), pc.binary_join_element_wise(pa.scalar(" src="), ip1, ""), empty
+    )
+    seg_ip2 = pc.if_else(
+        pa.array(has_ip2), pc.binary_join_element_wise(pa.scalar(" dst="), ip2, ""), empty
+    )
+    seg_host = pc.if_else(
+        pa.array(has_host), pc.binary_join_element_wise(pa.scalar(" via "), host, ""), empty
+    )
+    text = pc.binary_join_element_wise(
+        lead, seg_ip1, seg_host, seg_ip2, pa.scalar(" :: "), tail, ""
+    )
 
     return pa.table(
         {
-            "conv_id": pa.array(conv_id, type=pa.string()),
+            "conv_id": conv_id,
             "turn_idx": pa.array(turn_idx.astype(np.int32), type=pa.int32()),
-            "role": pa.array(role, type=pa.string()),
-            "text": pa.array(text, type=pa.string()),
-            "tool": pa.array(tool, type=pa.string()),
+            "role": role,
+            "text": text,
+            "tool": tool,
             "ts": pa.array(ts, type=pa.timestamp("us")),
         }
     )

@@ -164,6 +164,23 @@ class GeoEnrich:
         return out
 
 
+# per-worker-process stage cache for tasks-mode enrich: Ray task workers are
+# long-lived and reused across executions, so state built here amortizes the
+# way the reference's per-Fluentd-worker DB load does (filter_geoip.rb:103)
+_WORKER_STAGE_CACHE: dict = {}
+
+
+def _tasks_enrich_fn(spec: CompiledRecordSpec, backend_spec: dict, cache_key: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        stage = _WORKER_STAGE_CACHE.get(cache_key)
+        if stage is None:
+            stage = GeoEnrich(spec, backend_spec=backend_spec)
+            _WORKER_STAGE_CACHE[cache_key] = stage
+        return stage(batch)
+
+    return fn
+
+
 def enrich_dataset(
     ds,
     spec: RecordSpec | CompiledRecordSpec,
@@ -172,21 +189,46 @@ def enrich_dataset(
     batch_size: int | None = None,
     concurrency=None,
     num_cpus: float = 1,
+    mode: str = "tasks",
 ):
-    """Attach the enrich stage to a Dataset as an actor pool."""
-    kwargs = dict(
-        spec=spec if isinstance(spec, CompiledRecordSpec) else compile_record_spec(spec)
+    """Attach the enrich stage to a Dataset.
+
+    ``mode="tasks"`` (default): stateless task pool with a per-worker cached
+    :class:`GeoEnrich` -- workers are reused across Dataset executions, so
+    backend open + template compile are paid once per worker process, and no
+    actor processes churn per run.  Right for cheap-to-open backends.
+
+    ``mode="actors"``: a fixed actor pool (``concurrency=(min,max)``) whose
+    ``__init__`` opens the backend -- required when open cost or state size
+    is large (a real .mmdb via ``backend_ref``, model weights), accepting
+    actor startup per execution.
+    """
+    compiled = (
+        spec if isinstance(spec, CompiledRecordSpec) else compile_record_spec(spec)
     )
-    if backend_ref is not None:
-        kwargs["backend_ref"] = backend_ref
-    else:
-        kwargs["backend_spec"] = backend_spec or {"library": "dict"}
+    if mode == "actors" or backend_ref is not None:
+        kwargs = dict(spec=compiled)
+        if backend_ref is not None:
+            kwargs["backend_ref"] = backend_ref
+        else:
+            kwargs["backend_spec"] = backend_spec or {"library": "dict"}
+        return ds.map_batches(
+            GeoEnrich,
+            fn_constructor_kwargs=kwargs,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency or (2, 8),
+            num_cpus=num_cpus,
+        )
+    import hashlib
+    import pickle
+
+    bspec = backend_spec or {"library": "dict"}
+    cache_key = hashlib.sha1(pickle.dumps((compiled, bspec))).hexdigest()
     return ds.map_batches(
-        GeoEnrich,
-        fn_constructor_kwargs=kwargs,
+        _tasks_enrich_fn(compiled, bspec, cache_key),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency or (2, 8),
-        num_cpus=num_cpus,
     )

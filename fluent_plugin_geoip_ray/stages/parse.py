@@ -26,23 +26,33 @@ def _extract_first(col: pa.ChunkedArray | pa.Array, named_pattern: str, group: s
     return pc.struct_field(pc.extract_regex(col, named_pattern), group)
 
 
-def parse_transcripts(batch: pa.Table, tag_prefix: str = "transcripts.") -> pa.Table:
+def parse_transcripts(batch: pa.Table, tag_prefix: str = "transcripts.",
+                      fields: tuple = ("ip", "ip2", "host")) -> pa.Table:
     """Add ``ip`` (first IPv4 in text), ``ip2`` (second), ``host`` (first
     host token) and the initial ``tag`` column (``tag_prefix + role`` --
-    Fluentd events enter tagged by their source, README.md:248-266)."""
+    Fluentd events enter tagged by their source, README.md:248-266).
+
+    ``fields`` prunes the extraction to the columns the enrich spec's lookup
+    keys actually need -- each field is one RE2 pass over ``text`` (ip2 is
+    two), so don't pay for unused ones in the hot path."""
     text = batch.column("text")
-    ip1 = _extract_first(text, IPV4_NAMED, "ip")
-    # second IP: drop the first occurrence, extract again (still one RE2 pass)
-    rest = pc.replace_substring_regex(text, IPV4, "", max_replacements=1)
-    ip2 = _extract_first(rest, IPV4_NAMED, "ip")
-    host = _extract_first(text, HOST_NAMED, "host")
+    cols = []
+    if "ip" in fields:
+        cols.append(("ip", _extract_first(text, IPV4_NAMED, "ip")))
+    if "ip2" in fields:
+        # second IP: drop the first occurrence, extract again
+        rest = pc.replace_substring_regex(text, IPV4, "", max_replacements=1)
+        cols.append(("ip2", _extract_first(rest, IPV4_NAMED, "ip")))
+    if "host" in fields:
+        cols.append(("host", _extract_first(text, HOST_NAMED, "host")))
     tag = pc.binary_join_element_wise(
         pa.scalar(tag_prefix, type=pa.string()),
         batch.column("role") if "role" in batch.column_names else pa.scalar(""),
         "",
     )
+    cols.append((TAG_COL, tag))
     out = batch
-    for name, arr in (("ip", ip1), ("ip2", ip2), ("host", host), (TAG_COL, tag)):
+    for name, arr in cols:
         if name in out.column_names:
             out = out.set_column(out.column_names.index(name), name, arr)
         else:
@@ -50,11 +60,34 @@ def parse_transcripts(batch: pa.Table, tag_prefix: str = "transcripts.") -> pa.T
     return out
 
 
-def parse_dataset(ds, batch_size: int | None = None):
+def inject_columns(batch: pa.Table, tag: bool = False, time_key: str | None = None,
+                   hostname: str | None = None, worker_id: int | None = None) -> pa.Table:
+    """Fluentd ``inject`` helper analog (``filter_geoip.rb:34,47,111``):
+    optionally copy the tag/event-time into named record fields and stamp a
+    hostname / worker id -- constant or derived columns, vectorized."""
+    out = batch
+    n = batch.num_rows
+    if time_key and "ts" in batch.column_names:
+        out = out.append_column(time_key, batch.column("ts"))
+    if hostname is not None:
+        out = out.append_column(
+            "hostname", pa.array([hostname] * n, type=pa.string())
+        )
+    if worker_id is not None:
+        out = out.append_column(
+            "worker_id", pa.array([worker_id] * n, type=pa.int32())
+        )
+    return out
+
+
+def parse_dataset(ds, batch_size: int | None = None,
+                  fields: tuple = ("ip", "ip2", "host")):
     # batch_size=None processes whole blocks zero-copy (no rebatch buffering);
     # block size is governed by the input file layout / target_max_block_size
+    import functools
+
     return ds.map_batches(
-        parse_transcripts,
+        functools.partial(parse_transcripts, fields=fields),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

@@ -68,7 +68,21 @@ class RouteSpec:
     # -- vectorized per-batch application ------------------------------------
 
     def mask(self, batch: pa.Table) -> pa.Array:
-        m = pc.match_substring_regex(batch.column(TAG_COL), self._regex)
+        tags = batch.column(TAG_COL)
+        # fast path: "<literal>.**" is prefix-or-exact -- two cheap kernels
+        # instead of an RE2 scan per row
+        if self.match.endswith(".**") and not any(
+            ch in self.match[:-3] for ch in "*{}[]"
+        ):
+            literal = self.match[:-3]
+            m = pc.or_(
+                pc.starts_with(tags, pattern=literal + "."),
+                pc.equal(tags, literal),
+            )
+        elif self.match == "**":
+            m = pc.is_valid(tags)
+        else:
+            m = pc.match_substring_regex(tags, self._regex)
         if self.skip_adding_null_record and ENRICHED_COL in batch.column_names:
             m = pc.and_(m, pc.fill_null(batch.column(ENRICHED_COL), False))
         return m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m

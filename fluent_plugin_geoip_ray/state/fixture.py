@@ -134,6 +134,48 @@ def fixture_geo_docs() -> dict[str, dict]:
     return docs
 
 
+def fixture_flat_docs(style: str = "geoip2_compat") -> dict[str, dict]:
+    """Flat-key docs for the two restricted backends.
+
+    ``geoip2_compat`` exposes 8 flat keys (GEOIP2_COMPAT_KEYS,
+    ``filter_geoip.rb:32``) with GeoIP2 values; legacy ``geoip`` exposes 9
+    keys (GEOIP_KEYS, ``filter_geoip.rb:31``) -- same fixture values (we pin
+    GeoIP2 numeric precision throughout, SURVEY §2.4.5)."""
+    docs: dict[str, dict] = {}
+    for row in GEO_FIXTURE_ROWS:
+        if style == "geoip2_compat":
+            doc = {
+                "city": row["city_names_en"],
+                "country_code": row["country_iso_code"],
+                "country_name": row["country_names_en"],
+                "latitude": row["location_latitude"],
+                "longitude": row["location_longitude"],
+                "postal_code": row["postal_code"],
+                "region": row["subdiv0_iso_code"],
+                "region_name": row["subdiv0_names_en"],
+            }
+        elif style == "geoip":
+            doc = {
+                "city": row["city_names_en"],
+                "latitude": row["location_latitude"],
+                "longitude": row["location_longitude"],
+                "country_code3": {"US": "USA", "JP": "JPN", "AF": "AFG"}.get(
+                    row["country_iso_code"]
+                ),
+                "country_code": row["country_iso_code"],
+                "country_name": row["country_names_en"],
+                "dma_code": 807 if row["ip"].startswith("66.102") else None,
+                "area_code": 650 if row["ip"].startswith("66.102") else None,
+                "region": row["subdiv0_iso_code"],
+            }
+        else:
+            raise ValueError(f"unknown flat-doc style {style!r}")
+        docs[row["ip"]] = doc
+    for host, ip in HOST_TOKENS.items():
+        docs[host] = docs[ip]
+    return docs
+
+
 def write_geo_fixture_parquet(path: str) -> str:
     """Write the flat fixture (IPs + host aliases) for the DuckDB oracle."""
     import pyarrow as pa

@@ -1,0 +1,114 @@
+"""Config front-end + backend-matrix tests: fluentd-conf intake rules and the
+geoip2_compat / legacy-geoip flat-key scenario matrices
+(test_filter_geoip.rb:523-816 compat, :818-1217 legacy)."""
+
+import pyarrow as pa
+import pytest
+
+from fluent_plugin_geoip_ray.conf import parse_fluentd_conf, record_spec_from_conf
+from fluent_plugin_geoip_ray.config import ConfigError, compile_record_spec
+from fluent_plugin_geoip_ray.stages.enrich import GeoEnrich
+from fluent_plugin_geoip_ray.state.fixture import fixture_flat_docs
+
+
+def test_enable_key_rejected():
+    with pytest.raises(ConfigError, match="obsoleted"):
+        record_spec_from_conf({"enable_key_city": "geoip_city"})
+
+
+def test_deprecated_lookup_key_comma_split():
+    spec = record_spec_from_conf({"geoip_lookup_key": "from_ip, to_ip"})
+    assert spec.lookup_keys == ["from_ip", "to_ip"]
+
+
+def test_parse_fluentd_conf_snippet():
+    conf = parse_fluentd_conf(
+        """
+        backend_library geoip2_c
+        geoip_lookup_keys host
+        skip_adding_null_record true
+        <record>
+          city ${city.names.en['host']}
+          lat  ${location.latitude['host']}
+        </record>
+        """
+    )
+    spec = record_spec_from_conf(conf)
+    assert spec.backend_library == "geoip2_c"
+    assert spec.skip_adding_null_record is True
+    assert spec.lookup_keys == ["host"]
+    assert list(spec.record) == ["city", "lat"]
+    compiled = compile_record_spec(spec)
+    assert len(compiled.placeholders) == 2
+
+
+def enrich_with(style, record, ips):
+    spec = record_spec_from_conf(
+        {"geoip_lookup_keys": ["ip"], "record": record, "backend_library": style}
+    )
+    stage = GeoEnrich(
+        compile_record_spec(spec),
+        backend_spec={"library": "dict", "docs": fixture_flat_docs(style)},
+    )
+    return stage(pa.table({"ip": ips})).to_pylist()
+
+
+def test_geoip2_compat_matrix():
+    """Mirrors test_filter_geoip.rb:596-656 with flat compat keys."""
+    record = {
+        "from_city": "${city['ip']}",
+        "from_country": "${country_name['ip']}",
+        "latitude": "${latitude['ip']}",
+        "longitude": "${longitude['ip']}",
+        "float_concat": "${latitude['ip']},${longitude['ip']}",
+        "float_array": "[${longitude['ip']}, ${latitude['ip']}]",
+        "string_array": "[${city['ip']}, ${country_name['ip']}]",
+        "unknown_city": "${city['unknown_key']}",
+    }
+    hit, miss = enrich_with("geoip2_compat", record, ["66.102.3.80", "203.0.113.1"])
+    assert hit["from_city"] == "Mountain View"
+    assert hit["latitude"] == 37.419200000000004
+    assert hit["float_concat"] == "37.419200000000004,-122.0574"
+    assert hit["float_array"] == [-122.0574, 37.419200000000004]
+    assert hit["string_array"] == ["Mountain View", "United States"]
+    assert hit["unknown_city"] is None
+    assert miss["from_city"] is None and miss["float_concat"] == ","
+
+
+def test_geoip_legacy_matrix():
+    """Mirrors test_filter_geoip.rb:891-951 with the 9 legacy keys."""
+    record = {
+        "from_city": "${city['ip']}",
+        "code3": "${country_code3['ip']}",
+        "dma": "${dma_code['ip']}",
+        "region": "${region['ip']}",
+    }
+    # dma_code is an int -> needs an explicit type override
+    spec = record_spec_from_conf(
+        {"geoip_lookup_keys": ["ip"], "record": record, "backend_library": "geoip"}
+    )
+    spec.placeholder_types = {"${dma_code['ip']}": "int64"}
+    stage = GeoEnrich(
+        compile_record_spec(spec),
+        backend_spec={"library": "dict", "docs": fixture_flat_docs("geoip")},
+    )
+    hit = stage(pa.table({"ip": ["66.102.3.80"]})).to_pylist()[0]
+    assert hit["from_city"] == "Mountain View"
+    assert hit["code3"] == "USA"
+    assert hit["dma"] == 807
+    assert hit["region"] == "CA"
+
+
+def test_compat_rejects_nested_keys():
+    with pytest.raises(ConfigError, match="unsupported key"):
+        enrich_with("geoip2_compat", {"x": "${city.names.en['ip']}"}, ["8.8.8.8"])
+
+
+def test_dump_cli(capsys):
+    from fluent_plugin_geoip_ray.dump import main
+
+    assert main(["66.102.3.80"]) == 0
+    out = capsys.readouterr().out
+    assert "Mountain View" in out
+    assert main(["203.0.113.1"]) == 1
+    assert main(["66.102.3.80", "geoip2_compat"]) == 0
