@@ -304,6 +304,65 @@ def q_events_join(sf_dir: str):
     return ds.select_columns(["event_id", "c_name", "n_name"])
 
 
+def q_bucketed_join(sf_dir: str):
+    """Large-large explicit hash-partitioned join (lineitem x orders), then
+    grouped aggregate -- the bucketed-join scale path."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import groupby_agg
+    from fluent_plugin_geoip_ray.stages.join import bucketed_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_join(li, orders, on="l_orderkey", num_buckets=16)
+    agg = groupby_agg(
+        joined, ["o_orderpriority"],
+        [("l_quantity", "sum", "sum_qty"), ("l_quantity", "count", "n")],
+    )
+
+    def fixed_point(t):
+        i = t.column_names.index("sum_qty")
+        return t.set_column(
+            i, "sum_qty",
+            pc.cast(pc.round(pc.multiply(pc.cast(t.column("sum_qty"), "float64"), 100.0)), "int64"),
+        )
+
+    return agg.map_batches(fixed_point, batch_format="pyarrow")
+
+
+def q_filter_pushdown(sf_dir: str):
+    """Predicate + projection pushdown at the read (row-group pruning)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+        filter=(pc.field("event_type") == "error") & (pc.field("value") > 100.0),
+    )
+    return ds
+
+
+def q_inject(sf_dir: str):
+    """Fluentd inject-helper analog: stamp event_time/hostname columns."""
+    import functools
+
+    from fluent_plugin_geoip_ray.stages.parse import inject_columns
+
+    ds = _transcripts_ds(sf_dir)
+    return ds.map_batches(
+        functools.partial(inject_columns, time_key="event_time", hostname="node-0"),
+        batch_format="pyarrow",
+    ).select_columns(["conv_id", "turn_idx", "event_time", "hostname"])
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped grouped aggregate via partial+final groupby_agg."""
     import pyarrow.compute as pc
@@ -428,6 +487,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk": q_events_topk,
         "events_join": q_events_join,
         "pricing_summary": q_pricing_summary,
+        "bucketed_join": q_bucketed_join,
+        "filter_pushdown": q_filter_pushdown,
+        "inject": q_inject,
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
@@ -535,6 +597,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(avg(l_quantity) * 10000) AS BIGINT) AS avg_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "bucketed_join": """
+            SELECT o_orderpriority,
+                   CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
+        "filter_pushdown": """
+            SELECT event_id, event_type, value FROM events
+            WHERE event_type = 'error' AND value > 100.0""",
+        "inject": f"""
+            SELECT conv_id, turn_idx, ts AS event_time, 'node-0' AS hostname
+            FROM read_parquet('{_T_PATH}')""",
         "events_tumbling": """
             SELECT event_type,
                    CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,

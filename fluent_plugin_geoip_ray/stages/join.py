@@ -60,6 +60,76 @@ def broadcast_join(ds, right_df, on, how: str = "inner",
     )
 
 
+def bucketed_join(left_ds, right_ds, on: str, num_buckets: int = 32,
+                  how: str = "inner", left_cols: list | None = None,
+                  right_cols: list | None = None):
+    """Explicit partitioned hash join for two LARGE sides.
+
+    The portable Ray Data pattern (no native join dependency): add
+    ``bucket = hash(key) % B`` to both sides, union them with a side marker,
+    ``groupby("bucket")`` (ONE all-to-all over both inputs), and hash-join
+    each bucket pairwise inside ``map_groups`` with pandas' C merge.
+
+    Partitioning assumptions (document per use): key hashes spread uniformly
+    across ``num_buckets`` (pandas hash_array is uniform); one bucket of
+    left+right must fit in a worker's heap -- size ``num_buckets`` to
+    max(|L|,|R|) / target_bucket_rows, and salt a hot key into sub-buckets
+    upstream if a single key dominates.
+    """
+    import pandas as pd
+
+    def keep(ds, cols):
+        return ds.select_columns(cols) if cols else ds
+
+    left_ds = keep(left_ds, left_cols)
+    right_ds = keep(right_ds, right_cols)
+
+    # union needs one schema: pad each side with the other's columns (nulls)
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    lnames = list(lschema.names)
+    rnames = [c for c in rschema.names if c != on]
+    overlap = (set(lnames) - {on}) & set(rnames)
+    if overlap:
+        raise ValueError(f"bucketed_join column collision: {sorted(overlap)}")
+    types = {
+        **dict(zip(lschema.names, lschema.types)),
+        **dict(zip(rschema.names, rschema.types)),
+    }
+    all_names = lnames + rnames
+
+    def add_bucket(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            keys = batch.column(on).to_pandas().to_numpy(dtype=object)
+            b = (pd.util.hash_array(keys) % num_buckets).astype(np.int32)
+            cols = {}
+            for name in all_names:
+                if name in batch.column_names:
+                    cols[name] = batch.column(name)
+                else:
+                    cols[name] = pa.nulls(batch.num_rows, type=types[name])
+            cols["__bucket"] = pa.array(b)
+            cols["__side"] = pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    both = left_ds.map_batches(
+        add_bucket(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right_ds.map_batches(add_bucket(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g.loc[g["__side"] == 0, [on] + [c for c in lnames if c != on]]
+        rt = g.loc[g["__side"] == 1, [on] + rnames]
+        out = lf.merge(rt, on=on, how=how, sort=False)
+        return out
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def semi_join_filter(ds, key_col: str, keys, anti: bool = False,
                      batch_size: int = 65536):
     """Semi/anti join: broadcast the key set, vectorized ``is_in`` filter."""

@@ -72,3 +72,30 @@ def test_semi_and_anti_join():
     assert sorted(semi["k"]) == ["a", "c"]
     anti = semi_join_filter(rd.from_pandas(df), "k", {"a", "c"}, anti=True).to_pandas()
     assert sorted(anti["k"]) == ["b", "d"]
+
+
+def test_bucketed_join_matches_pandas():
+    from fluent_plugin_geoip_ray.stages.join import bucketed_join
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({"k": rng.integers(0, 97, 1000), "x": np.arange(1000)})
+    right = pd.DataFrame({"k": np.arange(200) % 97, "y": np.arange(200) * 10})
+    out = bucketed_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", num_buckets=8
+    ).to_pandas()
+    exp = left.merge(right, on="k")
+    a = out.sort_values(["k", "x", "y"]).reset_index(drop=True)
+    b = exp.sort_values(["k", "x", "y"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["k"].to_numpy() == b["k"].to_numpy()).all()
+    assert (a["y"].to_numpy() == b["y"].to_numpy()).all()
+
+
+def test_bucketed_join_column_collision_raises():
+    import pytest as _pytest
+
+    from fluent_plugin_geoip_ray.stages.join import bucketed_join
+
+    df = pd.DataFrame({"k": [1], "x": [2]})
+    with _pytest.raises(ValueError, match="collision"):
+        bucketed_join(rd.from_pandas(df), rd.from_pandas(df), on="k")
