@@ -304,6 +304,41 @@ def q_events_join(sf_dir: str):
     return ds.select_columns(["event_id", "c_name", "n_name"])
 
 
+def q_corpus_pipeline(sf_dir: str):
+    """Composite training-data pipeline over documents: quality filter ->
+    exact dedup -> per-language counts + token totals (one streaming chain)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import groupby_agg
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_exact
+    from fluent_plugin_geoip_ray.stages.text import token_count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    ds = ds.map_batches(token_count, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_tokens"], 10)),
+        batch_format="pyarrow",
+    )
+    ds = dedup_exact(ds)
+    return groupby_agg(
+        ds, ["lang"],
+        [("n_tokens", "sum", "total_tokens"), ("n_tokens", "count", "n_docs")],
+    )
+
+
+def q_salted_agg(sf_dir: str):
+    """Salted two-phase aggregate over the hot-conv-skewed transcripts."""
+    from fluent_plugin_geoip_ray.stages.aggregate import salted_groupby_agg
+
+    ds = _transcripts_ds(sf_dir)
+    return salted_groupby_agg(
+        ds, "conv_id",
+        [("turn_idx", "count", "n_turns"), ("turn_idx", "max", "max_turn")],
+        salt_buckets=8,
+    )
+
+
 def q_bucketed_join(sf_dir: str):
     """Large-large explicit hash-partitioned join (lineitem x orders), then
     grouped aggregate -- the bucketed-join scale path."""
@@ -487,6 +522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk": q_events_topk,
         "events_join": q_events_join,
         "pricing_summary": q_pricing_summary,
+        "corpus_pipeline": q_corpus_pipeline,
+        "salted_agg": q_salted_agg,
         "bucketed_join": q_bucketed_join,
         "filter_pushdown": q_filter_pushdown,
         "inject": q_inject,
@@ -597,6 +634,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(avg(l_quantity) * 10000) AS BIGINT) AS avg_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "corpus_pipeline": r"""
+            WITH toks AS (
+                SELECT doc_id, text, lang,
+                       CASE WHEN length(text) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(text, '\s+')) END AS n_tokens
+                FROM documents
+            ),
+            filtered AS (SELECT * FROM toks WHERE n_tokens >= 10),
+            deduped AS (
+                SELECT * FROM filtered
+                WHERE doc_id IN (SELECT min(doc_id) FROM filtered GROUP BY text)
+            )
+            SELECT lang, sum(n_tokens) AS total_tokens, count(*) AS n_docs
+            FROM deduped GROUP BY lang""",
+        "salted_agg": f"""
+            SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn
+            FROM read_parquet('{_T_PATH}') GROUP BY conv_id""",
         "bucketed_join": """
             SELECT o_orderpriority,
                    CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty,

@@ -128,6 +128,42 @@ def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536)
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def salted_groupby_agg(ds, key: str, aggs: list[tuple], salt_buckets: int = 16,
+                       batch_size: int = 65536):
+    """Two-phase salted grouped aggregate for skew-hostile paths.
+
+    ``groupby_agg`` above is already skew-immune for algebraic aggregates
+    (per-batch partials collapse a hot key to one row per block before any
+    exchange).  This variant is for when you must run RAY's groupby over raw
+    rows (non-algebraic per-group logic): phase 1 groups by (key, salt) so a
+    hot key (the conv_id hotspot, north_rule) spreads over ``salt_buckets``
+    reducers; phase 2 re-aggregates the per-salt results by key.  Supported
+    fns here: sum / count / min / max (mean via sum+count) -- exactly the
+    set that re-aggregates correctly across salts.
+    """
+    import numpy as np
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = np.arange(batch.num_rows, dtype=np.int32) % salt_buckets
+        return batch.append_column("__salt", pa.array(salt))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    phase1 = groupby_agg(salted, [key, "__salt"], aggs, batch_size=batch_size)
+    # re-aggregate phase-1 outputs: sum/count -> sum, min -> min, max -> max
+    refit = []
+    for col, fn, out in aggs:
+        if fn in ("sum", "count"):
+            refit.append((out, "sum", out))
+        elif fn in ("min", "max"):
+            refit.append((out, fn, out))
+        elif fn == "mean":
+            raise ValueError("use groupby_agg for mean (algebraic partials)")
+        else:
+            raise ValueError(f"unsupported fn for salted path: {fn}")
+    phase2 = groupby_agg(phase1, [key], refit, batch_size=batch_size)
+    return phase2
+
+
 def top_k(ds, col: str, k: int, keep_cols: list[str] | None = None,
           descending: bool = True, tie_breakers: list[str] | None = None,
           batch_size: int = 65536):

@@ -113,3 +113,24 @@ def test_latlon_dtype_default():
     c = compile_one("${location.latitude['ip']}")
     assert c.placeholders[0].dtype == "float64"
     assert c.placeholders[0].is_latlon
+
+
+def test_multiline_json_template():
+    # test_filter_geoip.rb:426-454: a JSON template spanning multiple lines
+    template = """{
+      "lat": ${location.latitude['ip']},
+      "lon": ${location.longitude['ip']}
+    }"""
+    c = compile_one(template)
+    assert isinstance(c.plans["out"], JsonTemplatePlan)
+
+
+def test_multiline_json_roundtrip_values():
+    import pyarrow as pa
+
+    from fluent_plugin_geoip_ray.stages.enrich import GeoEnrich
+
+    template = '{\n  "lat": ${location.latitude[\'ip\']},\n  "lon": ${location.longitude[\'ip\']}\n}'
+    spec = RecordSpec(lookup_keys=["ip"], record={"geo": template})
+    out = GeoEnrich(compile_record_spec(spec))(pa.table({"ip": ["66.102.3.80"]}))
+    assert out.to_pylist()[0]["geo"] == {"lat": 37.419200000000004, "lon": -122.0574}

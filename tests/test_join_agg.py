@@ -99,3 +99,21 @@ def test_bucketed_join_column_collision_raises():
     df = pd.DataFrame({"k": [1], "x": [2]})
     with _pytest.raises(ValueError, match="collision"):
         bucketed_join(rd.from_pandas(df), rd.from_pandas(df), on="k")
+
+
+def test_salted_groupby_agg_hot_key():
+    from fluent_plugin_geoip_ray.stages.aggregate import salted_groupby_agg
+
+    rng = np.random.default_rng(4)
+    # one hot key holding half the rows (the conv hotspot shape)
+    keys = np.where(rng.random(4000) < 0.5, "hot", rng.choice(list("abcdef"), 4000))
+    df = pd.DataFrame({"k": keys, "v": rng.integers(0, 100, 4000)})
+    out = salted_groupby_agg(
+        rd.from_pandas(df), "k",
+        [("v", "count", "n"), ("v", "sum", "s"), ("v", "max", "hi")],
+        salt_buckets=8,
+    ).to_pandas().set_index("k").sort_index()
+    exp = df.groupby("k")["v"].agg(["count", "sum", "max"])
+    assert (out["n"] == exp["count"]).all()
+    assert (out["s"] == exp["sum"]).all()
+    assert (out["hi"] == exp["max"]).all()
