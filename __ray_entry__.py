@@ -646,7 +646,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM filtered
                 WHERE doc_id IN (SELECT min(doc_id) FROM filtered GROUP BY text)
             )
-            SELECT lang, sum(n_tokens) AS total_tokens, count(*) AS n_docs
+            SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, count(*) AS n_docs
             FROM deduped GROUP BY lang""",
         "salted_agg": f"""
             SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn

@@ -104,14 +104,21 @@ class PlaceholderColumns:
         return self._typed[key]
 
     def string_array(self, key: str) -> pa.Array:
-        """Placeholder values stringified at unique level (for interpolation)."""
+        """Placeholder values stringified at unique level (for interpolation).
+        nil -> "" (gsub hash semantics, filter_geoip.rb:133-134)."""
         if key not in self._strs:
             svals = [_to_s(v) for v in self._uvals[key]]
             rows = self._gather(key, svals)
-            # nil -> "" (gsub hash semantics); the appended sentinel None rows
             rows = np.where(rows == None, "", rows)  # noqa: E711
             self._strs[key] = pa.array(rows, type=pa.string())
         return self._strs[key]
+
+    def string_array_nullsafe(self, key: str) -> pa.Array:
+        """Like string_array but nil stays null (for the mixed-type JSON
+        array schema closure, where JSON null must survive as list null)."""
+        svals = [None if v is None else _to_s(v) for v in self._uvals[key]]
+        rows = self._gather(key, svals)
+        return pa.array(rows, type=pa.string(), from_pandas=True)
 
 
 def _const_array(value, n: int) -> pa.Array:
@@ -148,10 +155,15 @@ def _eval_skeleton(node: tuple, cols: PlaceholderColumns) -> pa.Array:
             )
         types = {c.type for c in children}
         if len(types) > 1:
-            # mixed element types can't form one Arrow list; promote to string
+            # SCHEMA CLOSURE (SURVEY §1.2): the reference can emit
+            # heterogeneous JSON arrays (e.g. ["Mountain View", 37.41]);
+            # Arrow lists need one element type, so mixed-type array
+            # templates close to list<string> with elements stringified by
+            # the same _to_s used for string templates (nulls stay null).
             children = [
-                c if pa.types.is_string(c.type) else c.cast(pa.string())
-                for c in children
+                cols.string_array_nullsafe(child[1]) if child[0] == "ref"
+                else (c if pa.types.is_string(c.type) else c.cast(pa.string()))
+                for child, c in zip(node[1], children)
             ]
         # interleave child columns row-wise: concat + strided take
         values = pa.concat_arrays([pa.array(c, from_pandas=True) if not isinstance(c, pa.Array) else c for c in children])
