@@ -304,6 +304,54 @@ def q_events_join(sf_dir: str):
     return ds.select_columns(["event_id", "c_name", "n_name"])
 
 
+def q_distinct(sf_dir: str):
+    """Distinct (lang, source) pairs -- dedup-by-key via partial+final."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import count_by  # noqa: F401
+    from fluent_plugin_geoip_ray.stages.aggregate import groupby_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    agg = groupby_agg(ds, ["lang", "source"], [("lang", "count", "n")])
+    return agg.drop_columns(["n"])
+
+
+def q_multimodal(sf_dir: str):
+    """Multimodal plumbing: binary payloads -> decode (deterministic stub) ->
+    feature vectors (rows-only: no binary driver table; input synthesized
+    deterministically)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.multimodal import (
+        decode_pipeline,
+        synthesize_binary_table,
+    )
+
+    ds = rd.from_arrow(synthesize_binary_table(n=128))
+    out = decode_pipeline(ds, batch_size=32)
+
+    def summarize(t):
+        import numpy as np
+        import pyarrow as pa
+
+        feats = t.column("features")
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        flat = feats.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // max(t.num_rows, 1)
+        mean_feat = flat.reshape(t.num_rows, dim).mean(axis=1)
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "feat_dim": pa.array([dim] * t.num_rows, pa.int32()),
+                "feat_mean": pa.array(mean_feat, pa.float64()),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_corpus_pipeline(sf_dir: str):
     """Composite training-data pipeline over documents: quality filter ->
     exact dedup -> per-language counts + token totals (one streaming chain)."""
@@ -522,6 +570,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk": q_events_topk,
         "events_join": q_events_join,
         "pricing_summary": q_pricing_summary,
+        "distinct": q_distinct,
+        "multimodal": q_multimodal,
         "corpus_pipeline": q_corpus_pipeline,
         "salted_agg": q_salted_agg,
         "bucketed_join": q_bucketed_join,
@@ -634,6 +684,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(avg(l_quantity) * 10000) AS BIGINT) AS avg_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "distinct": "SELECT DISTINCT lang, source FROM documents",
         "corpus_pipeline": r"""
             WITH toks AS (
                 SELECT doc_id, text, lang,

@@ -117,6 +117,23 @@ class RouteSpec:
         )
 
 
+def write_sorted_sink(ds, sink_dir: str, keys=("conv_id", "turn_idx"),
+                      min_rows_per_file: int | None = None):
+    """Globally-sorted sink: range-shuffle sort on ``keys`` then parquet.
+
+    FIXTURES.md §5's "sink rows sorted by (conv_id, turn_idx)" as a physical
+    layout (the lazily-verified invariant is q_sorted_text).  The sort is the
+    one genuinely all-to-all stage in the system -- use only when consumers
+    need physically ordered files; the byte-identity invariant holds without
+    it under sort-on-read."""
+    out = ds.sort(list(keys))
+    kwargs = {}
+    if min_rows_per_file:
+        kwargs["min_rows_per_file"] = min_rows_per_file
+    out.write_parquet(sink_dir, **kwargs)
+    return sink_dir
+
+
 def route_dataset(ds, route: RouteSpec, batch_size: int = 16384):
     """Lazily-filtered view of one route (recomputes upstream per route --
     fine for tests/queries; the single-pass fan-out writer lives in

@@ -115,3 +115,16 @@ def test_partition_crash_recovery(sf_path, tmp_path):
     assert r2["ran"] == r1["ran"]
     sink = read_sink(out_dir, "raw")
     assert sink.num_rows == total_rows(sf_path)
+
+
+def test_write_sorted_sink(sf_path, tmp_path):
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.route import write_sorted_sink
+
+    out = str(tmp_path / "sorted")
+    write_sorted_sink(rd.read_parquet(sf_path), out)
+    t = pq.read_table(out)
+    conv = t.column("conv_id").to_pylist()
+    turn = t.column("turn_idx").to_pylist()
+    assert list(zip(conv, turn)) == sorted(zip(conv, turn))
