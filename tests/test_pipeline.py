@@ -128,3 +128,52 @@ def test_write_sorted_sink(sf_path, tmp_path):
     conv = t.column("conv_id").to_pylist()
     turn = t.column("turn_idx").to_pylist()
     assert list(zip(conv, turn)) == sorted(zip(conv, turn))
+
+
+def test_fanout_write_idempotent_under_retry(sf_path, tmp_path):
+    """A retried Ray task re-running the same batch must overwrite its own
+    file (deterministic content-hashed name), never duplicate rows."""
+    from fluent_plugin_geoip_ray.config import compile_record_spec
+    from fluent_plugin_geoip_ray.pipelines.flagship import (
+        FanoutWrite,
+        canonical_record_spec,
+        canonical_routes,
+    )
+    from fluent_plugin_geoip_ray.stages.enrich import GeoEnrich
+    from fluent_plugin_geoip_ray.stages.parse import parse_transcripts
+
+    batch = GeoEnrich(compile_record_spec(canonical_record_spec()))(
+        parse_transcripts(pq.read_table(sf_path))
+    )
+    out = str(tmp_path / "retry")
+    fw = FanoutWrite(canonical_routes(out))
+    fw(batch)
+    fw(batch)  # simulated retry of the same task
+    files = glob.glob(os.path.join(out, "raw", "part=*", "*.parquet"))
+    assert len(files) == 1
+    assert pq.read_table(files[0]).num_rows == batch.num_rows
+
+
+def test_multi_partition_resume():
+    """3 partitions; one loses its manifest (crash) -> only that one re-runs."""
+    import shutil
+    import tempfile
+
+    files = transcript_files(0.01)  # 4 part files at sf0.01
+    assert len(files) >= 3
+    out_dir = tempfile.mkdtemp(prefix="graft_multipart_")
+    try:
+        r1 = run_partitioned(files, out_dir, files_per_partition=2)
+        n_parts = len(r1["ran"])
+        assert n_parts >= 2
+        os.remove(os.path.join(out_dir, "_manifests", "part-000001.json"))
+        r2 = run_partitioned(files, out_dir, files_per_partition=2)
+        assert r2["ran"] == [1]
+        assert sorted(r2["skipped"] + r2["ran"]) == sorted(r1["ran"])
+        total = sum(
+            pq.read_table(f).num_rows
+            for f in glob.glob(os.path.join(out_dir, "raw", "part=*", "*.parquet"))
+        )
+        assert total == sum(pq.read_table(f).num_rows for f in files)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
