@@ -304,6 +304,31 @@ def q_events_join(sf_dir: str):
     return ds.select_columns(["event_id", "c_name", "n_name"])
 
 
+def q_role_pivot(sf_dir: str):
+    """Pivot-style conditional aggregation: per-conv turn counts by role."""
+    import pyarrow.compute as pc
+
+    from fluent_plugin_geoip_ray.stages.aggregate import groupby_agg
+
+    ds = _transcripts_ds(sf_dir)
+
+    def indicators(t):
+        for role in ("user", "assistant", "tool"):
+            t = t.append_column(
+                f"is_{role}",
+                pc.cast(pc.equal(t["role"], role), "int64"),
+            )
+        return t
+
+    ds = ds.map_batches(indicators, batch_format="pyarrow")
+    return groupby_agg(
+        ds, ["conv_id"],
+        [("is_user", "sum", "n_user"),
+         ("is_assistant", "sum", "n_assistant"),
+         ("is_tool", "sum", "n_tool")],
+    )
+
+
 def q_distinct(sf_dir: str):
     """Distinct (lang, source) pairs -- dedup-by-key via partial+final."""
     import ray.data as rd
@@ -570,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk": q_events_topk,
         "events_join": q_events_join,
         "pricing_summary": q_pricing_summary,
+        "role_pivot": q_role_pivot,
         "distinct": q_distinct,
         "multimodal": q_multimodal,
         "corpus_pipeline": q_corpus_pipeline,
@@ -684,6 +710,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(avg(l_quantity) * 10000) AS BIGINT) AS avg_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "role_pivot": f"""
+            SELECT conv_id,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+                   CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool
+            FROM read_parquet('{_T_PATH}') GROUP BY conv_id""",
         "distinct": "SELECT DISTINCT lang, source FROM documents",
         "corpus_pipeline": r"""
             WITH toks AS (
