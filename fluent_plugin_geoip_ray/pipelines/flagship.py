@@ -356,13 +356,35 @@ def run_partitioned(
             )
             for r in routes
         }
+        # lineage metrics (north_rule: per-partition lineage + metrics):
+        # input rows from parquet footers (metadata-only), per-sink file
+        # counts + bytes from the just-written partition dirs
+        rows_in = sum(pq.read_metadata(f).num_rows for f in part.files)
+        sink_metrics = {}
+        for r in routes:
+            if not r.sink:
+                continue
+            pdir = os.path.join(r.sink, f"part={part.pid:06d}")
+            files = (
+                sorted(os.listdir(pdir)) if os.path.isdir(pdir) else []
+            )
+            sink_metrics[r.name] = {
+                "files": len(files),
+                "bytes": sum(
+                    os.path.getsize(os.path.join(pdir, f)) for f in files
+                ),
+            }
+        elapsed = round(time.perf_counter() - t0, 3)
         write_manifest(
             out_dir,
             part.pid,
             {
                 "input_files": list(part.files),
+                "rows_in": rows_in,
                 "rows_out": rows,
-                "elapsed_sec": round(time.perf_counter() - t0, 3),
+                "sinks": sink_metrics,
+                "elapsed_sec": elapsed,
+                "rows_per_sec": round(rows_in / elapsed, 1) if elapsed else None,
             },
         )
         ran.append(part.pid)
