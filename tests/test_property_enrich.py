@@ -197,7 +197,7 @@ def spec_and_rows(draw):
     return keys, record, skip, rows
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=60, deadline=None, derandomize=True)
 @given(spec_and_rows())
 def test_vectorized_matches_row_interpreter(args):
     keys, record, skip, rows = args
