@@ -304,6 +304,14 @@ def q_events_join(sf_dir: str):
     return ds.select_columns(["event_id", "c_name", "n_name"])
 
 
+def q_grok(sf_dir: str):
+    """Grok-pattern parse (%{IPV4:src_ip} after the src= marker)."""
+    from fluent_plugin_geoip_ray.functions.grok import grok_dataset
+
+    ds = grok_dataset(_transcripts_ds(sf_dir), "src=%{IPV4:src_ip}")
+    return ds.select_columns(["conv_id", "turn_idx", "src_ip"])
+
+
 def q_role_pivot(sf_dir: str):
     """Pivot-style conditional aggregation: per-conv turn counts by role."""
     import pyarrow.compute as pc
@@ -595,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk": q_events_topk,
         "events_join": q_events_join,
         "pricing_summary": q_pricing_summary,
+        "grok": q_grok,
         "role_pivot": q_role_pivot,
         "distinct": q_distinct,
         "multimodal": q_multimodal,
@@ -710,6 +719,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(avg(l_quantity) * 10000) AS BIGINT) AS avg_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "grok": f"""
+            SELECT conv_id, turn_idx,
+                   nullif(regexp_extract(text,
+                       'src=(\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}})', 1), '')
+                     AS src_ip
+            FROM read_parquet('{_T_PATH}')""",
         "role_pivot": f"""
             SELECT conv_id,
                    CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,

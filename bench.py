@@ -111,6 +111,28 @@ def run_bench() -> dict:
         )
         agg = count_by(enr, "country_code").to_pandas()
         queries["enrich_agg_country"] = round(time.perf_counter() - t0, 3)
+
+        # training-data + window operator timings over the same sf's tables
+        from fluent_plugin_geoip_ray.stages.dedup import dedup_exact, dedup_minhash
+        from fluent_plugin_geoip_ray.stages.window import tumbling_window
+
+        docs_path = os.path.join(sf_dir, "documents.parquet")
+        events_path = os.path.join(sf_dir, "events.parquet")
+        if os.path.exists(docs_path):
+            t0 = time.perf_counter()
+            dedup_exact(rd.read_parquet(docs_path)).count()
+            queries["dedup_exact_docs"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            dedup_minhash(rd.read_parquet(docs_path)).count()
+            queries["dedup_minhash_docs"] = round(time.perf_counter() - t0, 3)
+        if os.path.exists(events_path):
+            t0 = time.perf_counter()
+            tumbling_window(
+                rd.read_parquet(events_path, columns=["event_type", "value", "ts"]),
+                size_sec=3600, keys=["event_type"],
+                aggs=[("value", "count", "n")],
+            ).count()
+            queries["tumbling_events"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     ray.shutdown()

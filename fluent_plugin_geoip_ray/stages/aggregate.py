@@ -64,15 +64,23 @@ def count_by(ds, key: str, batch_size: int = 65536):
     return agg.map_batches(_restore_nulls(key), batch_format="pyarrow")
 
 
-def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536):
+def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536,
+                merge: str = "ray"):
     """General partial+final grouped aggregate.
 
     ``aggs`` entries are ``(col, fn, out_name)`` with fn in
     {sum, count, min, max, mean}; partials run vectorized per batch
-    (pyarrow ``Table.group_by``), the final pass is a Ray groupby over the
-    tiny partials (re-aggregating sums-of-sums, mins-of-mins, and computing
-    mean = sum/count at the end).  Null string keys survive the sort shuffle
-    via sentinel encoding.
+    (pyarrow ``Table.group_by``), the final pass re-aggregates
+    sums-of-sums / mins-of-mins and computes mean = sum/count at the end.
+    Null string keys survive the shuffle via sentinel encoding.
+
+    ``merge="ray"``: distributed groupby over the partials (returns a lazy
+    Dataset; the scale path for high-cardinality keys).  NOTE: Ray's
+    sort-based shuffle costs O(blocks), so it is slow over hundreds of tiny
+    partial blocks.  ``merge="driver"``: fetch partial blocks in parallel
+    and merge with one C++ ``pyarrow.Table.group_by`` (returns a Dataset
+    built from the merged table) -- right whenever the RESULT fits one
+    process, regardless of input size.
     """
     from ray.data.aggregate import Max, Min
 
@@ -101,12 +109,6 @@ def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536)
     partials = ds.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
-    refit = {"sum": Sum, "count_all": Sum, "min": Min, "max": Max}
-    ray_aggs = []
-    for pa_name, (col, fn) in need.items():
-        ctor = Sum if fn in ("sum", "count_all") else refit[fn]
-        ray_aggs.append(ctor(f"__p_{pa_name}", alias_name=f"__f_{pa_name}"))
-    agg = partials.groupby(keys).aggregate(*ray_aggs)
 
     def finalize(batch: pa.Table) -> pa.Table:
         for col, fn, out in aggs:
@@ -125,6 +127,30 @@ def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536)
             batch = _restore_nulls(k)(batch)
         return batch
 
+    refit_fn = {"sum": "sum", "count_all": "sum", "min": "min", "max": "max"}
+    if merge == "driver":
+        import ray
+        import ray.data as rd
+
+        tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            return rd.from_items([])
+        allt = pa.concat_tables(tables).combine_chunks()
+        g = allt.group_by(keys).aggregate(
+            [(f"__p_{nm}", refit_fn[need[nm][1]]) for nm in need]
+        )
+        rename = {
+            f"__p_{nm}_{refit_fn[need[nm][1]]}": f"__f_{nm}" for nm in need
+        }
+        g = g.rename_columns([rename.get(c, c) for c in g.column_names])
+        return rd.from_arrow(finalize(g))
+
+    refit = {"sum": Sum, "count_all": Sum, "min": Min, "max": Max}
+    ray_aggs = []
+    for pa_name, (col, fn) in need.items():
+        ctor = Sum if fn in ("sum", "count_all") else refit[fn]
+        ray_aggs.append(ctor(f"__p_{pa_name}", alias_name=f"__f_{pa_name}"))
+    agg = partials.groupby(keys).aggregate(*ray_aggs)
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 

@@ -30,12 +30,18 @@ _MERSENNE = (1 << 61) - 1
 # exact dedup
 # --------------------------------------------------------------------------
 
-def dedup_exact(ds, key_col: str = "doc_id", text_col: str = "text"):
+def dedup_exact(ds, key_col: str = "doc_id", text_col: str = "text",
+                mode: str = "broadcast"):
     """Keep exactly one row (min ``key_col``) per distinct ``text_col``.
 
-    Equivalent oracle: ``SELECT * WHERE key IN (SELECT min(key) GROUP BY
-    text)``; the Ray expression is hash -> groupby(hash) -> head(1) per group
-    (sorted), i.e. a single uniform-key shuffle.
+    Oracle: ``SELECT * WHERE key IN (SELECT min(key) GROUP BY text)``.
+
+    ``mode="broadcast"`` (default): winners = partial+final grouped
+    min(key) per content hash (shuffle carries only (hash, key) pairs),
+    broadcast as a dict, then a vectorized keep-filter -- text never
+    shuffles.  Right up to ~10^8 distinct winners per broadcast; beyond
+    that use ``mode="shuffle"`` (hash-partitioned groupby + head(1) per
+    group), which moves full rows but has no driver-side state.
     """
     import pandas as pd
 
@@ -45,11 +51,35 @@ def dedup_exact(ds, key_col: str = "doc_id", text_col: str = "text"):
         zero_copy_batch=True,
     )
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, key_col)
+    if mode == "shuffle":
+        def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+            return g.nsmallest(1, key_col)
 
-    out = hashed.groupby("fingerprint").map_groups(keep_min, batch_format="pandas")
-    return out.drop_columns(["fingerprint"])
+        out = hashed.groupby("fingerprint").map_groups(keep_min, batch_format="pandas")
+        return out.drop_columns(["fingerprint"])
+
+    from .aggregate import groupby_agg
+
+    winners = groupby_agg(
+        hashed, ["fingerprint"], [(key_col, "min", "__winner")], merge="driver"
+    ).to_pandas()
+    import ray
+
+    win_ref = ray.put(dict(zip(winners["fingerprint"], winners["__winner"])))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        wmap = ray.get(win_ref)
+        fps = batch.column("fingerprint").to_numpy(zero_copy_only=False)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            (wmap.get(f) == k for f, k in zip(fps, keys)),
+            dtype=bool, count=len(fps),
+        )
+        return batch.filter(pa.array(mask))
+
+    return hashed.map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    ).drop_columns(["fingerprint"])
 
 
 # --------------------------------------------------------------------------
@@ -172,25 +202,52 @@ class MinHashLSH:
 
 
 def lsh_candidate_pairs(ds, key_col: str = "doc_id", **lsh_kwargs):
-    """doc -> sketch -> band buckets -> candidate edge list (a, b) Dataset."""
-    import pandas as pd
+    """doc -> sketch -> band buckets -> candidate edge list (a, b) Dataset.
+
+    Star edges to each bucket's minimum key give the same connectivity as
+    all-pairs at O(bucket size).  Buckets are resolved by an AGGREGATE
+    (partial+final min/count per (band, band_hash) -- tiny shuffle) plus a
+    broadcast winner map, never by per-group Python calls: with B bands a
+    corpus has ~B x n_docs near-singleton buckets, and ``map_groups`` at one
+    Python call per bucket is the per-row trap this engine avoids.
+    """
+    import ray
+
+    from .aggregate import groupby_agg
 
     sketches = ds.map_batches(
         MinHashLSH(key_col=key_col, **lsh_kwargs),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
-        ks = np.sort(g[key_col].to_numpy())
-        # star edges to the bucket minimum: enough for connectivity, O(n) not O(n^2)
-        return pd.DataFrame({"a": np.full(len(ks) - 1, ks[0]), "b": ks[1:]})
-
-    return sketches.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    buckets = groupby_agg(
+        sketches, ["band", "band_hash"],
+        [(key_col, "min", "__a"), (key_col, "count", "__n")],
+        merge="driver",
+    ).to_pandas()
+    buckets = buckets[buckets["__n"] > 1]
+    win_ref = ray.put(
+        {
+            (int(b), int(h)): int(a)
+            for b, h, a in zip(buckets["band"], buckets["band_hash"], buckets["__a"])
+        }
     )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        wmap = ray.get(win_ref)
+        bands = batch.column("band").to_numpy(zero_copy_only=False)
+        hashes = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        a_list, b_list = [], []
+        for b, h, k in zip(bands, hashes, keys):
+            a = wmap.get((int(b), int(h)))
+            if a is not None and a != k:
+                a_list.append(a)
+                b_list.append(k)
+        return pa.table({"a": pa.array(a_list, pa.int64()),
+                         "b": pa.array(b_list, pa.int64())})
+
+    return sketches.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def connected_components(edges) -> dict:
@@ -330,47 +387,81 @@ def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def dedup_simhash(ds, key_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3):
-    """SimHash near-dup: band-bucket candidates, hamming-verify, keep min key."""
+    """SimHash near-dup: band-bucket candidates, hamming-verify, keep min key.
+
+    Same shuffle discipline as MinHash-LSH: bucket winners come from
+    partial+final aggregates over the tiny per-doc SKETCH table (never a
+    per-bucket ``map_groups``); candidate edges are verified against a
+    broadcast {key -> simhash} map restricted to keys that appear in edges.
+    """
     import pandas as pd
-
-    sketched = ds.map_batches(
-        lambda t: add_simhash(t, text_col), batch_format="pyarrow", zero_copy_batch=True
-    ).select_columns([key_col, "simhash", "simhash_b0", "simhash_b1",
-                      "simhash_b2", "simhash_b3"])
-
-    def pairs_for_band(b):
-        def f(g: pd.DataFrame) -> pd.DataFrame:
-            if len(g) < 2:
-                return pd.DataFrame({"a": [], "b": [], "ha": [], "hb": []}).astype(
-                    {"a": "int64", "b": "int64", "ha": "int64", "hb": "int64"})
-            g = g.sort_values(key_col)
-            ks = g[key_col].to_numpy()
-            hs = g["simhash"].to_numpy()
-            return pd.DataFrame({"a": ks[0], "b": ks[1:], "ha": hs[0], "hb": hs[1:]})
-        return f
-
-    edge_frames = []
-    for b in range(4):
-        e = sketched.groupby(f"simhash_b{b}").map_groups(
-            pairs_for_band(b), batch_format="pandas"
-        ).to_pandas()
-        edge_frames.append(e)
-    edges = pd.concat(edge_frames, ignore_index=True).drop_duplicates(["a", "b"])
-    if len(edges):
-        x = np.bitwise_xor(edges["ha"].to_numpy().astype(np.uint64),
-                           edges["hb"].to_numpy().astype(np.uint64))
-        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-        edges = edges[ham <= max_hamming]
-    labels = connected_components(edges[["a", "b"]])
-    losers = {k for k, root in labels.items() if root != k}
     import ray
 
+    from .aggregate import groupby_agg
+
+    band_cols = [f"simhash_b{b}" for b in range(4)]
+    sketched = ds.map_batches(
+        lambda t: add_simhash(t, text_col), batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns([key_col, "simhash"] + band_cols).materialize()
+
+    # per band: bucket winner (min key) where bucket size > 1
+    win_maps = []
+    for col in band_cols:
+        w = groupby_agg(
+            sketched, [col], [(key_col, "min", "__a"), (key_col, "count", "__n")],
+            merge="driver",
+        ).to_pandas()
+        w = w[w["__n"] > 1]
+        win_maps.append(dict(zip(w[col].astype(int), w["__a"].astype(int))))
+    maps_ref = ray.put(win_maps)
+
+    def edges_fn(batch: pa.Table) -> pa.Table:
+        maps = ray.get(maps_ref)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        a_list, b_list = [], []
+        for col, wmap in zip(band_cols, maps):
+            vals = batch.column(col).to_numpy(zero_copy_only=False)
+            for v, k in zip(vals, keys):
+                a = wmap.get(int(v))
+                if a is not None and a != k:
+                    a_list.append(a)
+                    b_list.append(k)
+        return pa.table({"a": pa.array(a_list, pa.int64()),
+                         "b": pa.array(b_list, pa.int64())})
+
+    edges = (
+        sketched.map_batches(edges_fn, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .drop_duplicates(["a", "b"])
+    )
+
+    if len(edges):
+        need = set(edges["a"]).union(edges["b"])
+        need_ref = ray.put(need)
+
+        def sims_fn(batch: pa.Table) -> pa.Table:
+            nd = ray.get(need_ref)
+            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+            mask = np.fromiter((k in nd for k in keys), dtype=bool, count=len(keys))
+            return batch.select([key_col, "simhash"]).filter(pa.array(mask))
+
+        sims = sketched.map_batches(sims_fn, batch_format="pyarrow").to_pandas()
+        smap = dict(zip(sims[key_col], sims["simhash"]))
+        ha = edges["a"].map(smap).to_numpy().astype(np.uint64)
+        hb = edges["b"].map(smap).to_numpy().astype(np.uint64)
+        x = np.bitwise_xor(ha, hb)
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+        edges = edges[ham <= max_hamming]
+
+    labels = connected_components(edges[["a", "b"]] if len(edges) else edges)
+    losers = {k for k, root in labels.items() if root != k}
     losers_ref = ray.put(losers)
 
     def drop_losers(t: pa.Table) -> pa.Table:
         ls = ray.get(losers_ref)
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(np.asarray([k not in ls for k in keys])))
+        mask = np.fromiter((k not in ls for k in keys), dtype=bool, count=len(keys))
+        return t.filter(pa.array(mask))
 
     return ds.map_batches(drop_losers, batch_format="pyarrow", zero_copy_batch=True)
 
