@@ -195,3 +195,34 @@ def test_typed_passthrough_vs_string_coercion():
     rows = enrich({"latitude": LAT, "concat": f"{LAT},{LON}"}, ["66.102.3.80"])
     assert isinstance(rows[0]["latitude"], float)
     assert isinstance(rows[0]["concat"], str)
+
+
+def test_actor_mode_with_backend_ref():
+    """Actor-pool enrich with a ray.put broadcast docs dict (the mmdb-analog
+    path: big side state shipped once, hydrated in actor __init__)."""
+    import ray
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.state.fixture import fixture_geo_docs
+    from fluent_plugin_geoip_ray.stages.enrich import enrich_dataset
+
+    docs_ref = ray.put(fixture_geo_docs())
+    spec = RecordSpec(lookup_keys=["ip"], record={"city": CITY})
+    ds = rd.from_items([{"ip": "66.102.3.80"}, {"ip": "203.0.113.1"}])
+    out = enrich_dataset(ds, spec, backend_ref=docs_ref,
+                         concurrency=(1, 2)).to_pandas()
+    import pandas as pd
+
+    assert out.loc[0, "city"] == "Mountain View"
+    assert pd.isna(out.loc[1, "city"])
+
+
+def test_actor_mode_explicit():
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.enrich import enrich_dataset
+
+    spec = RecordSpec(lookup_keys=["ip"], record={"city": CITY})
+    ds = rd.from_items([{"ip": "125.54.15.42"}])
+    out = enrich_dataset(ds, spec, mode="actors", concurrency=(1, 1)).to_pandas()
+    assert out.loc[0, "city"] == "Tokorozawa"
