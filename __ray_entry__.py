@@ -200,6 +200,18 @@ def q_quality(sf_dir: str):
     )
 
 
+def q_bpe_tokens(sf_dir: str):
+    """BPE-ish pretokenizer count (GPT-2-style regex, one RE2 pass)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import bpe_token_count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(bpe_token_count, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_bpe_tokens"]
+    )
+
+
 def q_lang_id(sf_dir: str):
     """Language-ID heuristic (rows-only check: not SQL-expressible)."""
     import ray.data as rd
@@ -594,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
         "quality": q_quality,
+        "bpe_tokens": q_bpe_tokens,
         "lang_id": q_lang_id,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
@@ -693,6 +706,12 @@ def oracle_sql() -> dict[str, str]:
                      AS mean_token_len,
                    (length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
                      / greatest(length(text), 1) AS punct_ratio
+            FROM documents""",
+        "bpe_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+                     AS n_bpe_tokens
             FROM documents""",
         "knn": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),

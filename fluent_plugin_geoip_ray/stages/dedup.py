@@ -283,6 +283,60 @@ def connected_components(edges) -> dict:
     return {k: find(k) for k in list(parent)}
 
 
+def connected_components_distributed(edges_ds, max_iters: int = 20):
+    """Distributed connected components by iterative min-label propagation.
+
+    The scale path promised by :func:`connected_components`'s docstring,
+    actually implemented: labels start as each node's own id; every round
+    each node takes the min of its neighbors' labels (undirected), via a
+    grouped min over the exploded (node, neighbor_label) pairs; stop when a
+    round changes nothing.  Each round is one small shuffle over label pairs
+    (never document data).  Returns {node -> component_min} for nodes that
+    ended below their own id (same contract as the union-find version).
+
+    Note label propagation needs O(diameter) rounds; LSH near-dup graphs are
+    star-shaped (diameter <= 2 per bucket, small after bucket overlap), so
+    this converges in a handful of rounds.
+    """
+    import pandas as pd
+
+    from .aggregate import groupby_agg
+
+    edges = edges_ds.to_pandas() if hasattr(edges_ds, "to_pandas") else edges_ds
+    if len(edges) == 0:
+        return {}
+    import ray.data as rd
+
+    labels = None  # pandas: node -> label
+    nodes = pd.unique(pd.concat([edges["a"], edges["b"]], ignore_index=True))
+    labels = pd.DataFrame({"node": nodes, "label": nodes})
+    for _ in range(max_iters):
+        # neighbor labels along both edge directions
+        la = edges.merge(labels, left_on="a", right_on="node")[["b", "label"]]
+        la.columns = ["node", "nlabel"]
+        lb = edges.merge(labels, left_on="b", right_on="node")[["a", "label"]]
+        lb.columns = ["node", "nlabel"]
+        self_l = labels.rename(columns={"label": "nlabel"})
+        allp = pd.concat([la, lb, self_l], ignore_index=True)
+        # grouped min via the engine's partial+final aggregate (distributed
+        # when the pair set is a Dataset; pair volume is O(edges), tiny)
+        new = (
+            groupby_agg(
+                rd.from_pandas(allp), ["node"], [("nlabel", "min", "label")],
+                merge="driver",
+            )
+            .to_pandas()[["node", "label"]]
+        )
+        merged = labels.merge(new, on="node", suffixes=("_old", ""))
+        changed = int((merged["label_old"] != merged["label"]).sum())
+        labels = merged[["node", "label"]]
+        if changed == 0:
+            break
+    return {
+        int(n): int(l) for n, l in zip(labels["node"], labels["label"]) if n != l
+    }
+
+
 def dedup_minhash(ds, key_col: str = "doc_id", text_col: str = "text",
                   jaccard_threshold: float = 0.7, **lsh_kwargs):
     """Near-dup removal: keep the min-key representative of each LSH cluster.

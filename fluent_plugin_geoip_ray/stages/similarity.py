@@ -156,7 +156,13 @@ def embedding_near_dup(ds, threshold: float = 0.95, id_col: str = "vec_id",
                        emb_col: str = "embedding", n_planes: int = 16,
                        seed: int = 42):
     """Embedding-cosine near-dup via random-hyperplane LSH buckets +
-    within-bucket exact cosine; keeps the min-id representative per cluster."""
+    exact-cosine verification; keeps the min-id representative per cluster.
+
+    Candidates are star edges bucket-member -> bucket-min (O(bucket) not
+    O(bucket^2)); a pair of near-dups that shares a bucket only with a
+    dissimilar minimum is missed -- acceptable for near-IDENTICAL detection
+    (clones always verify against each other's bucket min), and recoverable
+    by raising n_planes tables if higher recall is needed."""
     import pandas as pd
     import ray
 
@@ -180,22 +186,55 @@ def embedding_near_dup(ds, threshold: float = 0.95, id_col: str = "vec_id",
             "lsh": pa.array(code.astype(np.int64)),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
-        g = g.sort_values(id_col)
-        m = _normalize(np.stack(g[emb_col].to_numpy()))
-        ids = g[id_col].to_numpy()
-        sims = m @ m.T
-        ai, bi = np.where(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+    # bucket winners via partial+final aggregate (no per-bucket map_groups --
+    # one Python call per tiny bucket is the per-row trap), then candidate
+    # star edges against a broadcast winner map, cosine-verified on the
+    # SPARSE set of involved vectors only
+    from .aggregate import groupby_agg
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    w = groupby_agg(
+        bucketed, ["lsh"], [(id_col, "min", "__a"), (id_col, "count", "__n")],
+        merge="driver",
+    ).to_pandas()
+    w = w[w["__n"] > 1]
+    win_ref = ray.put(dict(zip(w["lsh"].astype(int), w["__a"].astype(int))))
+
+    def edge_fn(batch: pa.Table) -> pa.Table:
+        wmap = ray.get(win_ref)
+        codes = batch.column("lsh").to_numpy(zero_copy_only=False)
+        keys = batch.column(id_col).to_numpy(zero_copy_only=False)
+        a_list, b_list = [], []
+        for c, k in zip(codes, keys):
+            a = wmap.get(int(c))
+            if a is not None and a != k:
+                a_list.append(a)
+                b_list.append(k)
+        return pa.table({"a": pa.array(a_list, pa.int64()),
+                         "b": pa.array(b_list, pa.int64())})
 
     edges = (
-        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("lsh")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        bucketed.map_batches(edge_fn, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
+        .drop_duplicates(["a", "b"])
     )
+    if len(edges):
+        need = set(edges["a"]).union(edges["b"])
+        need_ref = ray.put(need)
+
+        def vec_fn(batch: pa.Table) -> pa.Table:
+            nd = ray.get(need_ref)
+            keys = batch.column(id_col).to_numpy(zero_copy_only=False)
+            mask = np.fromiter((k in nd for k in keys), dtype=bool, count=len(keys))
+            return batch.select([id_col, emb_col]).filter(pa.array(mask))
+
+        vecs = bucketed.map_batches(vec_fn, batch_format="pyarrow").to_pandas()
+        vmap = {k: np.asarray(v) for k, v in zip(vecs[id_col], vecs[emb_col])}
+        va = _normalize(np.stack([vmap[a] for a in edges["a"]]))
+        vb = _normalize(np.stack([vmap[b] for b in edges["b"]]))
+        sims = (va * vb).sum(axis=1)
+        edges = edges[sims >= threshold]
     labels = connected_components(edges)
     losers = {k for k, root in labels.items() if root != k}
     losers_ref = ray.put(losers)

@@ -32,6 +32,18 @@ def token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("n_chars_calc", pc.utf8_length(text).cast(pa.int64()))
 
 
+def bpe_token_count(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "n_bpe_tokens") -> pa.Table:
+    """BPE-ish token count via a GPT-2-style pretokenizer regex, fully
+    vectorized (`pc.count_substring_regex`, one RE2 pass): contractions,
+    letter runs, digit runs, punctuation runs, whitespace runs each count as
+    one pretoken -- the standard cheap proxy for BPE token budgets."""
+    pattern = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+    text = batch.column(text_col)
+    n = pc.count_substring_regex(text, pattern).cast(pa.int64())
+    return batch.append_column(out_col, n)
+
+
 class QualityScore:
     """Heuristic doc-quality features: mean token length, punctuation ratio,
     stopword ratio, and a composite ``quality`` in [0,1].  BPE-ish token

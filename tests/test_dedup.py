@@ -95,3 +95,29 @@ def test_ngram_jaccard():
     assert ngram_jaccard(BASE, BASE) == 1.0
     assert ngram_jaccard(BASE, BASE + " x y z") > 0.7
     assert ngram_jaccard("a b c d e", "v w x y z") == 0.0
+
+
+def test_distributed_components_match_union_find():
+    import pandas as pd
+
+    from fluent_plugin_geoip_ray.stages.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    edges = pd.DataFrame({
+        "a": [1, 2, 10, 11, 20, 1],
+        "b": [2, 3, 11, 12, 21, 3],
+    })
+    uf = connected_components(edges)
+    lp = connected_components_distributed(edges)
+    assert lp == uf
+    assert lp[3] == 1 and lp[12] == 10 and lp[21] == 20
+
+
+def test_distributed_components_empty():
+    import pandas as pd
+
+    from fluent_plugin_geoip_ray.stages.dedup import connected_components_distributed
+
+    assert connected_components_distributed(pd.DataFrame({"a": [], "b": []})) == {}

@@ -50,3 +50,13 @@ def test_fingerprint_deterministic():
     assert [r["fingerprint"] for r in a] == [r["fingerprint"] for r in b]
     assert a[0]["fingerprint"] == a[2]["fingerprint"]
     assert a[0]["fingerprint"] != a[1]["fingerprint"]
+
+
+def test_bpe_token_count():
+    from fluent_plugin_geoip_ray.stages.text import bpe_token_count
+
+    out = bpe_token_count(tbl(["hello world", "it's 2026!", ""])).to_pylist()
+    # "hello","​ world" -> 2 ; "it","'s"," 2026","!" -> 4 ; "" -> 0
+    assert out[0]["n_bpe_tokens"] == 2
+    assert out[1]["n_bpe_tokens"] == 4
+    assert out[2]["n_bpe_tokens"] == 0
