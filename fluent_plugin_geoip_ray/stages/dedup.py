@@ -215,11 +215,14 @@ def lsh_candidate_pairs(ds, key_col: str = "doc_id", **lsh_kwargs):
 
     from .aggregate import groupby_agg
 
+    # sketches are consumed twice (bucket winners + edge emission): pin the
+    # tiny sketch table (tens of bytes/doc) instead of recomputing the
+    # tokenize+minhash pipeline per consumer
     sketches = ds.map_batches(
         MinHashLSH(key_col=key_col, **lsh_kwargs),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).materialize()
     buckets = groupby_agg(
         sketches, ["band", "band_hash"],
         [(key_col, "min", "__a"), (key_col, "count", "__n")],
