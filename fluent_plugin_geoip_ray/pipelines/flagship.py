@@ -165,7 +165,15 @@ class FanoutWrite:
                 os.makedirs(part_dir, exist_ok=True)
                 path = os.path.join(part_dir, self._file_name(routed))
                 tmp = path + f".tmp{os.getpid()}"
-                pq.write_table(routed, tmp)
+                if getattr(route, "sink_format", "parquet") == "json":
+                    # ndjson lines (Elasticsearch-bulk-shaped consumers)
+                    path = path.replace(".parquet", ".jsonl")
+                    tmp = path + f".tmp{os.getpid()}"
+                    routed.to_pandas().to_json(
+                        tmp, orient="records", lines=True, date_format="iso"
+                    )
+                else:
+                    pq.write_table(routed, tmp)
                 os.replace(tmp, path)
             stats["route"].append(route.name)
             stats["kind"].append("rows")

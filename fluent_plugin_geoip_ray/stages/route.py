@@ -58,7 +58,11 @@ class RouteSpec:
     remove_tag_suffix: str = ""
     add_tag_suffix: str = ""
     skip_adding_null_record: bool = False   # drop rows whose enrich gate fired
-    sink: Optional[str] = None              # parquet dir (None = no sink)
+    sink: Optional[str] = None              # sink dir (None = no sink)
+    sink_format: str = "parquet"            # "parquet" | "json" (ndjson lines,
+                                            # the Elasticsearch-shaped consumer
+                                            # the reference routes to,
+                                            # README.md:93-94,222-223)
 
     _regex: str = field(init=False, repr=False, default="")
 

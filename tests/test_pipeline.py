@@ -177,3 +177,22 @@ def test_multi_partition_resume():
         assert total == sum(pq.read_table(f).num_rows for f in files)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_json_sink_format(sf_path, tmp_path):
+    """Routes can sink ndjson lines (the Elasticsearch-shaped consumer)."""
+    import json
+
+    from fluent_plugin_geoip_ray.pipelines.flagship import run_flagship
+    from fluent_plugin_geoip_ray.stages.route import RouteSpec
+
+    out = str(tmp_path / "json_out")
+    routes = [
+        RouteSpec(name="j", match="transcripts.**", sink=os.path.join(out, "j"),
+                  sink_format="json", skip_adding_null_record=True),
+    ]
+    run_flagship(sf_path, out_dir=out, routes=routes)
+    files = glob.glob(os.path.join(out, "j", "part=*", "*.jsonl"))
+    assert files
+    row = json.loads(open(files[0]).readline())
+    assert row["city"] and row["country_code"]
