@@ -52,6 +52,11 @@ def run_bench() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # measured wins on this workload (BASELINE.md): operator resource
+    # reservation leaves ~40-60% of CPUs idle on a 2-operator chain, and the
+    # default >=200-block read split triples per-batch fixed cost
+    ctx.op_resource_reservation_enabled = False
+    ctx.read_op_min_num_blocks = 32
 
     from fluent_plugin_geoip_ray.pipelines.flagship import (
         build_enriched,

@@ -64,6 +64,30 @@ def canonical_record_spec(**overrides) -> RecordSpec:
     return RecordSpec(**kwargs)
 
 
+def heavy_record_spec() -> RecordSpec:
+    """Compute-heavy spec: all three lookup keys (3 regex extractions from
+    text) and ~21 template fields.  Used by the compute-bound scaling probe
+    (BASELINE.md): per-row CPU dominates memory traffic, so throughput
+    scales with cores instead of hitting the single-box DRAM ceiling."""
+    base = canonical_record_spec()
+    rec = dict(base.record)
+    for key in ("ip2", "host"):
+        rec[f"city_{key}"] = "${city.names.en['%s']}" % key
+        rec[f"cc_{key}"] = "${country.iso_code['%s']}" % key
+        rec[f"name_{key}"] = "${country.names.en['%s']}" % key
+        rec[f"concat_{key}"] = (
+            "${location.latitude['%s']},${location.longitude['%s']}" % (key, key)
+        )
+        rec[f"point_{key}"] = (
+            "[${location.longitude['%s']}, ${location.latitude['%s']}]" % (key, key)
+        )
+        rec[f"props_{key}"] = (
+            '{ "lat": ${location.latitude["%s"]}, "cc": ${country.iso_code["%s"]} }'
+            % (key, key)
+        )
+    return RecordSpec(lookup_keys=["ip", "ip2", "host"], record=rec)
+
+
 def canonical_routes(out_dir: str | None) -> list[RouteSpec]:
     """FIXTURES.md §4: an enriched sink (gated) and a raw passthrough sink."""
 
