@@ -786,6 +786,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY event_type, window_start""",
+        "events_sliding": """
+            SELECT event_type,
+                   CAST((floor(epoch(ts) / 900) - j.j) * 900 AS BIGINT) AS window_start,
+                   count(*) AS n
+            FROM events CROSS JOIN (SELECT unnest(range(4)) AS j) j
+            GROUP BY event_type, window_start""",
         "events_sessions": """
             WITH x AS (
                 SELECT user_id, event_id, ts,

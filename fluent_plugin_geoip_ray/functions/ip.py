@@ -13,3 +13,8 @@ IPV4_NAMED = r"(?P<ip>\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3})"
 # host tokens resolvable via the fixture alias table (FIXTURES.md §2)
 HOST = r"(host_[a-z]+)"
 HOST_NAMED = r"(?P<host>host_[a-z]+)"
+
+# simplified IPv6 token (well-formed colon-hex groups incl. "::" forms);
+# identical RE2 semantics in pyarrow and DuckDB
+IPV6 = r"(?:[0-9a-fA-F]{1,4}:){2,7}[0-9a-fA-F:]*[0-9a-fA-F]{1,4}|(?:[0-9a-fA-F]{1,4}:){1,7}:"
+IPV6_NAMED = r"(?P<ip6>" + IPV6 + r")"

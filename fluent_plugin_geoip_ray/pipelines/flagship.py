@@ -340,6 +340,33 @@ def run_flagship(
     return run_fanout(enriched, routes, agg_dir=agg_dir)
 
 
+def read_aggregates(agg_dir: str, kinds: tuple | None = None) -> pa.Table:
+    """Merge-on-read for the distributed aggregate partials.
+
+    ``FanoutWrite(agg_dir=...)`` leaves per-batch partial counts as parquet
+    under ``agg_dir/part=*/agg-*.parquet``; this is the consumer-side merge
+    (one C++ group_by over the partial files -- at 10^12 scale point the
+    same glob at ``ray.data.read_parquet`` and reuse count_by's partial+final
+    path instead)."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(agg_dir, "part=*", "agg-*.parquet")))
+    if not files:
+        return FanoutWrite.STATS_SCHEMA.empty_table()
+    allt = pa.concat_tables([pq.read_table(f) for f in files])
+    if kinds:
+        allt = allt.filter(pc.is_in(allt.column("kind"), value_set=pa.array(list(kinds))))
+    merged = (
+        allt.group_by(["route", "kind", "key"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["route", "kind", "key", "n"])
+    )
+    keys = merged.column("key").combine_chunks()
+    mask = pc.fill_null(pc.equal(keys, NULL_KEY), False)
+    keys = pc.if_else(mask, pa.scalar(None, pa.string()), keys)
+    return merged.set_column(merged.column_names.index("key"), "key", keys)
+
+
 def run_partitioned(
     input_files: list[str],
     out_dir: str,

@@ -16,7 +16,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.ip import HOST_NAMED, IPV4, IPV4_NAMED
+from ..functions.ip import HOST_NAMED, IPV4, IPV4_NAMED, IPV6_NAMED
 
 TAG_COL = "tag"
 
@@ -45,6 +45,8 @@ def parse_transcripts(batch: pa.Table, tag_prefix: str = "transcripts.",
         cols.append(("ip2", _extract_first(rest, IPV4_NAMED, "ip")))
     if "host" in fields:
         cols.append(("host", _extract_first(text, HOST_NAMED, "host")))
+    if "ip6" in fields:
+        cols.append(("ip6", _extract_first(text, IPV6_NAMED, "ip6")))
     tag = pc.binary_join_element_wise(
         pa.scalar(tag_prefix, type=pa.string()),
         batch.column("role") if "role" in batch.column_names else pa.scalar(""),

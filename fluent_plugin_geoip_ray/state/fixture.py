@@ -80,6 +80,22 @@ GEO_FIXTURE_ROWS: list[dict] = [
     },
 ]
 
+# IPv6 entry (the reference's geoip2 backends accept IPv6 addresses; one
+# canonical fixture row keeps the v6 path exercised end-to-end)
+GEO_FIXTURE_ROWS.append(
+    {
+        "ip": "2001:4860:4860::8888",
+        "city_names_en": None,
+        "country_iso_code": "US",
+        "country_names_en": "United States",
+        "location_latitude": 37.751,
+        "location_longitude": -97.822,
+        "postal_code": None,
+        "subdiv0_iso_code": None,
+        "subdiv0_names_en": None,
+    }
+)
+
 # Hostname tokens resolvable to fixture IPs (the reference looks up whatever
 # string the record field holds -- hostnames resolve inside the C geoip libs).
 HOST_TOKENS: dict[str, str] = {

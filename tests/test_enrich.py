@@ -226,3 +226,17 @@ def test_actor_mode_explicit():
     ds = rd.from_items([{"ip": "125.54.15.42"}])
     out = enrich_dataset(ds, spec, mode="actors", concurrency=(1, 1)).to_pandas()
     assert out.loc[0, "city"] == "Tokorozawa"
+
+
+def test_ipv6_lookup_end_to_end():
+    """IPv6 token extraction + lookup (geoip2 backends accept v6)."""
+    from fluent_plugin_geoip_ray.stages.parse import parse_transcripts
+
+    t = pa.table({"text": ["query from 2001:4860:4860::8888 ok", "none"],
+                  "role": ["user", "user"]})
+    parsed = parse_transcripts(t, fields=("ip", "ip6"))
+    assert parsed.column("ip6").to_pylist() == ["2001:4860:4860::8888", None]
+    spec = RecordSpec(lookup_keys=["ip6"],
+                      record={"cc": "${country.iso_code['ip6']}"})
+    out = GeoEnrich(compile_record_spec(spec))(parsed).to_pylist()
+    assert out[0]["cc"] == "US" and out[1]["cc"] is None

@@ -196,3 +196,26 @@ def test_json_sink_format(sf_path, tmp_path):
     assert files
     row = json.loads(open(files[0]).readline())
     assert row["city"] and row["country_code"]
+
+
+def test_read_aggregates_merge_on_read(sf_path, tmp_path):
+    from fluent_plugin_geoip_ray.pipelines.flagship import read_aggregates, run_flagship
+
+    out = str(tmp_path / "mor")
+    stats = run_flagship(sf_path, out_dir=out)  # conv partials -> agg_partials
+    merged = read_aggregates(os.path.join(out, "agg_partials"))
+    conv = merged.filter(
+        pc.and_(pc.equal(merged["kind"], "conv_id"), pc.equal(merged["route"], "raw"))
+    )
+    assert pc.sum(conv["n"]).as_py() == total_rows(sf_path)
+    # country counts agree between the driver-merged stats and merge-on-read
+    for r in stats.to_pylist():
+        if r["kind"] == "country_code" and r["route"] == "enriched":
+            m = merged.filter(
+                pc.and_(
+                    pc.and_(pc.equal(merged["kind"], "country_code"),
+                            pc.equal(merged["route"], "enriched")),
+                    pc.equal(merged["key"], r["key"]),
+                )
+            )
+            assert pc.sum(m["n"]).as_py() == r["n"]
