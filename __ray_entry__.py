@@ -525,6 +525,47 @@ def q_pricing_summary(sf_dir: str):
     return agg.map_batches(round_cols, batch_format="pyarrow")
 
 
+def q_anomaly(sf_dir: str):
+    """Per-type z-score outliers (value > mean + 3*stddev_pop): two-pass --
+    tiny per-type moment aggregate (sum, sumsq, count) broadcast back as
+    thresholds, then a vectorized filter. No shuffle of event rows."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import groupby_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def with_sq(t):
+        return t.append_column("value_sq", pc.multiply(t["value"], t["value"]))
+
+    moments = groupby_agg(
+        ds.map_batches(with_sq, batch_format="pyarrow"),
+        ["event_type"],
+        [("value", "sum", "s"), ("value_sq", "sum", "ss"), ("value", "count", "n")],
+        merge="driver",
+    ).to_pandas()
+    mean = moments["s"] / moments["n"]
+    std = np.sqrt(np.maximum(moments["ss"] / moments["n"] - mean**2, 0.0))
+    thresholds = dict(zip(moments["event_type"], mean + 3.0 * std))
+    thr_ref = ray.put(thresholds)
+
+    def flag(t: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        types = t.column("event_type").to_numpy(zero_copy_only=False)
+        cut = np.asarray([thr[x] for x in types])
+        vals = t.column("value").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(vals > cut))
+
+    return ds.map_batches(flag, batch_format="pyarrow").select_columns(
+        ["event_id", "event_type", "value"]
+    )
+
+
 def q_events_tumbling(sf_dir: str):
     """Tumbling 1h event-time windows per event_type (count + sum(value))."""
     import pyarrow.compute as pc
@@ -625,6 +666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join": q_bucketed_join,
         "filter_pushdown": q_filter_pushdown,
         "inject": q_inject,
+        "anomaly": q_anomaly,
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
@@ -786,6 +828,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY event_type, window_start""",
+        "anomaly": """
+            WITH m AS (
+                SELECT event_type,
+                       sum(value) / count(*) AS mean,
+                       sqrt(greatest(sum(value * value) / count(*)
+                                     - (sum(value) / count(*)) ^ 2, 0)) AS sd
+                FROM events GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value
+            FROM events e JOIN m ON e.event_type = m.event_type
+            WHERE e.value > m.mean + 3.0 * m.sd""",
         "events_sliding": """
             SELECT event_type,
                    CAST((floor(epoch(ts) / 900) - j.j) * 900 AS BIGINT) AS window_start,
