@@ -149,6 +149,36 @@ def q_enrich_multi(sf_dir: str):
     )
 
 
+def q_enrich_nested(sf_dir: str):
+    """Nested record-accessor lookup paths (filter_geoip.rb:60;
+    test_filter_geoip.rb:482-520): the lookup key is ``$.src.ip`` resolved
+    through a struct column via pc.struct_field -- the transcript ip is
+    packed into ``src: struct<ip>`` first to exercise the accessor."""
+    import pyarrow as pa
+
+    from fluent_plugin_geoip_ray.config import RecordSpec
+    from fluent_plugin_geoip_ray.stages.enrich import enrich_dataset
+    from fluent_plugin_geoip_ray.stages.parse import parse_dataset
+
+    def pack(batch: pa.Table) -> pa.Table:
+        src = pa.StructArray.from_arrays(
+            [batch.column("ip").combine_chunks()], names=["ip"]
+        )
+        return batch.append_column("src", src)
+
+    spec = RecordSpec(
+        lookup_keys=["$.src.ip"],
+        record={
+            "city": "${city.names.en['$.src.ip']}",
+            "country_code": "${country.iso_code['$.src.ip']}",
+        },
+    )
+    ds = parse_dataset(_transcripts_ds(sf_dir), fields=("ip",))
+    ds = ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    ds = enrich_dataset(ds, spec)
+    return ds.select_columns(["conv_id", "turn_idx", "city", "country_code"])
+
+
 def q_events_extract(sf_dir: str):
     """Regex parse over the driver events table (grok analog on props)."""
     import pyarrow.compute as pc
@@ -643,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_conv": q_agg_conv,
         "sorted_text": q_sorted_text,
         "enrich_multi": q_enrich_multi,
+        "enrich_nested": q_enrich_nested,
         "events_extract": q_events_extract,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -729,6 +760,12 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN read_parquet('{_G_PATH}') g1 ON p.ip = g1.ip
             LEFT JOIN read_parquet('{_G_PATH}') g2 ON p.ip2 = g2.ip
             LEFT JOIN read_parquet('{_G_PATH}') g3 ON p.host = g3.ip""",
+        "enrich_nested": f"""
+            SELECT p.conv_id, p.turn_idx,
+                   g.city_names_en AS city,
+                   g.country_iso_code AS country_code
+            FROM ({_PARSED}) p
+            LEFT JOIN read_parquet('{_G_PATH}') g ON p.ip = g.ip""",
         "events_extract": "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1)"
                           " AS BIGINT) AS k FROM events",
         "dedup_exact": """
@@ -859,8 +896,10 @@ def oracle_sql() -> dict[str, str]:
                                          ROWS UNBOUNDED PRECEDING) AS session_idx
                 FROM x
             )
-            SELECT user_id, session_idx, count(*) AS n_events,
-                   min(ts) AS ts_min, max(ts) AS ts_max
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
+                   CAST(min(ts) AS TIMESTAMP) AS ts_min,
+                   CAST(max(ts) AS TIMESTAMP) AS ts_max
             FROM s GROUP BY user_id, session_idx""",
         "conv_stats": f"""
             SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn,

@@ -31,6 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import CompiledRecordSpec, RecordSpec, compile_record_spec
+from ..functions.accessor import resolve_accessor
 from ..state.backends import make_backend
 from ..templates import PlaceholderColumns, dig, evaluate_plan
 
@@ -68,11 +69,18 @@ class GeoEnrich:
     # -- per-batch core ------------------------------------------------------
 
     def _lookup_column(self, batch: pa.Table, key: str):
-        """Return (codes:int64[n] into uniques+[miss], unique_docs:list)."""
+        """Return (codes:int64[n] into uniques+[miss], unique_docs:list).
+
+        ``key`` may be a plain column name or a fluentd record-accessor path
+        (``$.from.ip`` / ``$["host"]["ip"]``, filter_geoip.rb:60) resolved
+        through struct columns via ``pc.struct_field``.
+        """
         n = batch.num_rows
-        if key not in batch.column_names or key not in self._live_keys:
+        if key not in self._live_keys:
             return np.full(n, 0, dtype=np.int64), [None], [None]
-        col = batch.column(key)
+        col = resolve_accessor(batch, key)
+        if col is None:
+            return np.full(n, 0, dtype=np.int64), [None], [None]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):

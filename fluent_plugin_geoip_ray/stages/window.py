@@ -103,6 +103,13 @@ def session_windows(ds, key: str = "user_id", ts_col: str = "ts",
             n_events=(ts_col, "size"), ts_min=(ts_col, "min"), ts_max=(ts_col, "max")
         ).reset_index(names="session_idx")
         out.insert(0, key, g[key].iloc[0])
+        # Pin physical types so the output hashes identically to a SQL
+        # engine's (BIGINT session counters, microsecond timestamps): pandas
+        # cumsum yields int64 but the datetime path is ns-width by default.
+        out["session_idx"] = out["session_idx"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        out["ts_min"] = out["ts_min"].astype("datetime64[us]")
+        out["ts_max"] = out["ts_max"].astype("datetime64[us]")
         return out
 
     return ds.groupby(key).map_groups(sessions, batch_format="pandas")
