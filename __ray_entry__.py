@@ -283,7 +283,7 @@ def q_knn(sf_dir: str):
     from fluent_plugin_geoip_ray.stages.similarity import knn_brute_force
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qrows = ds.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
+    qrows = ds.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
     queries = np.stack(qrows["embedding"].to_numpy())
     out = knn_brute_force(ds, queries, k=10,
                           query_ids=qrows["vec_id"].to_numpy())
@@ -298,7 +298,7 @@ def q_knn_ivf(sf_dir: str):
     from fluent_plugin_geoip_ray.stages.similarity import knn_ivf
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    qrows = ds.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
+    qrows = ds.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
     queries = np.stack(qrows["embedding"].to_numpy())
     return knn_ivf(ds, queries, k=10).select(["query_id", "vec_id", "rank"])
 
@@ -581,15 +581,18 @@ def q_anomaly(sf_dir: str):
     ).to_pandas()
     mean = moments["s"] / moments["n"]
     std = np.sqrt(np.maximum(moments["ss"] / moments["n"] - mean**2, 0.0))
-    thresholds = dict(zip(moments["event_type"], mean + 3.0 * std))
-    thr_ref = ray.put(thresholds)
+    # broadcast thresholds as parallel Arrow arrays; per-batch lookup is a
+    # vectorized pc.index_in + take (dictionary-encode the type column), not
+    # a per-row dict probe
+    thr_ref = ray.put((pa.array(moments["event_type"].astype(str)),
+                       pa.array((mean + 3.0 * std).to_numpy())))
 
     def flag(t: pa.Table) -> pa.Table:
-        thr = ray.get(thr_ref)
-        types = t.column("event_type").to_numpy(zero_copy_only=False)
-        cut = np.asarray([thr[x] for x in types])
-        vals = t.column("value").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(vals > cut))
+        type_keys, cuts = ray.get(thr_ref)
+        idx = pc.index_in(t.column("event_type"), value_set=type_keys)
+        cut = pc.take(cuts, idx)
+        mask = pc.greater(t.column("value"), cut)
+        return t.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(flag, batch_format="pyarrow").select_columns(
         ["event_id", "event_type", "value"]

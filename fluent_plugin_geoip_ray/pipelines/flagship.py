@@ -172,12 +172,28 @@ class FanoutWrite:
         self._group_tables: list = []
 
     def _file_name(self, routed: pa.Table) -> str:
+        """Deterministic name from the FULL key-column content (not just the
+        first/last row): two distinct batches can never share a name, so a
+        retried task overwrites only its own identical file (idempotent),
+        while hot-conv batches with equal boundary rows stay distinct."""
+        import pandas as pd
+
         h = hashlib.sha1()
         h.update(str(routed.num_rows).encode())
         if routed.num_rows:
-            h.update(str(routed.column("conv_id")[0].as_py()).encode())
-            h.update(str(routed.column("turn_idx")[0].as_py()).encode())
-            h.update(str(routed.column("ts")[-1].as_py()).encode())
+            for col in ("conv_id", "turn_idx", "ts"):
+                if col not in routed.column_names:
+                    continue
+                arr = routed.column(col)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+                    hv = pd.util.hash_array(arr.to_pandas().to_numpy(dtype=object))
+                else:
+                    hv = pd.util.hash_array(
+                        arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    )
+                h.update(np.ascontiguousarray(hv).tobytes())
         return f"batch-{h.hexdigest()[:16]}.parquet"
 
     def __call__(self, batch: pa.Table) -> pa.Table:

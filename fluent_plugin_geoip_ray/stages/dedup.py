@@ -3,16 +3,26 @@
 Exact, MinHash+LSH, SimHash and embedding-LSH near-dup -- each expressed
 Ray-Data-first:
 
-* exact: vectorized content hash inside ``map_batches`` (combiner), then ONE
-  hash-partitioned ``groupby(hash).map_groups(keep min key)`` -- hash keys are
-  uniform so the shuffle is skew-free by construction.
-* MinHash/SimHash: sketches computed fully vectorized per batch (numpy over
-  flattened token arrays + ``reduceat``), exploded to (band, band_hash, doc)
-  rows, bucketed by ``groupby`` -- the LSH shuffle moves only sketch rows
-  (~tens of bytes/doc), never text.  Candidate pairs are verified and merged
-  into clusters by min-label union-find on the collected edge list (edges are
-  the sparse output of LSH; the 100 TB path iterates distributed min-label
-  propagation instead -- see ``connected_components``' docstring).
+* exact: vectorized content hash inside ``map_batches`` (combiner), then a
+  partial+final grouped min over (hash -> winner key); the keep-filter is a
+  broadcast sorted-array probe (numpy searchsorted), or -- above a winner
+  cardinality threshold / ``mode="shuffle"`` -- a hash-bucketed distributed
+  semi-join with no driver-side winner state.
+* MinHash/SimHash: ONE sketch row per doc (key, signature, bucket hashes),
+  computed fully vectorized per batch (numpy over flattened token arrays +
+  ``reduceat``) and materialized once -- tens of bytes/doc; text never
+  shuffles.  Bucket winners come from a partial+final aggregate over the
+  exploded (bucket, key) rows; candidate edges are emitted AND verified in
+  the same vectorized pass over the sketch table (signatures ride along, so
+  there is no second corpus scan and no per-pair Python).  Members whose
+  star edge to the bucket winner fails verification are re-starred
+  iteratively among themselves (ADVICE round 1), closing the
+  under-deduplication gap of plain star-then-verify.
+* clustering: min-label union-find over the streamed sparse edge list by
+  default (LSH edges are near-dup pairs only; documented assumption), or
+  :func:`connected_components_distributed` -- iterative min-label
+  propagation built from bucketed joins + grouped mins over Datasets, no
+  driver-side edge materialization -- as the 100 TB path.
 """
 
 from __future__ import annotations
@@ -24,6 +34,9 @@ import pyarrow.compute as pc
 from .text import fingerprint
 
 _MERSENNE = (1 << 61) - 1
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 # --------------------------------------------------------------------------
@@ -31,55 +44,90 @@ _MERSENNE = (1 << 61) - 1
 # --------------------------------------------------------------------------
 
 def dedup_exact(ds, key_col: str = "doc_id", text_col: str = "text",
-                mode: str = "broadcast"):
+                mode: str = "auto", broadcast_limit: int = 50_000_000):
     """Keep exactly one row (min ``key_col``) per distinct ``text_col``.
 
     Oracle: ``SELECT * WHERE key IN (SELECT min(key) GROUP BY text)``.
 
-    ``mode="broadcast"`` (default): winners = partial+final grouped
-    min(key) per content hash (shuffle carries only (hash, key) pairs),
-    broadcast as a dict, then a vectorized keep-filter -- text never
-    shuffles.  Right up to ~10^8 distinct winners per broadcast; beyond
-    that use ``mode="shuffle"`` (hash-partitioned groupby + head(1) per
-    group), which moves full rows but has no driver-side state.
+    ``mode="auto"`` (default): winners = distributed partial+final grouped
+    min(key) per content hash (shuffle carries only (hash, key) pairs); if
+    the winner count fits ``broadcast_limit`` they are broadcast as sorted
+    arrays and the keep-filter is a vectorized searchsorted probe -- text
+    never shuffles.  Past the limit it falls through to the shuffle path
+    automatically.  ``mode="broadcast"`` skips the count (driver-merged
+    winners; fastest when the result is known small); ``mode="shuffle"``
+    is the no-driver-state path: a hash-bucketed semi-join of rows against
+    the distributed winner table.
     """
-    import pandas as pd
-
     hashed = ds.map_batches(
         lambda t: fingerprint(t, text_col=text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
 
-    if mode == "shuffle":
-        def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-            return g.nsmallest(1, key_col)
-
-        out = hashed.groupby("fingerprint").map_groups(keep_min, batch_format="pandas")
-        return out.drop_columns(["fingerprint"])
-
     from .aggregate import groupby_agg
 
-    winners = groupby_agg(
-        hashed, ["fingerprint"], [(key_col, "min", "__winner")], merge="driver"
-    ).to_pandas()
+    if mode == "shuffle":
+        winners = groupby_agg(
+            hashed, ["fingerprint"], [(key_col, "min", "__winner")], merge="ray"
+        )
+        return _dedup_exact_semijoin(hashed, winners, key_col, list(ds.schema().names))
+
+    if mode == "auto":
+        winners_ds = groupby_agg(
+            hashed, ["fingerprint"], [(key_col, "min", "__winner")], merge="ray"
+        ).materialize()
+        if winners_ds.count() > broadcast_limit:
+            return _dedup_exact_semijoin(
+                hashed, winners_ds, key_col, list(ds.schema().names)
+            )
+        import ray
+
+        tables = [t for t in ray.get(winners_ds.to_arrow_refs()) if t.num_rows]
+        winners = (
+            pa.concat_tables(tables).combine_chunks().to_pandas()
+            if tables else None
+        )
+    else:  # broadcast
+        winners = groupby_agg(
+            hashed, ["fingerprint"], [(key_col, "min", "__winner")], merge="driver"
+        ).to_pandas()
+
     import ray
 
-    win_ref = ray.put(dict(zip(winners["fingerprint"], winners["__winner"])))
+    if winners is None or not len(winners):
+        return hashed.drop_columns(["fingerprint"])
+    order = np.argsort(winners["fingerprint"].to_numpy())
+    fp_sorted = winners["fingerprint"].to_numpy()[order]
+    key_sorted = winners["__winner"].to_numpy()[order]
+    win_ref = ray.put((fp_sorted, key_sorted))
 
     def keep(batch: pa.Table) -> pa.Table:
-        wmap = ray.get(win_ref)
+        fps_s, keys_s = ray.get(win_ref)
         fps = batch.column("fingerprint").to_numpy(zero_copy_only=False)
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-        mask = np.fromiter(
-            (wmap.get(f) == k for f, k in zip(fps, keys)),
-            dtype=bool, count=len(fps),
-        )
+        # every batch fingerprint exists in the winner table by construction
+        pos = np.searchsorted(fps_s, fps)
+        mask = keys_s[pos] == keys
         return batch.filter(pa.array(mask))
 
     return hashed.map_batches(
         keep, batch_format="pyarrow", zero_copy_batch=True
     ).drop_columns(["fingerprint"])
+
+
+def _dedup_exact_semijoin(hashed, winners_ds, key_col: str, out_cols: list[str]):
+    """Scale path: hash-bucketed join rows<->winners on fingerprint, keep rows
+    whose key IS the winner.  Moves full rows once; no driver-side state."""
+    from .join import bucketed_join
+
+    joined = bucketed_join(hashed, winners_ds, on="fingerprint", how="inner")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column(key_col), batch.column("__winner"))
+        return batch.filter(pc.fill_null(mask, False)).select(out_cols)
+
+    return joined.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --------------------------------------------------------------------------
@@ -161,12 +209,27 @@ def minhash_signatures(batch: pa.Table, text_col: str = "text",
     return sig
 
 
-class MinHashLSH:
-    """Stage 1 of MinHash-LSH dedup: doc -> (band, band_hash) rows.
+def _matrix_to_fixed_list(mat: np.ndarray, width: int,
+                          dtype=np.int64) -> pa.FixedSizeListArray:
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.astype(dtype).ravel()), width
+    )
 
-    ``map_batches`` callable (actor pool -- permutation params are per-actor
-    state); output has ``bands`` rows per doc, tens of bytes each, which is
-    ALL that the LSH groupby shuffles.
+
+def _fixed_list_to_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    width = col.type.list_size
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, width)
+
+
+class MinHashSketch:
+    """``map_batches`` callable: one sketch row per doc.
+
+    Output columns: ``key_col``, ``sig`` (FixedSizeList<int64>[num_perm] --
+    the full signature rides along so candidate verification never re-reads
+    text), ``bucket`` (FixedSizeList<int64>[bands] -- per-band LSH bucket
+    hash, band index mixed into the FNV seed so bands never alias).
     """
 
     def __init__(self, key_col: str = "doc_id", text_col: str = "text",
@@ -177,89 +240,264 @@ class MinHashLSH:
         self.rows_per_band = num_perm // bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         sig = minhash_signatures(batch, self.text_col, self.num_perm, seed=self.seed)
         n = sig.shape[0]
         r = self.rows_per_band
-        band_hash = np.empty((n, self.bands), dtype=np.uint64)
+        bucket = np.empty((n, self.bands), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for b in range(self.bands):
                 chunk = sig[:, b * r:(b + 1) * r]
-                h = np.uint64(14695981039346656037)
-                acc = np.full(n, h, dtype=np.uint64)
+                acc = np.full(n, _FNV_OFFSET ^ (np.uint64(b) * _GOLDEN),
+                              dtype=np.uint64)
                 for j in range(r):
-                    acc = (acc ^ chunk[:, j]) * np.uint64(1099511628211)
-                band_hash[:, b] = acc
-        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "band": pa.array(np.repeat(np.arange(self.bands, dtype=np.int32), n)),
-                "band_hash": pa.array(band_hash.T.ravel().astype(np.int64)),
-                self.key_col: pa.array(np.tile(keys, self.bands)),
-            }
+                    acc = (acc ^ chunk[:, j]) * _FNV_PRIME
+                bucket[:, b] = acc
+        return pa.table({
+            self.key_col: batch.column(self.key_col),
+            "sig": _matrix_to_fixed_list(sig, self.num_perm),
+            "bucket": _matrix_to_fixed_list(bucket, self.bands),
+        })
+
+
+# --------------------------------------------------------------------------
+# LSH bucket -> verified edges (shared by MinHash and SimHash paths)
+# --------------------------------------------------------------------------
+
+def _explode_buckets(key_col: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        bk = _fixed_list_to_matrix(batch.column("bucket"))
+        n, width = bk.shape
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), width))
+        return pa.table({
+            "bucket": pa.array(bk.ravel().astype(np.int64)),
+            key_col: keys.take(idx),
+        })
+
+    return fn
+
+
+def lsh_verified_edges(sketches, key_col: str, verify, merge: str = "driver",
+                       max_restar_rounds: int = 8):
+    """Bucket winners + vectorized edge emission + in-pass verification.
+
+    ``sketches``: materialized Dataset of (key, sig FixedSizeList, bucket
+    FixedSizeList) rows.  ``verify(sig_a, sig_b) -> bool[n]`` compares two
+    (n, width) int64 signature matrices.
+
+    1. bucket winners = partial+final (min key, count) per bucket hash --
+       the only shuffle, O(buckets) tiny rows; non-singleton winners are
+       broadcast as SORTED numpy arrays.
+    2. winner signatures are gathered in one vectorized filtered pass and
+       broadcast alongside.
+    3. one ``map_batches`` pass over the sketch table emits star edges
+       (bucket member -> bucket min) via searchsorted probes and verifies
+       them against the broadcast winner signatures -- all numpy, no per-row
+       Python, no second corpus scan.
+    4. members whose star edge FAILED verification are re-starred
+       iteratively among themselves per bucket (driver-side numpy; the
+       failed set is the verification-miss fraction, small by construction
+       of LSH band thresholds) -- closing plain star-then-verify's
+       under-merge gap (ADVICE round 1).
+
+    Returns a pandas DataFrame of verified edges (a, b).
+    """
+    import pandas as pd
+    import ray
+
+    from .aggregate import groupby_agg
+
+    exploded = sketches.map_batches(
+        _explode_buckets(key_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    buckets = groupby_agg(
+        exploded, ["bucket"],
+        [(key_col, "min", "__a"), (key_col, "count", "__n")],
+        merge=merge,
+    ).to_pandas()
+    buckets = buckets[buckets["__n"] > 1]
+    if not len(buckets):
+        return pd.DataFrame({"a": [], "b": []})
+
+    b_ids = buckets["bucket"].to_numpy().astype(np.int64)
+    b_win = buckets["__a"].to_numpy().astype(np.int64)
+    order = np.argsort(b_ids)
+    b_ids, b_win = b_ids[order], b_win[order]
+
+    # winner signatures: one vectorized filtered pass over the sketch table
+    wkeys = np.unique(b_win)
+    wkeys_arr = pa.array(wkeys)
+    wref = ray.put(wkeys_arr)
+
+    def winner_sigs(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(key_col), value_set=ray.get(wref))
+        return batch.select([key_col, "sig"]).filter(pc.fill_null(mask, False))
+
+    wtab = pa.concat_tables(
+        ray.get(
+            sketches.map_batches(
+                winner_sigs, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
         )
+    ).combine_chunks()
+    wk = wtab.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    wsig = _fixed_list_to_matrix(wtab.column("sig"))
+    worder = np.argsort(wk)
+    wk, wsig = wk[worder], wsig[worder]
+
+    state = ray.put((b_ids, b_win, wk, wsig))
+
+    def edges_fn(batch: pa.Table) -> pa.Table:
+        ids, win, wkk, wss = ray.get(state)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = _fixed_list_to_matrix(batch.column("sig"))
+        bk = _fixed_list_to_matrix(batch.column("bucket"))
+        n, width = bk.shape
+        flat = bk.ravel()
+        mkeys = np.repeat(keys, width)
+        rows = np.repeat(np.arange(n, dtype=np.int64), width)
+        pos = np.searchsorted(ids, flat)
+        pos_c = np.minimum(pos, len(ids) - 1)
+        valid = (ids[pos_c] == flat)
+        a = win[pos_c]
+        valid &= a != mkeys
+        if not valid.any():
+            empty = pa.array([], pa.int64())
+            return pa.table({"a": empty, "b": empty, "bucket": empty,
+                             "ok": pa.array([], pa.bool_())})
+        a, b, bkt, ridx = a[valid], mkeys[valid], flat[valid], rows[valid]
+        wpos = np.searchsorted(wkk, a)
+        ok = verify(wss[wpos], sig[ridx])
+        return pa.table({
+            "a": pa.array(a), "b": pa.array(b),
+            "bucket": pa.array(bkt), "ok": pa.array(ok),
+        })
+
+    edge_tables = [
+        t for t in ray.get(
+            sketches.map_batches(
+                edges_fn, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        ) if t.num_rows
+    ]
+    if not edge_tables:
+        return pd.DataFrame({"a": [], "b": []})
+    edges = pa.concat_tables(edge_tables).combine_chunks()
+    okm = edges.column("ok").to_numpy(zero_copy_only=False)
+    verified = pd.DataFrame({
+        "a": edges.column("a").to_numpy(zero_copy_only=False)[okm],
+        "b": edges.column("b").to_numpy(zero_copy_only=False)[okm],
+    })
+
+    failed = edges.filter(pa.array(~okm))
+    if failed.num_rows == 0:
+        return verified
+
+    # -- iterative re-star over verification failures (small set) ----------
+    fkeys = np.unique(failed.column("b").to_numpy(zero_copy_only=False))
+    fref = ray.put(pa.array(fkeys))
+
+    def failed_sigs(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(key_col), value_set=ray.get(fref))
+        return batch.select([key_col, "sig"]).filter(pc.fill_null(mask, False))
+
+    ftab = pa.concat_tables(
+        ray.get(
+            sketches.map_batches(
+                failed_sigs, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+    ).combine_chunks()
+    fk = ftab.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    fsig = _fixed_list_to_matrix(ftab.column("sig"))
+    forder = np.argsort(fk)
+    fk, fsig = fk[forder], fsig[forder]
+
+    fb = failed.column("bucket").to_numpy(zero_copy_only=False)
+    fm = failed.column("b").to_numpy(zero_copy_only=False)
+    extra_a, extra_b = [], []
+    df = pd.DataFrame({"bucket": fb, "m": fm}).drop_duplicates()
+    for bucket_id, grp in df.groupby("bucket"):
+        members = np.sort(grp["m"].to_numpy().astype(np.int64))
+        for _ in range(max_restar_rounds):
+            if len(members) < 2:
+                break
+            rep, rest = members[0], members[1:]
+            rpos = np.searchsorted(fk, rep)
+            spos = np.searchsorted(fk, rest)
+            ok2 = verify(np.broadcast_to(fsig[rpos], (len(rest), fsig.shape[1])),
+                         fsig[spos])
+            extra_a.extend([rep] * int(ok2.sum()))
+            extra_b.extend(rest[ok2].tolist())
+            members = rest[~ok2]
+
+    if extra_a:
+        verified = pd.concat(
+            [verified, pd.DataFrame({"a": extra_a, "b": extra_b})],
+            ignore_index=True,
+        )
+    return verified
 
 
 def lsh_candidate_pairs(ds, key_col: str = "doc_id", **lsh_kwargs):
-    """doc -> sketch -> band buckets -> candidate edge list (a, b) Dataset.
+    """doc -> sketch -> band buckets -> UNVERIFIED candidate edge Dataset.
 
-    Star edges to each bucket's minimum key give the same connectivity as
-    all-pairs at O(bucket size).  Buckets are resolved by an AGGREGATE
-    (partial+final min/count per (band, band_hash) -- tiny shuffle) plus a
-    broadcast winner map, never by per-group Python calls: with B bands a
-    corpus has ~B x n_docs near-singleton buckets, and ``map_groups`` at one
-    Python call per bucket is the per-row trap this engine avoids.
+    Star edges member -> bucket-min at O(bucket size); buckets resolved by a
+    partial+final aggregate (tiny shuffle) + broadcast sorted winner arrays,
+    edge emission fully vectorized (searchsorted probe, no per-row Python).
+    Kept as a building block; the dedup paths use :func:`lsh_verified_edges`
+    which verifies in the same pass.
     """
     import ray
 
     from .aggregate import groupby_agg
 
-    # sketches are consumed twice (bucket winners + edge emission): pin the
-    # tiny sketch table (tens of bytes/doc) instead of recomputing the
-    # tokenize+minhash pipeline per consumer
     sketches = ds.map_batches(
-        MinHashLSH(key_col=key_col, **lsh_kwargs),
+        MinHashSketch(key_col=key_col, **lsh_kwargs),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
+    exploded = sketches.map_batches(
+        _explode_buckets(key_col), batch_format="pyarrow", zero_copy_batch=True
+    )
     buckets = groupby_agg(
-        sketches, ["band", "band_hash"],
+        exploded, ["bucket"],
         [(key_col, "min", "__a"), (key_col, "count", "__n")],
         merge="driver",
     ).to_pandas()
     buckets = buckets[buckets["__n"] > 1]
-    win_ref = ray.put(
-        {
-            (int(b), int(h)): int(a)
-            for b, h, a in zip(buckets["band"], buckets["band_hash"], buckets["__a"])
-        }
-    )
+    b_ids = buckets["bucket"].to_numpy().astype(np.int64)
+    b_win = buckets["__a"].to_numpy().astype(np.int64)
+    order = np.argsort(b_ids)
+    state = ray.put((b_ids[order], b_win[order]))
 
     def edges(batch: pa.Table) -> pa.Table:
-        wmap = ray.get(win_ref)
-        bands = batch.column("band").to_numpy(zero_copy_only=False)
-        hashes = batch.column("band_hash").to_numpy(zero_copy_only=False)
-        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-        a_list, b_list = [], []
-        for b, h, k in zip(bands, hashes, keys):
-            a = wmap.get((int(b), int(h)))
-            if a is not None and a != k:
-                a_list.append(a)
-                b_list.append(k)
-        return pa.table({"a": pa.array(a_list, pa.int64()),
-                         "b": pa.array(b_list, pa.int64())})
+        ids, win = ray.get(state)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bk = _fixed_list_to_matrix(batch.column("bucket"))
+        n, width = bk.shape
+        flat = bk.ravel()
+        mkeys = np.repeat(keys, width)
+        if len(ids) == 0:
+            empty = pa.array([], pa.int64())
+            return pa.table({"a": empty, "b": empty})
+        pos = np.minimum(np.searchsorted(ids, flat), len(ids) - 1)
+        valid = (ids[pos] == flat) & (win[pos] != mkeys)
+        return pa.table({"a": pa.array(win[pos][valid]),
+                         "b": pa.array(mkeys[valid])})
 
     return sketches.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def connected_components(edges) -> dict:
-    """Union-find over a collected edge list -> {key -> cluster_min_key}.
+    """Union-find over a streamed edge list -> {key -> cluster_min_key}.
 
-    LSH edges are sparse (near-dup pairs only), so collecting them is fine up
-    to ~10^8 edges.  The 100 TB path replaces this with distributed min-label
-    propagation: iterate ``label = min(label, min(neighbor labels))`` via a
-    few groupby rounds until fixpoint -- same result, no driver state.
+    LSH edges are sparse (near-dup pairs only), so streaming them through the
+    driver is fine up to ~10^8 edges; duplicate edges are free (union-find is
+    idempotent).  The 100 TB path is
+    :func:`connected_components_distributed` -- same result, no driver edges.
     """
     parent: dict = {}
 
@@ -289,125 +527,133 @@ def connected_components(edges) -> dict:
 def connected_components_distributed(edges_ds, max_iters: int = 20):
     """Distributed connected components by iterative min-label propagation.
 
-    The scale path promised by :func:`connected_components`'s docstring,
-    actually implemented: labels start as each node's own id; every round
-    each node takes the min of its neighbors' labels (undirected), via a
-    grouped min over the exploded (node, neighbor_label) pairs; stop when a
-    round changes nothing.  Each round is one small shuffle over label pairs
-    (never document data).  Returns {node -> component_min} for nodes that
-    ended below their own id (same contract as the union-find version).
+    Operates on DATASETS end-to-end: edges stay distributed, every round is
+    a pair of hash-bucketed joins (edge endpoint -> current label) plus one
+    partial+final grouped min -- no driver-side edge or label
+    materialization.  Convergence is detected from the total label sum
+    (labels only ever decrease, so an unchanged sum means a fixpoint), an
+    O(1) driver-side scalar per round.
 
-    Note label propagation needs O(diameter) rounds; LSH near-dup graphs are
+    Label propagation needs O(diameter) rounds; LSH near-dup graphs are
     star-shaped (diameter <= 2 per bucket, small after bucket overlap), so
-    this converges in a handful of rounds.
+    this converges in a handful of rounds.  Returns {node -> component_min}
+    for nodes that ended below their own id (same contract as the
+    union-find version; the final collect is O(nodes-in-clusters)).
     """
     import pandas as pd
 
-    from .aggregate import groupby_agg
-
-    edges = edges_ds.to_pandas() if hasattr(edges_ds, "to_pandas") else edges_ds
-    if len(edges) == 0:
-        return {}
     import ray.data as rd
 
-    labels = None  # pandas: node -> label
-    nodes = pd.unique(pd.concat([edges["a"], edges["b"]], ignore_index=True))
-    labels = pd.DataFrame({"node": nodes, "label": nodes})
+    from .aggregate import groupby_agg
+    from .join import bucketed_join
+
+    if isinstance(edges_ds, pd.DataFrame):
+        if not len(edges_ds):
+            return {}
+        edges_ds = rd.from_pandas(edges_ds)
+    edges = edges_ds.select_columns(["a", "b"]).materialize()
+    if edges.count() == 0:
+        return {}
+
+    def _endpoints(t: pa.Table) -> pa.Table:
+        a = t.column("a")
+        b = t.column("b")
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+        return pa.table({"node": pa.concat_arrays(
+            [a.cast(pa.int64()), b.cast(pa.int64())]
+        )})
+
+    labels = groupby_agg(
+        edges.map_batches(_endpoints, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"], [("node", "min", "label")], merge="ray",
+    ).materialize()
+    prev_sum = labels.sum("label")
+
+    def _rename(old_new: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([old_new.get(c, c) for c in t.column_names])
+
+        return fn
+
     for _ in range(max_iters):
-        # neighbor labels along both edge directions
-        la = edges.merge(labels, left_on="a", right_on="node")[["b", "label"]]
-        la.columns = ["node", "nlabel"]
-        lb = edges.merge(labels, left_on="b", right_on="node")[["a", "label"]]
-        lb.columns = ["node", "nlabel"]
-        self_l = labels.rename(columns={"label": "nlabel"})
-        allp = pd.concat([la, lb, self_l], ignore_index=True)
-        # grouped min via the engine's partial+final aggregate (distributed
-        # when the pair set is a Dataset; pair volume is O(edges), tiny)
-        new = (
-            groupby_agg(
-                rd.from_pandas(allp), ["node"], [("nlabel", "min", "label")],
-                merge="driver",
-            )
-            .to_pandas()[["node", "label"]]
+        # neighbor labels along both edge directions via bucketed joins
+        e_a = edges.map_batches(_rename({"a": "node"}), batch_format="pyarrow")
+        j_a = bucketed_join(e_a, labels, on="node", how="inner")
+        n_a = j_a.map_batches(
+            _rename({"b": "node2"}), batch_format="pyarrow"
+        ).select_columns(["node2", "label"]).map_batches(
+            _rename({"node2": "node", "label": "nlabel"}), batch_format="pyarrow"
         )
-        merged = labels.merge(new, on="node", suffixes=("_old", ""))
-        changed = int((merged["label_old"] != merged["label"]).sum())
-        labels = merged[["node", "label"]]
-        if changed == 0:
+        e_b = edges.map_batches(_rename({"b": "node"}), batch_format="pyarrow")
+        j_b = bucketed_join(e_b, labels, on="node", how="inner")
+        n_b = j_b.map_batches(
+            _rename({"a": "node2"}), batch_format="pyarrow"
+        ).select_columns(["node2", "label"]).map_batches(
+            _rename({"node2": "node", "label": "nlabel"}), batch_format="pyarrow"
+        )
+        self_l = labels.map_batches(
+            _rename({"label": "nlabel"}), batch_format="pyarrow"
+        )
+        allp = n_a.union(n_b).union(self_l)
+        labels = groupby_agg(
+            allp, ["node"], [("nlabel", "min", "label")], merge="ray"
+        ).select_columns(["node", "label"]).materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
             break
-    return {
-        int(n): int(l) for n, l in zip(labels["node"], labels["label"]) if n != l
-    }
+        prev_sum = cur_sum
+
+    out = {}
+    for b in labels.iter_batches(batch_size=65536, batch_format="pandas"):
+        sub = b[b["node"] != b["label"]]
+        out.update(dict(zip(sub["node"].astype(int), sub["label"].astype(int))))
+    return out
+
+
+# --------------------------------------------------------------------------
+# MinHash / SimHash dedup drivers
+# --------------------------------------------------------------------------
+
+def _drop_losers(ds, losers, key_col: str):
+    """Vectorized anti-filter: broadcast sorted loser keys, ``pc.is_in``."""
+    import ray
+
+    if not losers:
+        return ds
+    losers_ref = ray.put(pa.array(sorted(losers)))
+
+    def drop(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column(key_col), value_set=ray.get(losers_ref))
+        return t.filter(pc.invert(pc.fill_null(mask, False)))
+
+    return ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def dedup_minhash(ds, key_col: str = "doc_id", text_col: str = "text",
-                  jaccard_threshold: float = 0.7, **lsh_kwargs):
+                  jaccard_threshold: float = 0.7, num_perm: int = 64,
+                  bands: int = 16, seed: int = 42):
     """Near-dup removal: keep the min-key representative of each LSH cluster.
 
-    Candidates are verified by MinHash-estimated Jaccard >= threshold before
-    clustering (estimate from full signatures, no shingle-set re-read).
+    Candidates are verified by MinHash-estimated Jaccard >= threshold (the
+    signature agreement rate is an unbiased Jaccard estimator) in the SAME
+    pass that emits them -- signatures ride in the sketch table, so the
+    corpus is scanned once for sketching and once for the final drop filter.
     """
-    pairs = lsh_candidate_pairs(ds, key_col=key_col, text_col=text_col, **lsh_kwargs)
-    pairs_df = pairs.to_pandas().drop_duplicates()
-    if len(pairs_df):
-        verified = verify_pairs_jaccard(
-            ds, pairs_df, key_col=key_col, text_col=text_col,
-            threshold=jaccard_threshold, **lsh_kwargs,
-        )
-    else:
-        verified = pairs_df
-    labels = connected_components(verified)
+    sketches = ds.map_batches(
+        MinHashSketch(key_col=key_col, text_col=text_col,
+                      num_perm=num_perm, bands=bands, seed=seed),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def verify(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+        return (sa == sb).mean(axis=1) >= jaccard_threshold
+
+    edges = lsh_verified_edges(sketches, key_col, verify)
+    labels = connected_components(edges)
     losers = {k for k, root in labels.items() if root != k}
-    import ray
-
-    losers_ref = ray.put(losers)
-
-    def drop_losers(t: pa.Table) -> pa.Table:
-        ls = ray.get(losers_ref)
-        keys = t.column(key_col).to_numpy(zero_copy_only=False)
-        mask = np.asarray([k not in ls for k in keys])
-        return t.filter(pa.array(mask))
-
-    return ds.map_batches(drop_losers, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def verify_pairs_jaccard(ds, pairs_df, key_col="doc_id", text_col="text",
-                         threshold=0.7, num_perm=64, seed=42, **_):
-    """Estimate Jaccard for candidate pairs from full MinHash signatures
-    (signature agreement rate is an unbiased Jaccard estimator)."""
-    need = set(pairs_df["a"]).union(pairs_df["b"])
-    import ray
-
-    need_ref = ray.put(need)
-
-    def sigs_for(batch: pa.Table) -> pa.Table:
-        nd = ray.get(need_ref)
-        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-        mask = np.asarray([k in nd for k in keys])
-        sub = batch.filter(pa.array(mask))
-        if sub.num_rows == 0:
-            return pa.table({key_col: pa.array([], pa.int64()),
-                             "sig": pa.array([], pa.list_(pa.int64()))})
-        sig = minhash_signatures(sub, text_col, num_perm, seed=seed).astype(np.int64)
-        return pa.table({
-            key_col: sub.column(key_col),
-            "sig": pa.FixedSizeListArray.from_arrays(pa.array(sig.ravel()), num_perm),
-        })
-
-    sig_rows = ds.map_batches(sigs_for, batch_format="pyarrow").to_pandas()
-    sig_map = {
-        k: np.asarray(v) for k, v in zip(sig_rows[key_col], sig_rows["sig"])
-    }
-    keep = []
-    for a, b in zip(pairs_df["a"], pairs_df["b"]):
-        sa, sb = sig_map.get(a), sig_map.get(b)
-        if sa is None or sb is None:
-            continue
-        if (sa == sb).mean() >= threshold:
-            keep.append((a, b))
-    import pandas as pd
-
-    return pd.DataFrame(keep, columns=["a", "b"])
+    return _drop_losers(ds, losers, key_col)
 
 
 # --------------------------------------------------------------------------
@@ -432,95 +678,64 @@ def simhash_bits(batch: pa.Table, text_col: str = "text") -> np.ndarray:
     )
 
 
+class SimHashSketch:
+    """``map_batches`` callable: (key, sig FixedSizeList<int64>[1] = the
+    64-bit simhash, bucket FixedSizeList<int64>[4] = 16-bit bands tagged
+    with the band index in the high bits -- pigeonhole bucketing for
+    hamming <= 3)."""
+
+    def __init__(self, key_col: str = "doc_id", text_col: str = "text"):
+        self.key_col, self.text_col = key_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sh = simhash_bits(batch, self.text_col)
+        n = len(sh)
+        bucket = np.empty((n, 4), dtype=np.int64)
+        for b in range(4):
+            band = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64)
+            bucket[:, b] = (np.int64(b) << np.int64(48)) | band
+        return pa.table({
+            self.key_col: batch.column(self.key_col),
+            "sig": _matrix_to_fixed_list(sh.astype(np.int64).reshape(-1, 1), 1),
+            "bucket": _matrix_to_fixed_list(bucket, 4),
+        })
+
+
 def add_simhash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Column helper: append simhash + 4 band columns (analysis paths)."""
     sh = simhash_bits(batch, text_col)
     out = batch.append_column("simhash", pa.array(sh.astype(np.int64)))
-    # 4 x 16-bit bands for hamming<=3 candidate bucketing (pigeonhole)
     for b in range(4):
         band = ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int32)
         out = out.append_column(f"simhash_b{b}", pa.array(band))
     return out
 
 
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
 def dedup_simhash(ds, key_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3):
     """SimHash near-dup: band-bucket candidates, hamming-verify, keep min key.
 
-    Same shuffle discipline as MinHash-LSH: bucket winners come from
-    partial+final aggregates over the tiny per-doc SKETCH table (never a
-    per-bucket ``map_groups``); candidate edges are verified against a
-    broadcast {key -> simhash} map restricted to keys that appear in edges.
-    """
-    import pandas as pd
-    import ray
+    Same machinery as :func:`dedup_minhash` -- the sketch table carries the
+    64-bit simhash as a width-1 signature, verification is a vectorized
+    XOR-popcount in the edge-emission pass, failed members re-star."""
+    sketches = ds.map_batches(
+        SimHashSketch(key_col=key_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
 
-    from .aggregate import groupby_agg
+    def verify(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+        return _hamming64(sa[:, 0], sb[:, 0]) <= max_hamming
 
-    band_cols = [f"simhash_b{b}" for b in range(4)]
-    sketched = ds.map_batches(
-        lambda t: add_simhash(t, text_col), batch_format="pyarrow", zero_copy_batch=True
-    ).select_columns([key_col, "simhash"] + band_cols).materialize()
-
-    # per band: bucket winner (min key) where bucket size > 1
-    win_maps = []
-    for col in band_cols:
-        w = groupby_agg(
-            sketched, [col], [(key_col, "min", "__a"), (key_col, "count", "__n")],
-            merge="driver",
-        ).to_pandas()
-        w = w[w["__n"] > 1]
-        win_maps.append(dict(zip(w[col].astype(int), w["__a"].astype(int))))
-    maps_ref = ray.put(win_maps)
-
-    def edges_fn(batch: pa.Table) -> pa.Table:
-        maps = ray.get(maps_ref)
-        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-        a_list, b_list = [], []
-        for col, wmap in zip(band_cols, maps):
-            vals = batch.column(col).to_numpy(zero_copy_only=False)
-            for v, k in zip(vals, keys):
-                a = wmap.get(int(v))
-                if a is not None and a != k:
-                    a_list.append(a)
-                    b_list.append(k)
-        return pa.table({"a": pa.array(a_list, pa.int64()),
-                         "b": pa.array(b_list, pa.int64())})
-
-    edges = (
-        sketched.map_batches(edges_fn, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-        .drop_duplicates(["a", "b"])
-    )
-
-    if len(edges):
-        need = set(edges["a"]).union(edges["b"])
-        need_ref = ray.put(need)
-
-        def sims_fn(batch: pa.Table) -> pa.Table:
-            nd = ray.get(need_ref)
-            keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-            mask = np.fromiter((k in nd for k in keys), dtype=bool, count=len(keys))
-            return batch.select([key_col, "simhash"]).filter(pa.array(mask))
-
-        sims = sketched.map_batches(sims_fn, batch_format="pyarrow").to_pandas()
-        smap = dict(zip(sims[key_col], sims["simhash"]))
-        ha = edges["a"].map(smap).to_numpy().astype(np.uint64)
-        hb = edges["b"].map(smap).to_numpy().astype(np.uint64)
-        x = np.bitwise_xor(ha, hb)
-        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
-        edges = edges[ham <= max_hamming]
-
-    labels = connected_components(edges[["a", "b"]] if len(edges) else edges)
+    edges = lsh_verified_edges(sketches, key_col, verify)
+    labels = connected_components(edges)
     losers = {k for k, root in labels.items() if root != k}
-    losers_ref = ray.put(losers)
-
-    def drop_losers(t: pa.Table) -> pa.Table:
-        ls = ray.get(losers_ref)
-        keys = t.column(key_col).to_numpy(zero_copy_only=False)
-        mask = np.fromiter((k not in ls for k in keys), dtype=bool, count=len(keys))
-        return t.filter(pa.array(mask))
-
-    return ds.map_batches(drop_losers, batch_format="pyarrow", zero_copy_batch=True)
+    return _drop_losers(ds, losers, key_col)
 
 
 # --------------------------------------------------------------------------

@@ -24,21 +24,49 @@ class BroadcastJoin:
 
     def __init__(self, right_ref, on, how: str = "inner",
                  right_prefix: str = ""):
+        import pyarrow.compute as pc
         import ray
 
         right = ray.get(right_ref)
+        if not isinstance(right, pa.Table):
+            right = pa.Table.from_pandas(right, preserve_index=False)
+        keys = on if isinstance(on, list) else [on]
         if right_prefix:
-            right = right.rename(
-                columns={c: right_prefix + c for c in right.columns
-                         if c not in (on if isinstance(on, list) else [on])}
+            right = right.rename_columns(
+                [c if c in keys else right_prefix + c for c in right.column_names]
             )
-        self.right = right
-        self.on, self.how = on, how
+        self.right = right.combine_chunks()
+        self.on, self.how, self.keys = on, how, keys
+        # fast path: single unique-keyed join column -> per-batch index_in +
+        # take (zero hash-table rebuild of the right side beyond one array
+        # probe); duplicate right keys fall back to Acero's Table.join
+        self._key_arr = None
+        if len(keys) == 1:
+            karr = self.right.column(keys[0]).combine_chunks()
+            if len(karr) == pc.count_distinct(karr).as_py():
+                self._key_arr = karr
+                self._val_cols = [
+                    (name, self.right.column(name).combine_chunks())
+                    for name in self.right.column_names if name != keys[0]
+                ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        left = batch.to_pandas()
-        out = left.merge(self.right, on=self.on, how=self.how, sort=False)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        import pyarrow.compute as pc
+
+        if self._key_arr is not None:
+            idx = pc.index_in(batch.column(self.keys[0]), value_set=self._key_arr)
+            if isinstance(idx, pa.ChunkedArray):
+                idx = idx.combine_chunks()
+            if self.how == "inner":
+                mask = pc.is_valid(idx)
+                batch = batch.filter(mask)
+                idx = idx.filter(mask)
+            out = batch
+            for name, col in self._val_cols:
+                out = out.append_column(name, col.take(idx))
+            return out
+        arrow_how = {"inner": "inner", "left": "left outer"}[self.how]
+        return batch.join(self.right, keys=self.keys, join_type=arrow_how)
 
 
 def broadcast_join(ds, right_df, on, how: str = "inner",
@@ -121,13 +149,21 @@ def bucketed_join(left_ds, right_ds, on: str, num_buckets: int = 32,
         right_ds.map_batches(add_bucket(1), batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g.loc[g["__side"] == 0, [on] + [c for c in lnames if c != on]]
-        rt = g.loc[g["__side"] == 1, [on] + rnames]
-        out = lf.merge(rt, on=on, how=how, sort=False)
-        return out
+    arrow_how = {"inner": "inner", "left": "left outer"}[how]
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pandas")
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native (Acero hash join): typed null padding survives -- no
+        # pandas int64 -> float64 degradation on padded columns.
+        import pyarrow.compute as pc
+
+        side = g.column("__side")
+        lf = g.filter(pc.equal(side, 0)).select(
+            [on] + [c for c in lnames if c != on]
+        )
+        rt = g.filter(pc.equal(side, 1)).select([on] + rnames)
+        return lf.join(rt, keys=on, join_type=arrow_how)
+
+    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def semi_join_filter(ds, key_col: str, keys, anti: bool = False,

@@ -152,21 +152,53 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     return knn_brute_force(pruned, q, k=k, id_col=id_col, emb_col=emb_col)
 
 
+class EmbeddingLSHSketch:
+    """``map_batches`` callable: (id, sig = NORMALIZED embedding as
+    FixedSizeList<float32>, bucket = random-hyperplane LSH code width 1) --
+    the same sketch-table contract :func:`dedup.lsh_verified_edges`
+    consumes, so candidate edges are emitted AND cosine-verified in one
+    vectorized pass (the signature IS the unit vector; verify = dot)."""
+
+    def __init__(self, planes_ref, id_col: str = "vec_id",
+                 emb_col: str = "embedding"):
+        import ray
+
+        self.planes = (planes_ref if isinstance(planes_ref, np.ndarray)
+                       else ray.get(planes_ref))
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import _matrix_to_fixed_list
+
+        p = self.planes
+        m = _normalize(_embedding_matrix(batch, self.emb_col))
+        bits = (m @ p) > 0
+        n_planes = p.shape[1]
+        code = (bits.astype(np.uint32)
+                << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "sig": _matrix_to_fixed_list(m, m.shape[1], dtype=np.float32),
+            "bucket": _matrix_to_fixed_list(
+                code.astype(np.int64).reshape(-1, 1), 1
+            ),
+        })
+
+
 def embedding_near_dup(ds, threshold: float = 0.95, id_col: str = "vec_id",
                        emb_col: str = "embedding", n_planes: int = 16,
                        seed: int = 42):
     """Embedding-cosine near-dup via random-hyperplane LSH buckets +
     exact-cosine verification; keeps the min-id representative per cluster.
 
-    Candidates are star edges bucket-member -> bucket-min (O(bucket) not
-    O(bucket^2)); a pair of near-dups that shares a bucket only with a
-    dissimilar minimum is missed -- acceptable for near-IDENTICAL detection
-    (clones always verify against each other's bucket min), and recoverable
-    by raising n_planes tables if higher recall is needed."""
-    import pandas as pd
+    Shares :func:`dedup.lsh_verified_edges`: bucket winners from a
+    partial+final aggregate, star edges emitted via vectorized searchsorted
+    probes and verified by a dot product in the same pass (the normalized
+    vector rides in the sketch), members failing against the bucket min
+    re-starred among themselves."""
     import ray
 
-    from .dedup import connected_components
+    from .dedup import _drop_losers, connected_components, lsh_verified_edges
 
     # dimension probe from one row
     first = ds.limit(1).to_pandas()
@@ -175,73 +207,19 @@ def embedding_near_dup(ds, threshold: float = 0.95, id_col: str = "vec_id",
     planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
     planes_ref = ray.put(planes)
 
-    def bucketize(batch: pa.Table) -> pa.Table:
-        p = ray.get(planes_ref)
-        m = _normalize(_embedding_matrix(batch, emb_col))
-        bits = (m @ p) > 0
-        code = (bits.astype(np.uint32) << np.arange(n_planes, dtype=np.uint32)).sum(axis=1)
-        return pa.table({
-            id_col: batch.column(id_col),
-            emb_col: batch.column(emb_col),
-            "lsh": pa.array(code.astype(np.int64)),
-        })
+    sketches = ds.map_batches(
+        EmbeddingLSHSketch,
+        fn_constructor_kwargs=dict(planes_ref=planes_ref, id_col=id_col,
+                                   emb_col=emb_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).materialize()
 
-    # bucket winners via partial+final aggregate (no per-bucket map_groups --
-    # one Python call per tiny bucket is the per-row trap), then candidate
-    # star edges against a broadcast winner map, cosine-verified on the
-    # SPARSE set of involved vectors only
-    from .aggregate import groupby_agg
+    def verify(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+        return (sa.astype(np.float64) * sb.astype(np.float64)).sum(axis=1) >= threshold
 
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
-    w = groupby_agg(
-        bucketed, ["lsh"], [(id_col, "min", "__a"), (id_col, "count", "__n")],
-        merge="driver",
-    ).to_pandas()
-    w = w[w["__n"] > 1]
-    win_ref = ray.put(dict(zip(w["lsh"].astype(int), w["__a"].astype(int))))
-
-    def edge_fn(batch: pa.Table) -> pa.Table:
-        wmap = ray.get(win_ref)
-        codes = batch.column("lsh").to_numpy(zero_copy_only=False)
-        keys = batch.column(id_col).to_numpy(zero_copy_only=False)
-        a_list, b_list = [], []
-        for c, k in zip(codes, keys):
-            a = wmap.get(int(c))
-            if a is not None and a != k:
-                a_list.append(a)
-                b_list.append(k)
-        return pa.table({"a": pa.array(a_list, pa.int64()),
-                         "b": pa.array(b_list, pa.int64())})
-
-    edges = (
-        bucketed.map_batches(edge_fn, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-        .drop_duplicates(["a", "b"])
-    )
-    if len(edges):
-        need = set(edges["a"]).union(edges["b"])
-        need_ref = ray.put(need)
-
-        def vec_fn(batch: pa.Table) -> pa.Table:
-            nd = ray.get(need_ref)
-            keys = batch.column(id_col).to_numpy(zero_copy_only=False)
-            mask = np.fromiter((k in nd for k in keys), dtype=bool, count=len(keys))
-            return batch.select([id_col, emb_col]).filter(pa.array(mask))
-
-        vecs = bucketed.map_batches(vec_fn, batch_format="pyarrow").to_pandas()
-        vmap = {k: np.asarray(v) for k, v in zip(vecs[id_col], vecs[emb_col])}
-        va = _normalize(np.stack([vmap[a] for a in edges["a"]]))
-        vb = _normalize(np.stack([vmap[b] for b in edges["b"]]))
-        sims = (va * vb).sum(axis=1)
-        edges = edges[sims >= threshold]
+    edges = lsh_verified_edges(sketches, id_col, verify)
     labels = connected_components(edges)
     losers = {k for k, root in labels.items() if root != k}
-    losers_ref = ray.put(losers)
-
-    def drop(batch: pa.Table) -> pa.Table:
-        ls = ray.get(losers_ref)
-        keys = batch.column(id_col).to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(~np.isin(keys, list(ls)) if ls else np.ones(len(keys), bool)))
-
-    return ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+    return _drop_losers(ds, losers, id_col)

@@ -121,3 +121,78 @@ def test_distributed_components_empty():
     from fluent_plugin_geoip_ray.stages.dedup import connected_components_distributed
 
     assert connected_components_distributed(pd.DataFrame({"a": [], "b": []})) == {}
+
+
+def test_distributed_components_on_dataset():
+    """CC over a Dataset of edges -- never collected on the driver (the
+    100 TB path: bucketed joins + grouped mins per round)."""
+    import pandas as pd
+
+    from fluent_plugin_geoip_ray.stages.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    edges = pd.DataFrame({
+        "a": [1, 2, 10, 11, 20, 1, 30],
+        "b": [2, 3, 11, 12, 21, 3, 31],
+    })
+    lp = connected_components_distributed(rd.from_pandas(edges))
+    assert lp == connected_components(edges)
+    assert lp[12] == 10  # 3-chain converged (needs >1 propagation round)
+
+
+def test_dedup_exact_modes_agree(docs_ds):
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_exact
+
+    expect = sorted(dedup_exact(docs_ds, mode="broadcast").to_pandas()["doc_id"])
+    for mode in ("auto", "shuffle"):
+        got = sorted(
+            dedup_exact(rd.from_arrow(make_docs()), mode=mode).to_pandas()["doc_id"]
+        )
+        assert got == expect, mode
+
+
+def test_dedup_exact_auto_switches_to_semijoin(docs_ds):
+    """broadcast_limit=0 forces the auto path onto the distributed semi-join;
+    result must be identical (pins the auto-switch plumbing)."""
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_exact
+
+    out = dedup_exact(docs_ds, broadcast_limit=0).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(
+        dedup_exact(rd.from_arrow(make_docs()), mode="broadcast")
+        .to_pandas()["doc_id"]
+    )
+    assert set(out.columns) == {"doc_id", "text"}
+
+
+def test_restar_connects_members_failing_vs_bucket_min():
+    """ADVICE r1: two true near-dups whose bucket-min fails verification
+    against both must still be connected (iterative re-star)."""
+    from fluent_plugin_geoip_ray.stages.dedup import lsh_verified_edges
+    import pyarrow as pa
+
+    # hand-built sketch table: one bucket, min key 1 is dissimilar; 2 and 3
+    # share identical signatures (verify = full agreement)
+    sig = {
+        1: [9, 9, 9, 9],
+        2: [5, 6, 7, 8],
+        3: [5, 6, 7, 8],
+    }
+    sketches = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "sig": pa.FixedSizeListArray.from_arrays(
+            pa.array(sum((sig[k] for k in (1, 2, 3)), []), pa.int64()), 4
+        ),
+        "bucket": pa.FixedSizeListArray.from_arrays(
+            pa.array([77, 77, 77], pa.int64()), 1
+        ),
+    })).materialize()
+
+    def verify(sa, sb):
+        return (sa == sb).mean(axis=1) >= 0.9
+
+    edges = lsh_verified_edges(sketches, "doc_id", verify)
+    pairs = set(map(tuple, edges[["a", "b"]].to_numpy()))
+    assert (2, 3) in pairs          # re-star connected them
+    assert not any(1 in p for p in pairs)  # dissimilar min never linked

@@ -154,6 +154,43 @@ def test_fanout_write_idempotent_under_retry(sf_path, tmp_path):
     assert pq.read_table(files[0]).num_rows == batch.num_rows
 
 
+def test_fanout_write_no_cross_batch_collision(sf_path, tmp_path):
+    """Two DIFFERENT batches sharing num_rows + boundary rows (hot conv, same
+    first conv_id/turn_idx, same last ts) must get distinct file names --
+    name hashes full key-column content, so no silent overwrite."""
+    from fluent_plugin_geoip_ray.config import compile_record_spec
+    from fluent_plugin_geoip_ray.pipelines.flagship import (
+        FanoutWrite,
+        canonical_record_spec,
+        canonical_routes,
+    )
+    from fluent_plugin_geoip_ray.stages.enrich import GeoEnrich
+    from fluent_plugin_geoip_ray.stages.parse import parse_transcripts
+
+    batch = GeoEnrich(compile_record_spec(canonical_record_spec()))(
+        parse_transcripts(pq.read_table(sf_path))
+    )
+    b1 = batch.slice(0, 4)
+    # same shape and same first row; middle rows differ (turn_idx shifted)
+    import pyarrow.compute as pc_
+
+    shifted = pc_.add(batch.column("turn_idx").slice(0, 4), 1000)
+    b2 = b1.set_column(b1.column_names.index("turn_idx"), "turn_idx", shifted)
+    # restore first row so boundary keys match b1
+    first = b1.column("turn_idx")[0].as_py()
+    fixed = pa.array([first] + shifted.to_pylist()[1:], type=pa.int32())
+    b2 = b2.set_column(b2.column_names.index("turn_idx"), "turn_idx",
+                       fixed.cast(b1.column("turn_idx").type))
+    out = str(tmp_path / "collide")
+    fw = FanoutWrite(canonical_routes(out))
+    fw(b1)
+    fw(b2)
+    files = glob.glob(os.path.join(out, "raw", "part=*", "*.parquet"))
+    assert len(files) == 2
+    total = sum(pq.read_table(f).num_rows for f in files)
+    assert total == b1.num_rows + b2.num_rows
+
+
 def test_multi_partition_resume():
     """3 partitions; one loses its manifest (crash) -> only that one re-runs."""
     import shutil
