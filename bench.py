@@ -60,6 +60,7 @@ def run_bench() -> dict:
 
     from fluent_plugin_geoip_ray.pipelines.flagship import (
         build_enriched,
+        heavy_record_spec,
         run_flagship,
     )
     from fluent_plugin_geoip_ray.stages.aggregate import count_by
@@ -68,6 +69,37 @@ def run_bench() -> dict:
 
     queries = {}
     rows = None
+
+    if os.environ.get("GRAFT_BENCH_MODE") == "heavy":
+        # Compute-bound scaling probe: heavy_record_spec = 3 regex
+        # extractions over text + ~21 template fields per row, consumed by a
+        # tiny aggregate (no sinks) -- per-core CPU work dominates DRAM
+        # traffic and disk, so throughput tracks cores (BASELINE.md scaling
+        # section).  Same warm-up protocol as the full bench.
+        def heavy_once():
+            enr = build_enriched(
+                rd.read_parquet(path),
+                record_spec=heavy_record_spec(),
+                enrich_concurrency=(2, max(4, num_cpus)),
+            )
+            return count_by(enr, "country_code").to_pandas()
+
+        heavy_once()  # warm-up
+        t0 = time.perf_counter()
+        agg = heavy_once()
+        heavy_sec = time.perf_counter() - t0
+        rows = int(agg["n"].sum())
+        ray.shutdown()
+        return {
+            "metric": "heavy_enrich_sec",
+            "value": round(heavy_sec, 3),
+            "unit": "sec",
+            "queries": {"heavy_enrich": round(heavy_sec, 3)},
+            "sf": sf_from_dir(sf_dir),
+            "num_cpus": num_cpus,
+            "rows": rows,
+            "turns_per_sec": round(rows / heavy_sec, 1),
+        }
 
     # Sinks go to tmpfs when available: on a real N-node cluster aggregate
     # sink bandwidth scales with nodes; a single local disk does not, so
@@ -170,6 +202,10 @@ def run_child(ncpu: int, sf_dir: str | None = None) -> dict:
 
 
 def main() -> None:
+    if "--scaling-heavy" in sys.argv:
+        # children run the compute-bound probe instead of the full bench
+        os.environ["GRAFT_BENCH_MODE"] = "heavy"
+        sys.argv.append("--scaling")
     if "--scaling" in sys.argv:
         # Scaling efficiency must be measured in the compute-bound regime:
         # at sf0.1 (600k rows ~ a few CPU-seconds of work) fixed per-run
@@ -182,7 +218,13 @@ def main() -> None:
         from fluent_plugin_geoip_ray.sources.transcripts import ensure_for_sf_dir
 
         ensure_for_sf_dir(sf_dir)  # generate once before either child runs
-        lo, hi = 8, 32
+        # N -> 4N parallelism pair; override e.g. GRAFT_SCALING_CPUS=2,8.
+        # On this single box 8->32 conflates cores with SHARED DRAM bandwidth
+        # (each real cluster node brings its own memory controllers), so the
+        # low pair keeps both runs inside the box's bandwidth envelope --
+        # see BASELINE.md "Scaling".
+        pair = os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+        lo, hi = int(pair[0]), int(pair[1])
         repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
         best: dict[int, dict] = {}
         for _ in range(repeats):
@@ -200,10 +242,13 @@ def main() -> None:
                     "metric": "scaling_efficiency",
                     "value": round(eff, 3),
                     "unit": "ratio",
-                    "sec_8": t_lo,
-                    "sec_32": t_hi,
-                    "turns_per_sec_8": r_lo.get("turns_per_sec"),
-                    "turns_per_sec_32": r_hi.get("turns_per_sec"),
+                    "cpus_lo": lo,
+                    "cpus_hi": hi,
+                    f"sec_{lo}": t_lo,
+                    f"sec_{hi}": t_hi,
+                    f"turns_per_sec_{lo}": r_lo.get("turns_per_sec"),
+                    f"turns_per_sec_{hi}": r_hi.get("turns_per_sec"),
+                    "mode": os.environ.get("GRAFT_BENCH_MODE", "full"),
                     "sf": r_hi.get("sf"),
                 }
             )

@@ -84,11 +84,15 @@ def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536,
     """
     from ray.data.aggregate import Max, Min
 
-    # which pyarrow partial aggregations are needed (deduped by output name)
+    # which pyarrow partial aggregations are needed (deduped by output name).
+    # SQL semantics: count/mean are per-COLUMN valid-only (COUNT(col) /
+    # AVG(col) ignore nulls); "count_star" is COUNT(*).
     need: dict[str, tuple] = {}
     for col, fn, _out in aggs:
-        if fn in ("count", "mean"):
+        if fn == "count_star":
             need["count_all"] = ([], "count_all")
+        if fn in ("count", "mean"):
+            need[f"{col}_count"] = (col, "count")
         if fn == "mean":
             need[f"{col}_sum"] = (col, "sum")
         if fn in ("sum", "min", "max"):
@@ -112,12 +116,18 @@ def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536,
 
     def finalize(batch: pa.Table) -> pa.Table:
         for col, fn, out in aggs:
-            if fn == "count":
+            if fn == "count_star":
                 arr = batch.column("__f_count_all")
+            elif fn == "count":
+                arr = batch.column(f"__f_{col}_count")
             elif fn == "mean":
+                # AVG(col): nulls excluded from both numerator and denominator;
+                # all-null group -> 0/0 -> SQL NULL
+                cnt = pc.cast(batch.column(f"__f_{col}_count"), pa.float64())
                 arr = pc.divide(
                     pc.cast(batch.column(f"__f_{col}_sum"), pa.float64()),
-                    pc.cast(batch.column("__f_count_all"), pa.float64()),
+                    pc.if_else(pc.equal(cnt, 0.0),
+                               pa.scalar(None, pa.float64()), cnt),
                 )
             else:
                 arr = batch.column(f"__f_{col}_{fn}")
@@ -127,7 +137,7 @@ def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536,
             batch = _restore_nulls(k)(batch)
         return batch
 
-    refit_fn = {"sum": "sum", "count_all": "sum", "min": "min", "max": "max"}
+    refit_fn = {"sum": "sum", "count": "sum", "count_all": "sum", "min": "min", "max": "max"}
     if merge == "driver":
         import ray
         import ray.data as rd
@@ -145,10 +155,10 @@ def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536,
         g = g.rename_columns([rename.get(c, c) for c in g.column_names])
         return rd.from_arrow(finalize(g))
 
-    refit = {"sum": Sum, "count_all": Sum, "min": Min, "max": Max}
+    refit = {"sum": Sum, "count": Sum, "count_all": Sum, "min": Min, "max": Max}
     ray_aggs = []
     for pa_name, (col, fn) in need.items():
-        ctor = Sum if fn in ("sum", "count_all") else refit[fn]
+        ctor = Sum if fn in ("sum", "count", "count_all") else refit[fn]
         ray_aggs.append(ctor(f"__p_{pa_name}", alias_name=f"__f_{pa_name}"))
     agg = partials.groupby(keys).aggregate(*ray_aggs)
     return agg.map_batches(finalize, batch_format="pyarrow")

@@ -117,3 +117,27 @@ def test_salted_groupby_agg_hot_key():
     assert (out["n"] == exp["count"]).all()
     assert (out["s"] == exp["sum"]).all()
     assert (out["hi"] == exp["max"]).all()
+
+
+def test_groupby_agg_null_value_semantics():
+    """SQL semantics (ADVICE r1): count/mean are COUNT(col)/AVG(col) --
+    nulls ignored; count_star is COUNT(*); all-null group mean is NULL."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import groupby_agg
+
+    t = pa.table({"k": ["a", "a", "a", "b", "b"],
+                  "v": [1.0, None, 3.0, None, None]})
+    for merge in ("driver", "ray"):
+        out = (
+            groupby_agg(rd.from_arrow(t), ["k"],
+                        [("v", "count", "c"), ("v", "mean", "m"),
+                         ("v", "count_star", "n")], merge=merge)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert out["c"].tolist() == [2, 0], merge
+        assert out["n"].tolist() == [3, 2], merge
+        assert out["m"][0] == 2.0 and math.isnan(out["m"][1]), merge
