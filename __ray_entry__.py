@@ -149,6 +149,23 @@ def q_enrich_multi(sf_dir: str):
     )
 
 
+def q_enrich_mmdb(sf_dir: str):
+    """The MaxMind binary-trie backend path (filter_geoip.rb:215): same
+    canonical enrich spec, but lookups go through a real .mmdb file (built
+    deterministically from the fixture truth by the spec-based writer in
+    state/mmdb.py) instead of the dict backend.  Oracle: identical SQL to
+    `enrich` -- same geo truth, different storage engine."""
+    from fluent_plugin_geoip_ray.pipelines.flagship import build_enriched
+    from fluent_plugin_geoip_ray.sources.transcripts import ensure_mmdb_fixture
+
+    mmdb = ensure_mmdb_fixture()
+    ds = build_enriched(
+        _transcripts_ds(sf_dir),
+        backend_spec={"library": "maxmind", "path": mmdb},
+    )
+    return ds.select_columns(_ENRICH_COLS)
+
+
 def q_enrich_nested(sf_dir: str):
     """Nested record-accessor lookup paths (filter_geoip.rb:60;
     test_filter_geoip.rb:482-520): the lookup key is ``$.src.ip`` resolved
@@ -677,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_text": q_sorted_text,
         "enrich_multi": q_enrich_multi,
         "enrich_nested": q_enrich_nested,
+        "enrich_mmdb": q_enrich_mmdb,
         "events_extract": q_events_extract,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -742,6 +760,8 @@ def oracle_sql() -> dict[str, str]:
         "parse_extract": f"SELECT conv_id, turn_idx, ip, ip2, host FROM ({_PARSED})",
         "enrich": f"SELECT conv_id, turn_idx, ip, city, country_code, country_name,"
                   f" region, latitude, longitude FROM ({_ENRICHED})",
+        "enrich_mmdb": f"SELECT conv_id, turn_idx, ip, city, country_code, country_name,"
+                       f" region, latitude, longitude FROM ({_ENRICHED})",
         "route_enriched": f"""
             SELECT conv_id, turn_idx,
                    'enriched.' || CASE ((turn_idx) % 3)

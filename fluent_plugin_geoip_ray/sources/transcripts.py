@@ -196,6 +196,23 @@ def ensure_geo_fixture() -> str:
     return write_geo_fixture_parquet(path)
 
 
+def mmdb_fixture_path() -> str:
+    return os.path.join(DATA_ROOT, "geo_fixture.mmdb")
+
+
+def ensure_mmdb_fixture() -> str:
+    """Deterministic .mmdb fixture (same geo truth as the parquet/dict
+    fixture) for the MaxMind binary-trie backend path."""
+    from ..state.fixture import fixture_geo_docs
+    from ..state.mmdb import write_mmdb
+
+    path = mmdb_fixture_path()
+    if os.path.exists(path):
+        return path
+    os.makedirs(DATA_ROOT, exist_ok=True)
+    return write_mmdb(fixture_geo_docs(), path)
+
+
 def ensure_for_sf_dir(sf_dir: str) -> str:
     """Transcripts parquet for a driver sf dir (e.g. /root/testdata/sf0.01)."""
     ensure_geo_fixture()

@@ -44,22 +44,21 @@ class DictBackend:
 
 
 class MaxmindBackend:
-    """MaxMind binary-trie backend via the public ``maxminddb`` package.
+    """MaxMind binary-trie backend (.mmdb files).
 
     The production analog of ``GeoIP2::Database.new(path)``
-    (``filter_geoip.rb:215``): one memory-mapped reader per actor, opened in
-    ``__init__``.  Import-gated -- the wheel is not present in this sandbox.
+    (``filter_geoip.rb:215``): one reader per actor, opened in ``__init__``.
+    Uses the public ``maxminddb`` package when installed; otherwise the
+    bundled pure-Python reader (:mod:`.mmdb`, written from the public
+    MaxMind DB format spec) -- same ``get()`` contract either way, so the
+    mmdb execution path runs for real in this sandbox.
     """
 
     def __init__(self, mmdb_path: str):
         try:
             import maxminddb
-        except ImportError as e:  # pragma: no cover - not installed here
-            raise RuntimeError(
-                "maxminddb is not installed; use DictBackend "
-                "(reference raises ConfigError on a missing backend gem, "
-                "filter_geoip.rb:216-217)"
-            ) from e
+        except ImportError:
+            from . import mmdb as maxminddb
         self._reader = maxminddb.open_database(mmdb_path)
 
     def lookup(self, address: str) -> Optional[dict]:
