@@ -31,6 +31,8 @@ from fluent_plugin_geoip_ray.sources.transcripts import (
 _SF01 = 0.01
 _T_PATH = transcripts_path(_SF01) + "/*.parquet"
 _G_PATH = geo_fixture_path()
+import os as _os
+_GOLDEN_DIR = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "tests", "golden")
 
 
 def entry() -> Any:
@@ -758,6 +760,52 @@ _ENRICHED = f"""
 def oracle_sql() -> dict[str, str]:
     return {
         "parse_extract": f"SELECT conv_id, turn_idx, ip, ip2, host FROM ({_PARSED})",
+        # LangId heuristic replicated in SQL: same whitespace tokenization,
+        # same marker sets, hits/n_tok scores, first-max tie-break in the
+        # fixed language order (numpy argmax semantics)
+        "lang_id": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+                FROM documents
+            ),
+            agg AS (
+                SELECT doc_id, count(*) AS n,
+                   sum(CASE WHEN tok IN ('and', 'for', 'in', 'is', 'it', 'of', 'that', 'the', 'to', 'was', 'with') THEN 1 ELSE 0 END)::DOUBLE AS h_en,
+                   sum(CASE WHEN tok IN ('de', 'el', 'en', 'la', 'las', 'los', 'por', 'que', 'un', 'una', 'y') THEN 1 ELSE 0 END)::DOUBLE AS h_es,
+                   sum(CASE WHEN tok IN ('dans', 'des', 'et', 'la', 'le', 'les', 'pour', 'que', 'sur', 'une') THEN 1 ELSE 0 END)::DOUBLE AS h_fr,
+                   sum(CASE WHEN tok IN ('das', 'der', 'die', 'ein', 'eine', 'ist', 'mit', 'nicht', 'und', 'von') THEN 1 ELSE 0 END)::DOUBLE AS h_de
+                FROM toks GROUP BY doc_id
+            ),
+            sc AS (
+                SELECT doc_id,
+                   h_en / greatest(n, 1) AS s_en,
+                   h_es / greatest(n, 1) AS s_es,
+                   h_fr / greatest(n, 1) AS s_fr,
+                   h_de / greatest(n, 1) AS s_de
+                FROM agg
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'unknown'
+                        WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                        WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                        WHEN s_fr >= s_de THEN 'fr'
+                        ELSE 'de' END AS lang_pred,
+                   greatest(s_en, s_es, s_fr, s_de) AS lang_score
+            FROM sc""",
+        # near-dup hash logic (pandas hash_array) is not SQL-replicable;
+        # pinned goldens committed under tests/golden/ make these
+        # regression-gated instead of rows-only: the oracle reads the
+        # committed expected output for the fixed sf0.01 input
+        "dedup_simhash": f"SELECT doc_id, lang, source FROM"
+                         f" read_parquet('{_GOLDEN_DIR}/dedup_simhash_sf001.parquet')",
+        "dedup_minhash": f"SELECT doc_id, lang, source FROM"
+                         f" read_parquet('{_GOLDEN_DIR}/dedup_minhash_sf001.parquet')",
+        "knn_ivf": f"SELECT query_id, vec_id, rank FROM"
+                   f" read_parquet('{_GOLDEN_DIR}/knn_ivf_sf001.parquet')",
+        "embedding_near_dup": f"SELECT vec_id, label FROM"
+                              f" read_parquet('{_GOLDEN_DIR}/embedding_near_dup_sf001.parquet')",
+
         "enrich": f"SELECT conv_id, turn_idx, ip, city, country_code, country_name,"
                   f" region, latitude, longitude FROM ({_ENRICHED})",
         "enrich_mmdb": f"SELECT conv_id, turn_idx, ip, city, country_code, country_name,"
