@@ -411,18 +411,22 @@ def q_distinct(sf_dir: str):
 
 
 def q_multimodal(sf_dir: str):
-    """Multimodal plumbing: binary payloads -> decode (deterministic stub) ->
-    feature vectors (rows-only: no binary driver table; input synthesized
-    deterministically)."""
+    """Multimodal: REAL decode of deterministic BMP/PPM payloads (pure-numpy
+    parsers) + WAV acoustic features (stdlib wave) -> image feature vectors
+    (rows-only: no binary driver table; input synthesized
+    deterministically; compressed codecs remain documented stubs)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
     from fluent_plugin_geoip_ray.stages.multimodal import (
+        DecodeAudio,
         decode_pipeline,
         synthesize_binary_table,
     )
 
-    ds = rd.from_arrow(synthesize_binary_table(n=128))
+    ds = rd.from_arrow(synthesize_binary_table(n=128, real=True))
+    ds = ds.map_batches(DecodeAudio, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=32, concurrency=(1, 2))
     out = decode_pipeline(ds, batch_size=32)
 
     def summarize(t):

@@ -3,11 +3,13 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed metadata
 (a ``struct<format, width, height, ...>`` or plain columns).  The Ray-side
 plumbing -- schemas, actor-pool signatures, small-batch sizing for large
-binary rows, output layout -- is real and tested; the actual codec work is
-STUBBED (the imaging/audio libraries are not in this container): decode
-either raises ``NotImplementedError`` (strict mode) or produces a
-deterministic fake derived from the payload bytes (test mode), clearly
-marked.
+binary rows, output layout -- is real and tested.  Decode is REAL for the
+container-friendly formats (24-bit BMP + binary PPM images via pure-numpy
+parsers, PCM WAV audio via stdlib ``wave``), including nearest-neighbor
+resize and genuine acoustic features; compressed codecs (png/jpeg/mp4) need
+libraries absent from this container and fall back to a clearly-marked
+deterministic stand-in (or ``NotImplementedError`` with ``strict=True``).
+Video frame-sampling remains a stub (needs ffmpeg).
 
 Usage pattern (the important part at 100 TB): binary rows are large, so these
 stages run with SMALL ``batch_size`` (e.g. 64) and an actor pool whose
@@ -27,18 +29,167 @@ IMAGE_META_TYPE = pa.struct(
 )
 
 
+# --------------------------------------------------------------------------
+# REAL codecs for container-friendly formats (pure numpy / stdlib -- no
+# external imaging/audio libraries needed): 24-bit BMP, binary PPM (P6),
+# PCM WAV.  Compressed formats (png/jpeg/mp4) remain stubbed below.
+# --------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary PPM (P6)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6, maxval 255, '#' comments allowed) -> (h, w, 3) uint8."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic + 3 whitespace-separated ints, comments start with '#'
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            pos = data.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    return np.frombuffer(data, np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    bottom-up rows, BGR order, 4-byte row padding)."""
+    import struct
+
+    h, w, _ = img.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_bytes), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    return header + dib + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP -> (h, w, 3) uint8 RGB."""
+    import struct
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    _, w, h, _, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, np.uint8, count=row_bytes * h,
+                         offset=pixel_offset).reshape(h, row_bytes)
+    img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if flip else img
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono samples -> PCM WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes):
+    """PCM WAV bytes -> (samples float64 in [-1, 1], rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        width = wf.getsampwidth()
+        nchan = wf.getnchannels()
+        raw = wf.readframes(n)
+    if width == 2:
+        arr = np.frombuffer(raw, "<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        arr = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    if nchan > 1:
+        arr = arr.reshape(-1, nchan).mean(axis=1)
+    return arr, rate
+
+
+def resize_nearest(img: np.ndarray, out_hw: tuple) -> np.ndarray:
+    """Nearest-neighbor resize (h, w, c) -> (out_h, out_w, c), pure numpy."""
+    oh, ow = out_hw
+    h, w = img.shape[:2]
+    ri = (np.arange(oh) * h // oh).clip(0, h - 1)
+    ci = (np.arange(ow) * w // ow).clip(0, w - 1)
+    return img[ri][:, ci]
+
+
+def sniff_format(data: bytes) -> str:
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:2] == b"P6":
+        return "ppm"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if data[:2] == b"\xff\xd8":
+        return "jpeg"
+    return "unknown"
+
+
 def synthesize_binary_table(n: int = 64, seed: int = 42,
-                            payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake multimodal table for tests: ``media_id, payload
-    (binary), media_meta (struct)``."""
+                            payload_bytes: int = 4096,
+                            real: bool = False) -> pa.Table:
+    """Deterministic multimodal table for tests: ``media_id, payload
+    (binary), media_meta (struct)``.
+
+    ``real=False``: random opaque bytes labeled png/jpeg/wav (exercises the
+    fallback path).  ``real=True``: genuine decodable payloads -- 24-bit
+    BMPs, binary PPMs and PCM WAVs built by the encoders above -- so the
+    decode stages run their REAL parsing code."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes()
-                for _ in range(n)]
-    meta = [
-        {"format": ["png", "jpeg", "wav"][i % 3], "width": 32 + (i % 4) * 16,
-         "height": 32 + (i % 3) * 16}
-        for i in range(n)
-    ]
+    payloads, meta = [], []
+    for i in range(n):
+        w = 32 + (i % 4) * 16
+        h = 32 + (i % 3) * 16
+        if not real:
+            payloads.append(
+                rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes()
+            )
+            meta.append({"format": ["png", "jpeg", "wav"][i % 3],
+                         "width": w, "height": h})
+            continue
+        fmt = ["bmp", "ppm", "wav"][i % 3]
+        if fmt == "bmp":
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(img))
+        elif fmt == "ppm":
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(img))
+        else:
+            samples = (rng.standard_normal(4000) * 8000).astype(np.int16)
+            payloads.append(encode_wav(samples))
+        meta.append({"format": fmt, "width": w, "height": h})
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -51,36 +202,51 @@ def synthesize_binary_table(n: int = 64, seed: int = 42,
 class DecodeImage:
     """Actor-pool decode stage: payload bytes -> fixed-shape pixel tensor.
 
-    STUB: real decode needs PIL/libjpeg (absent here).  ``strict=True``
-    raises NotImplementedError at first batch (the honest production
-    default until a codec is wired in); ``strict=False`` emits a
-    deterministic fake tensor seeded from the payload's sha256 so the
-    downstream plumbing (schema ``list<uint8>`` + shape columns, batch
-    sizing, feature extraction) is fully exercisable.
+    REAL for uncompressed formats (24-bit BMP and binary PPM decode with the
+    pure-numpy codecs above, then nearest-neighbor resize to ``out_hw``);
+    compressed formats (png/jpeg) need libjpeg/PIL which are absent here, so
+    those fall back per ``strict``: ``strict=True`` raises
+    NotImplementedError (honest production default until a codec is wired
+    in), ``strict=False`` emits a deterministic fake tensor seeded from the
+    payload's sha256 so downstream plumbing stays exercisable.
+
+    The per-row loop is intentional: each row is ONE large binary payload
+    whose decode is itself vectorized numpy -- rows per batch are few (size
+    batches small for binary columns).
     """
 
     def __init__(self, out_hw: tuple = (8, 8), strict: bool = False):
         self.out_hw = out_hw
         self.strict = strict
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _decode_one(self, data: bytes) -> np.ndarray:
+        fmt = sniff_format(data)
+        if fmt == "bmp":
+            return resize_nearest(decode_bmp(data), self.out_hw)
+        if fmt == "ppm":
+            return resize_nearest(decode_ppm(data), self.out_hw)
         if self.strict:
             raise NotImplementedError(
-                "image decode requires an imaging library not present in this "
-                "container; run with strict=False for the deterministic fake"
+                f"decode of {fmt!r} requires an imaging library not present "
+                "in this container; run with strict=False for the "
+                "deterministic fake"
             )
+        h, w = self.out_hw
+        digest = hashlib.sha256(data).digest()
+        seed = int.from_bytes(digest[:8], "little")
+        return np.random.default_rng(seed).integers(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         h, w = self.out_hw
         n = batch.num_rows
         payloads = batch.column("payload")
         if isinstance(payloads, pa.ChunkedArray):
             payloads = payloads.combine_chunks()
         pixels = np.empty((n, h * w * 3), dtype=np.uint8)
-        for i in range(n):  # per-payload digest; payloads are large, rows few
-            digest = hashlib.sha256(payloads[i].as_py() or b"").digest()
-            seed = int.from_bytes(digest[:8], "little")
-            pixels[i] = np.random.default_rng(seed).integers(
-                0, 256, size=h * w * 3, dtype=np.uint8
-            )
+        for i in range(n):
+            pixels[i] = self._decode_one(payloads[i].as_py() or b"").ravel()
         out = batch.append_column(
             "pixels",
             pa.FixedSizeListArray.from_arrays(
@@ -89,6 +255,42 @@ class DecodeImage:
         )
         out = out.append_column("pix_h", pa.array(np.full(n, h, dtype=np.int32)))
         return out.append_column("pix_w", pa.array(np.full(n, w, dtype=np.int32)))
+
+
+class DecodeAudio:
+    """Actor-pool audio stage: PCM WAV payloads -> real acoustic features
+    (duration, RMS, zero-crossing rate, peak) via the stdlib ``wave``
+    decoder -- no external audio library needed.  Non-WAV rows yield null
+    features (or raise with ``strict=True``)."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload")
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        dur, rms, zcr, peak = [], [], [], []
+        for i in range(batch.num_rows):
+            data = payloads[i].as_py() or b""
+            if sniff_format(data) != "wav":
+                if self.strict:
+                    raise NotImplementedError(
+                        "non-WAV audio needs codec libraries absent here"
+                    )
+                dur.append(None), rms.append(None), zcr.append(None), peak.append(None)
+                continue
+            samples, rate = decode_wav(data)
+            n = max(len(samples), 1)
+            dur.append(len(samples) / rate)
+            rms.append(float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0)
+            zcr.append(float(np.mean(np.abs(np.diff(np.signbit(samples)))))
+                       if len(samples) > 1 else 0.0)
+            peak.append(float(np.max(np.abs(samples))) if len(samples) else 0.0)
+        out = batch.append_column("audio_sec", pa.array(dur, pa.float64()))
+        out = out.append_column("audio_rms", pa.array(rms, pa.float64()))
+        out = out.append_column("audio_zcr", pa.array(zcr, pa.float64()))
+        return out.append_column("audio_peak", pa.array(peak, pa.float64()))
 
 
 class ExtractImageFeatures:

@@ -240,3 +240,19 @@ def test_ipv6_lookup_end_to_end():
                       record={"cc": "${country.iso_code['ip6']}"})
     out = GeoEnrich(compile_record_spec(spec))(parsed).to_pylist()
     assert out[0]["cc"] == "US" and out[1]["cc"] is None
+
+
+def test_empty_record_directive_passthrough():
+    """Reference accepts an empty config / empty <record> and passes records
+    through unchanged (test_filter_geoip.rb:42-47; add_geoip_field over an
+    empty @map).  Here: no enrich columns added, data columns byte-equal,
+    only the gate column (no placeholder found -> not enriched) appears."""
+    from fluent_plugin_geoip_ray.config import RecordSpec
+
+    spec = RecordSpec(lookup_keys=["ip"], record={})
+    stage = GeoEnrich(compile_record_spec(spec))
+    batch = pa.table({"ip": ["66.102.3.80", None], "message": ["a", "b"]})
+    out = stage(batch)
+    assert out.column_names == ["ip", "message", "geoip_enriched"]
+    assert out.select(["ip", "message"]).equals(batch)
+    assert out["geoip_enriched"].to_pylist() == [False, False]
