@@ -86,7 +86,9 @@ def test_jsonl_source_roundtrip(tmp_path):
     p = tmp_path / "t.jsonl"
     p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
     ds = read_jsonl_transcripts(str(p))
-    out = ds.to_pandas()
+    # Ray Data does not guarantee block order without preserve_order --
+    # consumers sort explicitly (the engine's ordering contract)
+    out = ds.to_pandas().sort_values("turn_idx").reset_index(drop=True)
     assert list(out.columns) == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     assert out["turn_idx"].dtype == "int32"
     assert str(out["ts"].iloc[0]) == "2026-01-01 00:00:00"
@@ -94,7 +96,10 @@ def test_jsonl_source_roundtrip(tmp_path):
     # and it flows through the full enrich pipeline
     from fluent_plugin_geoip_ray.pipelines.flagship import build_enriched
 
-    enriched = build_enriched(read_jsonl_transcripts(str(p))).to_pandas()
+    enriched = (
+        build_enriched(read_jsonl_transcripts(str(p)))
+        .to_pandas().sort_values("turn_idx").reset_index(drop=True)
+    )
     assert enriched.loc[0, "city"] == "Mountain View"
 
 
