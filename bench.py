@@ -170,6 +170,28 @@ def run_bench() -> dict:
                 aggs=[("value", "count", "n")],
             ).count()
             queries["tumbling_events"] = round(time.perf_counter() - t0, 3)
+
+            from fluent_plugin_geoip_ray.stages.window import session_windows
+
+            t0 = time.perf_counter()
+            session_windows(
+                rd.read_parquet(events_path,
+                                columns=["user_id", "event_id", "ts"]),
+                key="user_id", gap_sec=1800, order_tiebreak="event_id",
+            ).count()
+            queries["sessions_events"] = round(time.perf_counter() - t0, 3)
+
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        if os.path.exists(emb_path):
+            import numpy as np
+
+            from fluent_plugin_geoip_ray.stages.similarity import knn_brute_force
+
+            t0 = time.perf_counter()
+            emb = rd.read_parquet(emb_path)
+            qrows = emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id")
+            knn_brute_force(emb, np.stack(qrows["embedding"].to_numpy()), k=10)
+            queries["knn_embeddings"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     ray.shutdown()

@@ -129,3 +129,58 @@ def test_mmdb_backend_matches_dict_backend(mmdb_path):
     )(pa.table({"ip": ips})).to_pylist()
     via_dict = GeoEnrich(spec)(pa.table({"ip": ips})).to_pylist()
     assert via_mmdb == via_dict
+
+
+def test_mmdb_property_roundtrip():
+    """Property: any {ip -> doc} table of JSON-ish docs survives the
+    write->read round trip exactly (spec encoder/decoder inverse pair)."""
+    from hypothesis import given, settings, strategies as st
+
+    scalars = st.one_of(
+        st.text(max_size=12),
+        st.booleans(),
+        st.integers(min_value=0, max_value=2**63 - 1),
+        st.integers(min_value=-2**31, max_value=-1),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+    )
+    docs_strategy = st.dictionaries(
+        st.from_regex(r"\A\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\Z").filter(
+            lambda ip: all(int(o) < 256 for o in ip.split("."))
+        ),
+        st.dictionaries(
+            st.text(min_size=1, max_size=8),
+            st.one_of(scalars, st.lists(scalars, max_size=3),
+                      st.dictionaries(st.text(min_size=1, max_size=6),
+                                      scalars, max_size=3)),
+            max_size=4,
+        ),
+        min_size=1, max_size=8,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(docs=docs_strategy)
+    def check(docs, tmp_dir):
+        import os
+
+        # writer skips unparseable keys (e.g. leading-zero octets, rejected
+        # by ipaddress); normalize to the parseable subset the writer stores
+        valid = {}
+        for ip, doc in docs.items():
+            try:
+                ipaddress.ip_address(ip)
+            except ValueError:
+                continue
+            valid[ip] = doc
+        if not valid:
+            return
+        path = os.path.join(tmp_dir, "prop.mmdb")
+        write_mmdb(valid, path)
+        reader = MMDBReader(path)
+        for ip, doc in valid.items():
+            got = reader.get(ip)
+            assert got == doc, (ip, got, doc)
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        check(tmp_dir=d)
