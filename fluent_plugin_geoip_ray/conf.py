@@ -62,6 +62,17 @@ def record_spec_from_conf(conf: dict) -> RecordSpec:
     )
 
 
+def backend_spec_from_conf(conf: dict) -> dict | None:
+    """Backend spec from the fluentd params (``load_database`` dispatch,
+    ``filter_geoip.rb:204-217``): a ``geoip2_database`` / ``geoip_database``
+    path opens the MaxMind binary backend at that path; otherwise None
+    (the enrich stage defaults to the dict fixture backend)."""
+    path = conf.get("geoip2_database") or conf.get("geoip_database")
+    if path:
+        return {"library": "maxmind", "path": path}
+    return None
+
+
 _ELEM_RE = re.compile(r"<record>(.*?)</record>", re.S)
 
 

@@ -332,6 +332,7 @@ def run_flagship(
     out_dir: str | None = None,
     record_spec: RecordSpec | None = None,
     routes: list[RouteSpec] | None = None,
+    backend_spec: dict | None = None,
     enrich_batch_size: int | None = None,
     enrich_concurrency=None,
     scale_agg: bool = True,
@@ -349,6 +350,7 @@ def run_flagship(
     enriched = build_enriched(
         ds,
         record_spec=record_spec,
+        backend_spec=backend_spec,
         enrich_batch_size=enrich_batch_size,
         enrich_concurrency=enrich_concurrency,
     )
@@ -388,6 +390,7 @@ def run_partitioned(
     out_dir: str,
     record_spec: RecordSpec | None = None,
     routes: list[RouteSpec] | None = None,
+    backend_spec: dict | None = None,
     files_per_partition: int = 1,
     resume: bool = True,
     enrich_concurrency=None,
@@ -409,7 +412,8 @@ def run_partitioned(
         t0 = time.perf_counter()
         ds = rd.read_parquet(list(part.files))
         enriched = build_enriched(
-            ds, record_spec=record_spec, enrich_concurrency=enrich_concurrency
+            ds, record_spec=record_spec, backend_spec=backend_spec,
+            enrich_concurrency=enrich_concurrency,
         )
         stats = run_fanout(enriched, routes, pid=part.pid)
         partial_dir = os.path.join(out_dir, "_partials", f"{part.pid:06d}")

@@ -37,22 +37,23 @@ import sys
 
 
 def load_conf(path: str | None):
-    from .conf import record_spec_from_conf
+    from .conf import backend_spec_from_conf, record_spec_from_conf
     from .pipelines.flagship import canonical_record_spec
     from .stages.route import RouteSpec
 
     if path is None:
-        return None, None
+        return None, None, None
     with open(path) as f:
         conf = json.load(f)
     spec = (
         record_spec_from_conf(conf["filter"]) if "filter" in conf
         else canonical_record_spec()
     )
+    backend_spec = backend_spec_from_conf(conf.get("filter", {}))
     routes = None
     if "routes" in conf:
         routes = [RouteSpec(**r) for r in conf["routes"]]
-    return spec, routes
+    return spec, routes, backend_spec
 
 
 def main(argv=None) -> int:
@@ -92,7 +93,7 @@ def main(argv=None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    spec, routes = load_conf(args.conf)
+    spec, routes, backend_spec = load_conf(args.conf)
     from .pipelines.flagship import canonical_routes, run_flagship, run_partitioned
     from .stages.route import RouteSpec
 
@@ -113,6 +114,7 @@ def main(argv=None) -> int:
     if args.partitioned:
         result = run_partitioned(
             inputs, args.out, record_spec=spec, routes=routes,
+            backend_spec=backend_spec,
             files_per_partition=args.files_per_partition,
             resume=not args.no_resume,
         )
@@ -121,7 +123,8 @@ def main(argv=None) -> int:
             "skipped_partitions": result["skipped"],
         }
     else:
-        stats = run_flagship(inputs, out_dir=args.out, record_spec=spec, routes=routes)
+        stats = run_flagship(inputs, out_dir=args.out, record_spec=spec,
+                             routes=routes, backend_spec=backend_spec)
         rows = {
             r["route"]: r["n"]
             for r in stats.to_pylist()

@@ -112,3 +112,56 @@ def test_dump_cli(capsys):
     assert "Mountain View" in out
     assert main(["203.0.113.1"]) == 1
     assert main(["66.102.3.80", "geoip2_compat"]) == 0
+
+
+def test_backend_spec_from_conf():
+    from fluent_plugin_geoip_ray.conf import backend_spec_from_conf
+
+    assert backend_spec_from_conf({}) is None
+    assert backend_spec_from_conf({"geoip2_database": "/x/a.mmdb"}) == {
+        "library": "maxmind", "path": "/x/a.mmdb"
+    }
+    assert backend_spec_from_conf({"geoip_database": "/x/b.mmdb"}) == {
+        "library": "maxmind", "path": "/x/b.mmdb"
+    }
+
+
+def test_run_cli_with_mmdb_conf(tmp_path):
+    """fluentd-style conf with geoip2_database -> the whole CLI pipeline runs
+    through the binary mmdb backend end-to-end."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from fluent_plugin_geoip_ray.sources.transcripts import (
+        ensure_for_sf_dir,
+        ensure_mmdb_fixture,
+    )
+
+    inp = ensure_for_sf_dir("/root/testdata/sf0.001")
+    mmdb = ensure_mmdb_fixture()
+    conf = {
+        "filter": {
+            "geoip_lookup_keys": ["ip"],
+            "geoip2_database": mmdb,
+            "record": {"city": "${city.names.en['ip']}"},
+        },
+    }
+    conf_path = tmp_path / "pipe.json"
+    conf_path.write_text(json.dumps(conf))
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "fluent_plugin_geoip_ray.run",
+         "--input", inp, "--out", str(out), "--conf", str(conf_path),
+         "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = list((out / "enriched").rglob("*.parquet"))
+    assert files
+    t = pq.read_table(files[0])
+    assert "city" in t.column_names
+    cities = set(t.column("city").to_pylist())
+    assert "Mountain View" in cities or "Tokorozawa" in cities
