@@ -622,6 +622,48 @@ def q_anomaly(sf_dir: str):
     )
 
 
+def q_events_asof(sf_dir: str):
+    """As-of join (custom operator Ray Data lacks): each event joined to the
+    user's most recent signup event at-or-before its timestamp.  Broadcast
+    small side + vectorized lexsort/ffill match; oracle = DuckDB ASOF JOIN."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.join import asof_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type", "ts"])
+    markers = (
+        ds.filter(expr="event_type == 'signup'")
+        .select_columns(["user_id", "ts", "event_id"])
+        .to_pandas()
+        .rename(columns={"event_id": "signup_event_id"})
+    )
+    out = asof_join(ds, markers, on="ts", by="user_id",
+                    right_cols={"signup_event_id": "signup_event_id",
+                                "ts": "signup_ts"})
+    return out.select_columns(["event_id", "signup_event_id", "signup_ts"])
+
+
+def q_events_range_join(sf_dir: str):
+    """Interval (range) join: label each event's value with its tier from a
+    static [lo, hi) table -- one searchsorted per batch vs the broadcast
+    interval table."""
+    import pandas as pd
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.join import range_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    tiers = pd.DataFrame({
+        "lo": [0.0, 50.0, 200.0],
+        "hi": [50.0, 200.0, float("inf")],
+        "tier": ["low", "mid", "high"],
+    })
+    return range_join(ds, tiers, "value", out_cols={"tier": "tier"})
+
+
 def q_events_tumbling(sf_dir: str):
     """Tumbling 1h event-time windows per event_type (count + sum(value))."""
     import pyarrow.compute as pc
@@ -725,6 +767,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_pushdown": q_filter_pushdown,
         "inject": q_inject,
         "anomaly": q_anomaly,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
@@ -957,6 +1001,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events CROSS JOIN (SELECT unnest(range(4)) AS j) j
             GROUP BY event_type, window_start""",
+        "events_asof": """
+            SELECT e.event_id, s.event_id AS signup_event_id,
+                   s.ts AS signup_ts
+            FROM events e ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'signup') s
+              ON e.user_id = s.user_id AND e.ts >= s.ts""",
+        "events_range_join": """
+            SELECT e.event_id, e.value, t.tier
+            FROM events e LEFT JOIN (
+                VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'),
+                       (200.0, 1e308, 'high')) t(lo, hi, tier)
+              ON e.value >= t.lo AND e.value < t.hi""",
         "events_sessions": """
             WITH x AS (
                 SELECT user_id, event_id, ts,

@@ -166,6 +166,118 @@ def bucketed_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def asof_join(ds, right, on: str, by: str, right_cols: dict,
+              batch_size: int = 65536):
+    """Broadcast as-of join (backward): for each left row, the LATEST right
+    row with ``right.on <= left.on`` and equal ``by`` key -- the classic
+    event-to-most-recent-state join Ray Data lacks natively.
+
+    ``right`` is the small side (pandas DataFrame or pyarrow Table),
+    broadcast once via ``ray.put``; per batch the match is fully vectorized:
+    markers and probes are lexsorted together by (key, time, marker-first)
+    and the last-marker index forward-fills via ``np.maximum.accumulate``
+    (ties: a marker AT the probe time matches -- inclusive <=, matching SQL
+    ASOF JOIN).  ``right_cols`` maps right column -> output name.
+
+    Partitioning assumption (document per use): the right side fits a
+    broadcast (config/state/dimension streams).  For large-large as-of,
+    bucket both sides by ``by`` upstream (``bucketed_join`` pattern) and run
+    this per bucket.
+    """
+    import numpy as np
+    import ray
+
+    if not isinstance(right, pa.Table):
+        right = pa.Table.from_pandas(right, preserve_index=False)
+    rb = right.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+    rt = right.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    rorder = np.lexsort((rt, rb))
+    rb, rt = rb[rorder], rt[rorder]
+    rvals = {
+        out: right.column(src).take(pa.array(rorder))
+        for src, out in right_cols.items()
+    }
+    state = ray.put((rb, rt, rvals))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mb, mt, vals = ray.get(state)
+        m = len(mb)
+        u = batch.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(u)
+        comb_b = np.concatenate([mb, u])
+        comb_t = np.concatenate([mt, t])
+        is_probe = np.concatenate([np.zeros(m, np.int8), np.ones(n, np.int8)])
+        order = np.lexsort((is_probe, comb_t, comb_b))
+        # forward-fill the last marker RANK seen so far (global); a marker
+        # leaking across a key boundary is rejected by the key check below
+        ranks = np.where(is_probe[order] == 0, order, -1)
+        last_marker = np.maximum.accumulate(ranks)
+        # invert: for each probe row i (original), its position in the sort
+        pos_of = np.empty(m + n, np.int64)
+        pos_of[order] = np.arange(m + n)
+        probe_last = last_marker[pos_of[m:]]
+        valid = probe_last >= 0
+        midx = np.where(valid, probe_last, 0)
+        valid &= mb[midx] == u
+        idx_arr = pa.array(
+            np.where(valid, midx, -1), type=pa.int64()
+        )
+        idx_arr = pc.if_else(pa.array(valid), idx_arr, pa.scalar(None, pa.int64()))
+        out = batch
+        for name, col in vals.items():
+            out = out.append_column(name, col.take(idx_arr))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
+
+
+def range_join(ds, intervals, value_col: str, out_cols: dict,
+               lo_col: str = "lo", hi_col: str = "hi",
+               batch_size: int = 65536):
+    """Broadcast interval (range) join: label each left row with the interval
+    ``[lo, hi)`` containing ``value_col``.  Intervals must be sorted and
+    non-overlapping (validated at build time); the probe is one vectorized
+    ``searchsorted`` per batch.  ``out_cols`` maps interval column -> output
+    name.  Rows outside every interval get nulls."""
+    import numpy as np
+    import ray
+
+    if not isinstance(intervals, pa.Table):
+        intervals = pa.Table.from_pandas(intervals, preserve_index=False)
+    lo = intervals.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    hi = intervals.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
+    if not (np.all(np.diff(lo) >= 0) and np.all(hi[:-1] <= lo[1:])):
+        raise ValueError("range_join intervals must be sorted and non-overlapping")
+    vals = {out: intervals.column(src) for src, out in out_cols.items()}
+    state = ray.put((lo, hi, vals))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lo_, hi_, vals_ = ray.get(state)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.searchsorted(lo_, v, side="right") - 1
+        valid = pos >= 0
+        posc = np.where(valid, pos, 0)
+        valid &= v < hi_[posc]
+        idx_arr = pc.if_else(
+            pa.array(valid & ~np.isnan(v)),
+            pa.array(np.where(valid, posc, 0), type=pa.int64()),
+            pa.scalar(None, pa.int64()),
+        )
+        out = batch
+        for name, col in vals_.items():
+            out = out.append_column(name, col.take(idx_arr))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
+
+
 def semi_join_filter(ds, key_col: str, keys, anti: bool = False,
                      batch_size: int = 65536):
     """Semi/anti join: broadcast the key set, vectorized ``is_in`` filter."""

@@ -141,3 +141,53 @@ def test_groupby_agg_null_value_semantics():
         assert out["c"].tolist() == [2, 0], merge
         assert out["n"].tolist() == [3, 2], merge
         assert out["m"][0] == 2.0 and math.isnan(out["m"][1]), merge
+
+
+def test_asof_join_backward():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.join import asof_join
+
+    left = pa.table({
+        "user": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([5, 10, 20, 7, 3, 9], pa.int64()),
+        "eid": pa.array([100, 101, 102, 103, 104, 105], pa.int64()),
+    })
+    right = pd.DataFrame({
+        "user": [1, 1, 2], "ts": [4, 10, 6], "marker": [7, 8, 9],
+    })
+    out = (
+        asof_join(rd.from_arrow(left), right, on="ts", by="user",
+                  right_cols={"marker": "m", "ts": "m_ts"})
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    # user1@5 -> marker ts4 (7); user1@10 -> ts10 ties inclusive (8);
+    # user1@20 -> 8; user2@7 -> 9; user2@3 -> none; user3@9 -> none
+    assert out["m"].tolist()[:4] == [7, 8, 8, 9]
+    assert pd.isna(out["m"][4]) and pd.isna(out["m"][5])
+    assert out["m_ts"].tolist()[:4] == [4, 10, 10, 6]
+
+
+def test_range_join_labels():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.join import range_join
+
+    left = pa.table({"v": pa.array([-5.0, 0.0, 49.9, 50.0, 500.0, float("nan")])})
+    tiers = pd.DataFrame({
+        "lo": [0.0, 50.0, 200.0], "hi": [50.0, 200.0, float("inf")],
+        "tier": ["low", "mid", "high"],
+    })
+    out = range_join(rd.from_arrow(left), tiers, "v",
+                     out_cols={"tier": "tier"}).to_pandas()
+    got = out.sort_values("v").tier.tolist()
+    assert got[:4] == [None, "low", "low", "mid"]  # nan sorts last
+    assert "high" in got
+    with __import__("pytest").raises(ValueError):
+        bad = pd.DataFrame({"lo": [0.0, 10.0], "hi": [20.0, 30.0], "t": ["a", "b"]})
+        range_join(rd.from_arrow(left), bad, "v", out_cols={"t": "t"})
