@@ -622,6 +622,41 @@ def q_anomaly(sf_dir: str):
     )
 
 
+def q_sample_docs(sf_dir: str):
+    """Deterministic hash sampling: keep ~30% of documents by doc_id hash
+    (shuffle-free, resumable; oracle replicates the exact hash in SQL)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.sample import hash_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source"])
+    return hash_sample(ds, "doc_id", 0.3, seed=7)
+
+
+def q_sample_split(sf_dir: str):
+    """Deterministic train/val/test split by doc_id hash range."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.sample import split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return split(ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                 seed=3)
+
+
+def q_sample_per_user(sf_dir: str):
+    """Deterministic k-per-group sample: 3 events per user (k smallest
+    event_id hashes; partial top-k per batch + tiny final merge)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.sample import sample_per_group
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type"])
+    return sample_per_group(ds, "user_id", "event_id", k=3, seed=11)
+
+
 def q_events_asof(sf_dir: str):
     """As-of join (custom operator Ray Data lacks): each event joined to the
     user's most recent signup event at-or-before its timestamp.  Broadcast
@@ -767,6 +802,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_pushdown": q_filter_pushdown,
         "inject": q_inject,
         "anomaly": q_anomaly,
+        "sample_docs": q_sample_docs,
+        "sample_split": q_sample_split,
+        "sample_per_user": q_sample_per_user,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "events_tumbling": q_events_tumbling,
@@ -803,6 +841,28 @@ _ENRICHED = f"""
     FROM ({_PARSED}) p
     LEFT JOIN read_parquet('{_G_PATH}') g ON p.ip = g.ip
 """
+
+
+from fluent_plugin_geoip_ray.stages.sample import sql_hash_expr as _shx
+
+_SAMPLE_DOCS_SQL = f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE {_shx("doc_id", 7)} < CAST({int(0.3 * 2**64)} AS UBIGINT)"""
+
+_SAMPLE_SPLIT_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN {_shx("doc_id", 3)} < CAST({min(int(0.8 * 2**64), 2**64 - 1)} AS UBIGINT) THEN 'train'
+                WHEN {_shx("doc_id", 3)} < CAST({min(int(0.9 * 2**64), 2**64 - 1)} AS UBIGINT) THEN 'val'
+                WHEN {_shx("doc_id", 3)} < CAST({2**64 - 1} AS UBIGINT) THEN 'test'
+                ELSE NULL END AS split
+    FROM documents"""
+
+_SAMPLE_PER_USER_SQL = f"""
+    SELECT event_id, user_id, event_type FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY {_shx("event_id", 11)}, event_id
+        ) AS rn FROM events
+    ) WHERE rn <= 3"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1001,6 +1061,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n
             FROM events CROSS JOIN (SELECT unnest(range(4)) AS j) j
             GROUP BY event_type, window_start""",
+        "sample_docs": _SAMPLE_DOCS_SQL,
+        "sample_split": _SAMPLE_SPLIT_SQL,
+        "sample_per_user": _SAMPLE_PER_USER_SQL,
         "events_asof": """
             SELECT e.event_id, s.event_id AS signup_event_id,
                    s.ts AS signup_ts

@@ -1,0 +1,126 @@
+"""Deterministic sampling operators (training-data extensions).
+
+Random sampling at 100 TB must be DETERMINISTIC (resumable runs, auditable
+splits) and shuffle-free: all three operators here decide membership from a
+Knuth multiplicative hash of a key column -- pure per-batch vectorized
+filters, no RNG state, no coordination, reproducible across runs/cluster
+sizes, and exactly replicable in SQL (the driver oracles do).
+
+* :func:`hash_sample` -- keep ~``fraction`` of rows by key hash.
+* :func:`split` -- disjoint named splits (train/val/test) by hash range.
+* :func:`sample_per_group` -- deterministic k rows per group (the k
+  smallest key hashes), partial top-k per batch + tiny final merge --
+  no per-group Python, no full-row shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# 64-bit golden-ratio multiplier (Knuth): hash = (key * M + seed) mod 2^64.
+# Chosen because the identical formula is expressible in SQL HUGEINT math,
+# so oracles compare exact membership, not statistics.
+MULT = 0x9E3779B97F4A7C15
+SEED_MULT = 0xC2B2AE3D27D4EB4F  # murmur3 mixer: seed shifts the hash circle
+
+
+def key_hash(keys: np.ndarray, seed: int = 0) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (keys.astype(np.uint64) * np.uint64(MULT)
+                + np.uint64(seed) * np.uint64(SEED_MULT))
+
+
+def sql_hash_expr(key_col: str, seed: int = 0) -> str:
+    """The SAME hash as ``key_hash`` in DuckDB SQL (HUGEINT mod 2^64)."""
+    return (
+        f"CAST((CAST({key_col} AS HUGEINT) * {MULT} + "
+        f"CAST({seed} AS HUGEINT) * {SEED_MULT}) % "
+        f"18446744073709551616 AS UBIGINT)"
+    )
+
+
+def hash_sample(ds, key_col: str, fraction: float, seed: int = 0,
+                batch_size: int = 65536):
+    """Keep rows whose key hash falls below ``fraction`` of the hash space."""
+    threshold = np.uint64(int(fraction * float(2**64)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(key_hash(keys, seed) < threshold))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
+
+
+def split(ds, key_col: str, fractions: dict[str, float], seed: int = 0,
+          out_col: str = "split", batch_size: int = 65536):
+    """Disjoint deterministic splits: ``{"train": .9, "val": .05, ...}`` ->
+    a ``split`` label column by hash range (fractions should sum to <= 1;
+    remainder rows get null)."""
+    names = list(fractions)
+    acc = 0.0
+    uppers = []
+    for n in names:
+        acc += fractions[n]
+        # integer edge math; exact 1.0 clamps to 2^64-1 (the single maximal
+        # hash value falls out of the last split -- 1-in-2^64, documented)
+        uppers.append(min(int(acc * 2**64), 2**64 - 1))
+    bounds = np.array(uppers, dtype=np.uint64)
+    labels = pa.array(names, pa.string())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = key_hash(keys, seed)
+        idx = np.searchsorted(bounds, h, side="right")
+        valid = idx < len(names)
+        idx_arr = pc.if_else(pa.array(valid),
+                             pa.array(np.where(valid, idx, 0), pa.int64()),
+                             pa.scalar(None, pa.int64()))
+        return batch.append_column(out_col, labels.take(idx_arr))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)
+
+
+def _topk_per_group(gk: np.ndarray, h: np.ndarray, k: int,
+                    tiebreak: np.ndarray | None = None):
+    """Row indices of the k smallest hashes per group (vectorized);
+    hash ties break on ``tiebreak`` (the key), matching the SQL oracle's
+    ORDER BY hash, key."""
+    order = (np.lexsort((tiebreak, h, gk)) if tiebreak is not None
+             else np.lexsort((h, gk)))
+    gs, hs = gk[order], h[order]
+    starts = np.r_[True, gs[1:] != gs[:-1]]
+    group_start_pos = np.maximum.accumulate(np.where(starts, np.arange(len(gs)), 0))
+    rank = np.arange(len(gs)) - group_start_pos
+    return order[rank < k]
+
+
+def sample_per_group(ds, group_col: str, key_col: str, k: int, seed: int = 0,
+                     batch_size: int = 65536, merge: str = "driver"):
+    """Deterministic k-per-group sample: the k smallest key hashes in each
+    group.  Per batch, a vectorized partial top-k (at most k rows per group
+    per batch leave the worker); the final merge re-applies the same top-k
+    over the tiny partials.  Oracle: ``ROW_NUMBER() OVER (PARTITION BY g
+    ORDER BY <hash>, key) <= k``."""
+    import ray
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gk = batch.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = key_hash(keys, seed)
+        keep = _topk_per_group(gk, h, k, tiebreak=keys)
+        return batch.take(pa.array(np.sort(keep)))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+    if merge != "driver":
+        return partials  # caller re-applies partial() after a repartition
+    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return rd.from_items([])
+    allt = pa.concat_tables(tables).combine_chunks()
+    return rd.from_arrow(partial(allt))

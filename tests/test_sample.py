@@ -1,0 +1,59 @@
+"""Deterministic sampling operators: hash membership, splits, k-per-group."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from fluent_plugin_geoip_ray.stages.sample import (
+    hash_sample,
+    key_hash,
+    sample_per_group,
+    split,
+)
+
+
+def _tbl(n=1000):
+    rng = np.random.default_rng(5)
+    return pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "g": pa.array(rng.integers(0, 20, n).astype(np.int64)),
+    })
+
+
+def test_hash_sample_fraction_and_determinism():
+    t = _tbl()
+    a = hash_sample(rd.from_arrow(t), "id", 0.3, seed=7).to_pandas()
+    b = hash_sample(rd.from_arrow(t), "id", 0.3, seed=7).to_pandas()
+    assert sorted(a["id"]) == sorted(b["id"])          # deterministic
+    assert 0.2 < len(a) / len(t) < 0.4                 # ~fraction
+    c = hash_sample(rd.from_arrow(t), "id", 0.3, seed=8).to_pandas()
+    assert sorted(a["id"]) != sorted(c["id"])          # seed-sensitive
+
+
+def test_split_disjoint_and_exhaustive():
+    t = _tbl()
+    out = split(rd.from_arrow(t), "id",
+                {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    counts = out["split"].value_counts()
+    assert set(counts.index) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]
+    assert out["split"].notna().all()                  # fractions sum to 1
+    # nested subset property: a 0.1 hash_sample is inside the 0.8 train set
+    # iff thresholds nest -- check split assignment matches hash ranges
+    h = key_hash(out["id"].to_numpy(), 0)
+    train_max = np.uint64(int(0.8 * 2**64))
+    assert ((h < train_max) == (out["split"] == "train").to_numpy()).all()
+
+
+def test_sample_per_group_k_and_determinism():
+    t = _tbl()
+    out = sample_per_group(rd.from_arrow(t), "g", "id", k=3).to_pandas()
+    sizes = out.groupby("g").size()
+    assert (sizes <= 3).all() and len(sizes) == 20
+    out2 = sample_per_group(rd.from_arrow(t), "g", "id", k=3).to_pandas()
+    assert sorted(out["id"]) == sorted(out2["id"])
+    # partial+final equivalence: splitting the input into blocks must not
+    # change the chosen rows (algebraic top-k)
+    ds_split = rd.from_arrow(t).repartition(7)
+    out3 = sample_per_group(ds_split, "g", "id", k=3).to_pandas()
+    assert sorted(out["id"]) == sorted(out3["id"])
