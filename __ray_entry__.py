@@ -657,6 +657,36 @@ def q_sample_per_user(sf_dir: str):
     return sample_per_group(ds, "user_id", "event_id", k=3, seed=11)
 
 
+def q_sample_mix(sf_dir: str):
+    """Deterministic weighted corpus mixture: per-source sampling rates over
+    documents (src1/src2 full, src3 quarter, others dropped)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.sample import weighted_mix
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "lang"])
+    return weighted_mix(ds, "doc_id", "source",
+                        {"src1": 1.0, "src2": 1.0, "src3": 0.25},
+                        default_rate=0.0, seed=5)
+
+
+def q_pack_docs(sf_dir: str):
+    """Token-budget sequence packing: whitespace token counts -> prefix-sum
+    bins of 2000 tokens in doc_id order (deterministic, partition-invariant;
+    oracle = SQL window sum)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.pack import pack_bins
+    from fluent_plugin_geoip_ray.stages.text import token_count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(token_count, batch_format="pyarrow")
+    ds = ds.select_columns(["doc_id", "n_tokens"])
+    return pack_bins(ds, "doc_id", "n_tokens", budget=2000)
+
+
 def q_events_asof(sf_dir: str):
     """As-of join (custom operator Ray Data lacks): each event joined to the
     user's most recent signup event at-or-before its timestamp.  Broadcast
@@ -805,6 +835,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": q_sample_docs,
         "sample_split": q_sample_split,
         "sample_per_user": q_sample_per_user,
+        "sample_mix": q_sample_mix,
+        "pack_docs": q_pack_docs,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "events_tumbling": q_events_tumbling,
@@ -863,6 +895,26 @@ _SAMPLE_PER_USER_SQL = f"""
             PARTITION BY user_id ORDER BY {_shx("event_id", 11)}, event_id
         ) AS rn FROM events
     ) WHERE rn <= 3"""
+
+
+_SAMPLE_MIX_SQL = f"""
+    SELECT doc_id, source, lang FROM documents
+    WHERE {_shx("doc_id", 5)} < CAST(
+        CASE source WHEN 'src1' THEN 18446744073709551615 WHEN 'src2' THEN 18446744073709551615
+                    WHEN 'src3' THEN 4611686018427387904 ELSE 0 END
+        AS UBIGINT)"""
+
+
+_PACK_DOCS_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                 - n_tokens) // 2000 AS BIGINT) AS pack_id
+    FROM toks"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1064,6 +1116,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_docs": _SAMPLE_DOCS_SQL,
         "sample_split": _SAMPLE_SPLIT_SQL,
         "sample_per_user": _SAMPLE_PER_USER_SQL,
+        "sample_mix": _SAMPLE_MIX_SQL,
+        "pack_docs": _PACK_DOCS_SQL,
         "events_asof": """
             SELECT e.event_id, s.event_id AS signup_event_id,
                    s.ts AS signup_ts

@@ -124,3 +124,30 @@ def sample_per_group(ds, group_col: str, key_col: str, k: int, seed: int = 0,
         return rd.from_items([])
     allt = pa.concat_tables(tables).combine_chunks()
     return rd.from_arrow(partial(allt))
+
+
+def weighted_mix(ds, key_col: str, category_col: str,
+                 rates: dict[str, float], default_rate: float = 0.0,
+                 batch_size: int = 65536, seed: int = 0):
+    """Deterministic corpus mixture: keep each row with a per-CATEGORY
+    sampling rate (the training-data "mix sources at different weights"
+    step), decided by the same key hash as :func:`hash_sample` -- so the
+    mixture is reproducible, shuffle-free, and each category's kept subset
+    is a superset of any lower rate (nested samples for curriculum ramps)."""
+    cats = list(rates)
+    cat_arr = pa.array(cats, pa.string())
+    thresholds = np.array(
+        [min(int(rates[c] * 2**64), 2**64 - 1) for c in cats], dtype=np.uint64
+    )
+    default_thr = np.uint64(min(int(default_rate * 2**64), 2**64 - 1))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        h = key_hash(keys, seed)
+        idx = pc.index_in(batch.column(category_col), value_set=cat_arr)
+        idx_np = pc.fill_null(idx, len(cats)).to_numpy(zero_copy_only=False)
+        thr = np.concatenate([thresholds, [default_thr]])[idx_np]
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)

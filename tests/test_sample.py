@@ -57,3 +57,28 @@ def test_sample_per_group_k_and_determinism():
     ds_split = rd.from_arrow(t).repartition(7)
     out3 = sample_per_group(ds_split, "g", "id", k=3).to_pandas()
     assert sorted(out["id"]) == sorted(out3["id"])
+
+
+def test_weighted_mix_rates_and_nesting():
+    import pandas as pd
+
+    from fluent_plugin_geoip_ray.stages.sample import weighted_mix
+
+    n = 3000
+    rng = np.random.default_rng(9)
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "src": pa.array(rng.choice(["a", "b", "c"], n)),
+    })
+    out = weighted_mix(rd.from_arrow(t), "id", "src",
+                       {"a": 1.0, "b": 0.25}, default_rate=0.0).to_pandas()
+    full = t.to_pandas()
+    per = out["src"].value_counts()
+    tot = full["src"].value_counts()
+    assert per["a"] == tot["a"]                  # rate 1.0 keeps all
+    assert 0.15 < per["b"] / tot["b"] < 0.35     # ~0.25
+    assert "c" not in per.index                  # default 0.0 drops
+    # nesting: the 0.1 mixture of b is a subset of the 0.25 mixture
+    lo = weighted_mix(rd.from_arrow(t), "id", "src", {"b": 0.1}).to_pandas()
+    hi = weighted_mix(rd.from_arrow(t), "id", "src", {"b": 0.25}).to_pandas()
+    assert set(lo["id"]).issubset(set(hi["id"]))
