@@ -687,6 +687,18 @@ def q_pack_docs(sf_dir: str):
     return pack_bins(ds, "doc_id", "n_tokens", budget=2000)
 
 
+def q_quantiles_events(sf_dir: str):
+    """Per-type value quantiles (log-pipeline p50/p95): exact mode (list
+    partials + numpy linear interpolation == SQL quantile_cont)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import quantiles_by
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return quantiles_by(ds, "event_type", "value", qs=(0.5, 0.95))
+
+
 def q_events_asof(sf_dir: str):
     """As-of join (custom operator Ray Data lacks): each event joined to the
     user's most recent signup event at-or-before its timestamp.  Broadcast
@@ -837,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_user": q_sample_per_user,
         "sample_mix": q_sample_mix,
         "pack_docs": q_pack_docs,
+        "quantiles_events": q_quantiles_events,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "events_tumbling": q_events_tumbling,
@@ -1118,6 +1131,11 @@ def oracle_sql() -> dict[str, str]:
         "sample_per_user": _SAMPLE_PER_USER_SQL,
         "sample_mix": _SAMPLE_MIX_SQL,
         "pack_docs": _PACK_DOCS_SQL,
+        "quantiles_events": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS q50,
+                   quantile_cont(value, 0.95) AS q95
+            FROM events GROUP BY event_type""",
         "events_asof": """
             SELECT e.event_id, s.event_id AS signup_event_id,
                    s.ts AS signup_ts

@@ -246,3 +246,117 @@ def sum_count_by(ds, key: str, value: str, batch_size: int = 65536):
     return partials.groupby(key).aggregate(
         Sum("s", alias_name="s"), Sum("n", alias_name="n")
     )
+
+
+def quantiles_by(ds, key: str, value: str, qs: tuple = (0.5, 0.95, 0.99),
+                 mode: str = "exact", bins: int = 4096,
+                 batch_size: int = 65536):
+    """Per-group quantiles (the log-pipeline p50/p95/p99 metric).
+
+    ``mode="exact"``: per-batch the VALUES of each group are collected as
+    list partials; the final merge concatenates per group and interpolates
+    (numpy 'linear' == SQL ``quantile_cont``).  Right when per-group value
+    volume fits one process -- the dashboard/alerting case (few groups).
+
+    ``mode="sketch"``: mergeable fixed-bin log-histogram partials (one
+    (key, bins) count row per batch per group; shuffle O(groups x blocks x
+    bins)), final merge sums histograms and reads quantiles off the CDF --
+    bounded relative error ~ bin width, any cardinality, no value data
+    movement.  The 100 TB path.
+    """
+    import numpy as np
+
+    import ray
+    import ray.data as rd
+
+    if mode == "exact":
+        def partial(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            t = batch.select([key, value])
+            g = t.group_by(key).aggregate([(value, "list")])
+            return g.rename_columns([key, "__vals"])
+
+        tables = [
+            t for t in ray.get(
+                ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True,
+                               batch_size=batch_size).to_arrow_refs()
+            ) if t.num_rows
+        ]
+        if not tables:
+            return rd.from_items([])
+        # merge partial value-lists per key (O(groups x blocks) rows)
+        buckets: dict = {}
+        for t in tables:
+            tp = t.to_pandas()
+            for k, v in zip(tp[key], tp["__vals"]):
+                buckets.setdefault(k, []).append(np.asarray(v, np.float64))
+        def _qcont(vs: "np.ndarray", q: float) -> float:
+            # SQL quantile_cont's exact arithmetic: lo*(1-frac) + hi*frac
+            # (bit-identical to DuckDB; other lerp orders differ in ulps)
+            n = len(vs)
+            pos = q * (n - 1)
+            lo = int(np.floor(pos))
+            frac = pos - lo
+            if frac == 0.0 or lo + 1 >= n:
+                return float(vs[min(lo, n - 1)])
+            return float(vs[lo] * (1.0 - frac) + vs[lo + 1] * frac)
+
+        keys_out, cols = [], {f"q{int(q * 100)}": [] for q in qs}
+        for k in sorted(buckets):
+            keys_out.append(k)
+            vals = np.concatenate(buckets[k])
+            vals = np.sort(vals[~np.isnan(vals)])
+            for q in qs:
+                cols[f"q{int(q * 100)}"].append(
+                    _qcont(vals, q) if len(vals) else None
+                )
+        out = {key: pa.array(keys_out)}
+        out.update({name: pa.array(v, pa.float64()) for name, v in cols.items()})
+        return rd.from_arrow(pa.table(out))
+
+    # sketch mode: log-spaced histogram partials, mergeable by addition
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        keys_np = batch.column(key).to_pandas().to_numpy()
+        v = batch.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        keys_np, v = keys_np[ok], v[ok]
+        # log bins over [1e-6, 1e9); values clamp into the edge bins
+        logs = np.clip(np.log10(np.maximum(v, 1e-6)), -6.0, 9.0 - 1e-12)
+        b = ((logs + 6.0) / 15.0 * bins).astype(np.int64)
+        df = pd.DataFrame({"k": keys_np, "b": b})
+        counts = df.groupby(["k", "b"]).size().reset_index(name="n")
+        return pa.table({
+            key: pa.array(counts["k"]),
+            "bin": pa.array(counts["b"].astype(np.int64)),
+            "n": pa.array(counts["n"].astype(np.int64)),
+        })
+
+    partials = ds.map_batches(sketch_partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+    hist = groupby_agg(partials, [key, "bin"], [("n", "sum", "n")],
+                       merge="driver").to_pandas()
+
+    def bin_value(b):
+        import numpy as np
+
+        return float(10 ** (-6.0 + (np.asarray(b, np.float64) + 0.5) / bins * 15.0))
+
+    keys_out, cols = [], {f"q{int(q * 100)}": [] for q in qs}
+    for k, grp in hist.groupby(key):
+        grp = grp.sort_values("bin")
+        cdf = grp["n"].cumsum().to_numpy()
+        total = cdf[-1]
+        keys_out.append(k)
+        for q in qs:
+            import numpy as np
+
+            pos = int(np.searchsorted(cdf, q * total, side="left"))
+            cols[f"q{int(q * 100)}"].append(bin_value(grp["bin"].iloc[min(pos, len(grp) - 1)]))
+    out = {key: pa.array(keys_out)}
+    out.update({name: pa.array(v, pa.float64()) for name, v in cols.items()})
+    return rd.from_arrow(pa.table(out))

@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from fluent_plugin_geoip_ray.stages.aggregate import (
@@ -191,3 +192,45 @@ def test_range_join_labels():
     with __import__("pytest").raises(ValueError):
         bad = pd.DataFrame({"lo": [0.0, 10.0], "hi": [20.0, 30.0], "t": ["a", "b"]})
         range_join(rd.from_arrow(left), bad, "v", out_cols={"t": "t"})
+
+
+def test_quantiles_by_exact_matches_numpy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import quantiles_by
+
+    rng = np.random.default_rng(12)
+    t = pa.table({
+        "k": pa.array(np.repeat(["a", "b"], 500)),
+        "v": pa.array(np.concatenate([rng.exponential(10, 500),
+                                      rng.normal(100, 5, 500)])),
+    })
+    out = (
+        quantiles_by(rd.from_arrow(t), "k", "v", qs=(0.5, 0.95))
+        .to_pandas().set_index("k").sort_index()
+    )
+    va = t.column("v").to_numpy()[:500]
+    vb = t.column("v").to_numpy()[500:]
+    assert out.loc["a", "q50"] == pytest.approx(np.quantile(va, 0.5))
+    assert out.loc["b", "q95"] == pytest.approx(np.quantile(vb, 0.95))
+
+
+def test_quantiles_by_sketch_bounded_error():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import quantiles_by
+
+    rng = np.random.default_rng(13)
+    vals = rng.lognormal(3, 1, 4000)
+    t = pa.table({"k": pa.array(["x"] * 4000), "v": pa.array(vals)})
+    out = (
+        quantiles_by(rd.from_arrow(t), "k", "v", qs=(0.5, 0.99),
+                     mode="sketch").to_pandas().iloc[0]
+    )
+    # log-bin relative error bound: bin width = 15/4096 decades (~0.85%)
+    assert abs(out["q50"] / np.quantile(vals, 0.5) - 1) < 0.02
+    assert abs(out["q99"] / np.quantile(vals, 0.99) - 1) < 0.02
