@@ -699,6 +699,31 @@ def q_quantiles_events(sf_dir: str):
     return quantiles_by(ds, "event_type", "value", qs=(0.5, 0.95))
 
 
+def q_topk_per_user(sf_dir: str):
+    """Grouped top-k: each user's 2 highest-value events (algebraic partial
+    top-k per batch, deterministic event_id tie-break)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import top_k_by_group
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "value"])
+    return top_k_by_group(ds, "user_id", "value", k=2, tie_breakers=["event_id"])
+
+
+def q_redact(sf_dir: str):
+    """PII redaction over transcripts: emails / card digit-runs / IPv4
+    literals replaced by typed placeholders (one RE2 pass per pattern)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import redact
+
+    ds = _transcripts_ds(sf_dir).select_columns(["conv_id", "turn_idx", "text"])
+    return ds.map_batches(
+        lambda t: redact(t, out_col="redacted"), batch_format="pyarrow"
+    ).select_columns(["conv_id", "turn_idx", "redacted"])
+
+
 def q_events_asof(sf_dir: str):
     """As-of join (custom operator Ray Data lacks): each event joined to the
     user's most recent signup event at-or-before its timestamp.  Broadcast
@@ -850,6 +875,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_mix": q_sample_mix,
         "pack_docs": q_pack_docs,
         "quantiles_events": q_quantiles_events,
+        "topk_per_user": q_topk_per_user,
+        "redact": q_redact,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
         "events_tumbling": q_events_tumbling,
@@ -1136,6 +1163,23 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.5) AS q50,
                    quantile_cont(value, 0.95) AS q95
             FROM events GROUP BY event_type""",
+        "topk_per_user": """
+            SELECT user_id, event_id, value FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY value DESC, event_id
+                ) AS rn FROM events
+            ) WHERE rn <= 2""",
+        "redact": f"""
+            SELECT conv_id, turn_idx,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                         '<EMAIL>', 'g'),
+                       '\\b\\d(?:[ -]?\\d){{12,15}}\\b', '<CARD>', 'g'),
+                     '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g')
+                   AS redacted
+            FROM read_parquet('{_T_PATH}')""",
         "events_asof": """
             SELECT e.event_id, s.event_id AS signup_event_id,
                    s.ts AS signup_ts

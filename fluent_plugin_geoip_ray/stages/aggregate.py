@@ -360,3 +360,41 @@ def quantiles_by(ds, key: str, value: str, qs: tuple = (0.5, 0.95, 0.99),
     out = {key: pa.array(keys_out)}
     out.update({name: pa.array(v, pa.float64()) for name, v in cols.items()})
     return rd.from_arrow(pa.table(out))
+
+
+def top_k_by_group(ds, group_col: str, order_col: str, k: int,
+                   descending: bool = True, tie_breakers: list[str] | None = None,
+                   batch_size: int = 65536):
+    """Top-k rows per group by ``order_col`` (grouped top-k): vectorized
+    per-batch partial top-k (at most k rows per group per batch leave the
+    worker -- algebraic, so partial-of-partials is exact), tiny driver
+    final.  Ties break on ``tie_breakers`` ascending (deterministic; the
+    oracle's ROW_NUMBER ORDER BY).  At unbounded group cardinality route
+    the partials through a hash repartition on ``group_col`` and re-apply
+    the partial per bucket instead of the driver merge."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    ties = tie_breakers or []
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gk = batch.column(group_col).to_pandas().to_numpy()
+        v = batch.column(order_col).to_numpy(zero_copy_only=False)
+        sort_cols = [batch.column(t).to_pandas().to_numpy() for t in ties[::-1]]
+        key = -v if descending else v
+        order = np.lexsort(tuple(sort_cols) + (key, gk))
+        gs = gk[order]
+        starts = np.r_[True, gs[1:] != gs[:-1]]
+        group_start = np.maximum.accumulate(np.where(starts, np.arange(len(gs)), 0))
+        rank = np.arange(len(gs)) - group_start
+        keep = order[rank < k]
+        return batch.take(pa.array(np.sort(keep)))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return rd.from_items([])
+    allt = pa.concat_tables(tables).combine_chunks()
+    return rd.from_arrow(partial(allt))

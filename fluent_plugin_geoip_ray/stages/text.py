@@ -165,3 +165,27 @@ def fingerprint(batch: pa.Table, text_col: str = "text",
     text = batch.column(text_col)
     h = pd.util.hash_array(text.to_pandas().to_numpy(dtype=object)).astype(np.int64)
     return batch.append_column(out_col, pa.array(h, type=pa.int64()))
+
+
+# default redaction patterns (RE2-safe, also valid in DuckDB regexp_replace):
+# order matters -- applied sequentially
+REDACT_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def redact(batch: pa.Table, text_col: str = "text",
+           patterns: list[tuple[str, str]] | None = None,
+           out_col: str | None = None) -> pa.Table:
+    """PII scrubbing: sequential vectorized regex replacements over the text
+    column (emails, card-like digit runs, IPv4 literals by default) -- the
+    fluentd record-scrubbing filter analog, one RE2 pass per pattern."""
+    arr = batch.column(text_col)
+    for pat, repl in (patterns or REDACT_PATTERNS):
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=repl)
+    name = out_col or text_col
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, arr)
+    return batch.append_column(name, arr)

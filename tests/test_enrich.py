@@ -209,12 +209,15 @@ def test_actor_mode_with_backend_ref():
     docs_ref = ray.put(fixture_geo_docs())
     spec = RecordSpec(lookup_keys=["ip"], record={"city": CITY})
     ds = rd.from_items([{"ip": "66.102.3.80"}, {"ip": "203.0.113.1"}])
-    out = enrich_dataset(ds, spec, backend_ref=docs_ref,
-                         concurrency=(1, 2)).to_pandas()
+    out = (
+        enrich_dataset(ds, spec, backend_ref=docs_ref, concurrency=(1, 2))
+        .to_pandas().sort_values("ip").reset_index(drop=True)
+    )
     import pandas as pd
 
-    assert out.loc[0, "city"] == "Mountain View"
-    assert pd.isna(out.loc[1, "city"])
+    # sorted by ip: 203.0.113.1 > 66.102.3.80 lexicographically
+    assert out.loc[1, "city"] == "Mountain View"
+    assert pd.isna(out.loc[0, "city"])
 
 
 def test_actor_mode_explicit():

@@ -234,3 +234,25 @@ def test_quantiles_by_sketch_bounded_error():
     # log-bin relative error bound: bin width = 15/4096 decades (~0.85%)
     assert abs(out["q50"] / np.quantile(vals, 0.5) - 1) < 0.02
     assert abs(out["q99"] / np.quantile(vals, 0.99) - 1) < 0.02
+
+
+def test_top_k_by_group():
+    from fluent_plugin_geoip_ray.stages.aggregate import top_k_by_group
+
+    rng = np.random.default_rng(21)
+    t = pa.table({
+        "g": pa.array(np.repeat([1, 2, 3], 100).astype(np.int64)),
+        "id": pa.array(np.arange(300, dtype=np.int64)),
+        "v": pa.array(rng.random(300)),
+    })
+    out = top_k_by_group(rd.from_arrow(t), "g", "v", k=5,
+                         tie_breakers=["id"]).to_pandas()
+    assert len(out) == 15
+    df = t.to_pandas()
+    for g in (1, 2, 3):
+        expect = set(df[df.g == g].nlargest(5, "v")["id"])
+        assert set(out[out.g == g]["id"]) == expect
+    # block-split invariance (algebraic partials)
+    out2 = top_k_by_group(rd.from_arrow(t).repartition(7), "g", "v", k=5,
+                          tie_breakers=["id"]).to_pandas()
+    assert sorted(out["id"]) == sorted(out2["id"])

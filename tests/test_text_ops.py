@@ -60,3 +60,21 @@ def test_bpe_token_count():
     assert out[0]["n_bpe_tokens"] == 2
     assert out[1]["n_bpe_tokens"] == 4
     assert out[2]["n_bpe_tokens"] == 0
+
+
+def test_redact_patterns():
+    import pyarrow as pa
+
+    from fluent_plugin_geoip_ray.stages.text import redact
+
+    t = pa.table({"text": [
+        "mail me at jo.doe+x@example.co.uk please",
+        "card 4111 1111 1111 1111 leaked",
+        "from 192.168.0.1 to 10.0.0.255",
+        "clean line",
+    ]})
+    out = redact(t).column("text").to_pylist()
+    assert out[0] == "mail me at <EMAIL> please"
+    assert out[1] == "card <CARD> leaked"
+    assert out[2] == "from <IP> to <IP>"
+    assert out[3] == "clean line"
