@@ -152,6 +152,52 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     return knn_brute_force(pruned, q, k=k, id_col=id_col, emb_col=emb_col)
 
 
+def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
+                    sample_n: int = 4096, id_col: str = "vec_id",
+                    emb_col: str = "embedding", seed: int = 42) -> str:
+    """Persist an IVF index: vectors written as Parquet PARTITIONED BY
+    ``ivf_bucket`` (one directory per bucket) + the centroid matrix.
+
+    This is the 100 TB ANN layout: the expensive full pass (assign + write)
+    happens once; every later query reads ONLY its ``nprobe`` bucket
+    directories (directory-level pruning, no full scan, resumable like any
+    partitioned output)."""
+    import os
+
+    import ray
+
+    sample_rows = ds.limit(sample_n).to_pandas()
+    sample = np.stack(sample_rows[emb_col].to_numpy())
+    cents = train_centroids(sample, n_clusters, seed=seed)
+    bucketed = assign_buckets(ds, ray.put(cents), id_col=id_col, emb_col=emb_col)
+    os.makedirs(index_dir, exist_ok=True)
+    bucketed.write_parquet(index_dir, partition_cols=["ivf_bucket"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    return index_dir
+
+
+def query_ivf_index(index_dir: str, queries: np.ndarray, k: int = 10,
+                    nprobe: int = 4, id_col: str = "vec_id",
+                    emb_col: str = "embedding"):
+    """Query a persisted IVF index: load centroids, pick the ``nprobe``
+    nearest bucket DIRECTORIES per query, and brute-force only those
+    partitions (directory pruning = the partition-level filter pushdown)."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    wanted = sorted(set(np.unique(probe).tolist()))
+    files = [f for b in wanted
+             for f in glob.glob(os.path.join(index_dir, f"ivf_bucket={b}",
+                                             "*.parquet"))]
+    pruned = rd.read_parquet(files)
+    return knn_brute_force(pruned, q, k=k, id_col=id_col, emb_col=emb_col)
+
+
 class EmbeddingLSHSketch:
     """``map_batches`` callable: (id, sig = NORMALIZED embedding as
     FixedSizeList<float32>, bucket = random-hyperplane LSH code width 1) --

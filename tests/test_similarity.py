@@ -69,3 +69,44 @@ def test_embedding_near_dup_drops_clones():
     ids = set(out["vec_id"])
     assert {0, 1, 2, 3, 4}.issubset(ids)
     assert not ids.intersection({50, 51, 52, 53, 54})
+
+
+def test_persisted_ivf_index_roundtrip(tmp_path):
+    """build_ivf_index writes bucket-partitioned parquet + centroids;
+    query_ivf_index prunes to nprobe bucket dirs and matches the in-memory
+    knn_ivf results on the same data."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.similarity import (
+        build_ivf_index,
+        knn_ivf,
+        query_ivf_index,
+    )
+
+    rng = np.random.default_rng(17)
+    n, dim = 600, 16
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.ravel(), pa.float32()), dim
+        ),
+    })
+    idx_dir = str(tmp_path / "ivf")
+    build_ivf_index(rd.from_arrow(t), idx_dir, n_clusters=8, sample_n=600)
+    assert os.path.exists(os.path.join(idx_dir, "centroids.npy"))
+    bucket_dirs = glob.glob(os.path.join(idx_dir, "ivf_bucket=*"))
+    assert len(bucket_dirs) >= 4           # partitioned layout on disk
+
+    queries = emb[:3]
+    via_index = query_ivf_index(idx_dir, queries, k=5, nprobe=3).to_pandas()
+    via_mem = knn_ivf(rd.from_arrow(t), queries, k=5, n_clusters=8,
+                      nprobe=3, sample_n=600).to_pandas()
+    a = via_index.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = via_mem.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (a["vec_id"] == b["vec_id"]).all()
