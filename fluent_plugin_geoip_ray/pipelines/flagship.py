@@ -478,10 +478,12 @@ def run_partitioned(
         allt = pa.concat_tables(tables)
         merged = allt.group_by(["route", "kind", "key"]).aggregate([("n", "sum")])
         merged = merged.rename_columns(["route", "kind", "key", "n"])
+        # combine_chunks first: pc.if_else over a multi-chunk group_by output
+        # emits chunks with invalid binary offsets (write fails "offset out
+        # of bounds" at sf1 conv_id cardinality)
+        kcol = merged.column("key").combine_chunks()
         key_col = pc.if_else(
-            pc.equal(merged.column("key"), NULL_KEY),
-            pa.scalar(None, pa.string()),
-            merged.column("key"),
+            pc.equal(kcol, NULL_KEY), pa.scalar(None, pa.string()), kcol
         )
         merged = merged.set_column(merged.column_names.index("key"), "key", key_col)
         agg_path = os.path.join(out_dir, "aggregates.parquet")

@@ -34,6 +34,10 @@ def _restore_nulls(key: str):
     def restore(batch: pa.Table) -> pa.Table:
         col = batch.column(key)
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            if isinstance(col, pa.ChunkedArray):
+                # pc.if_else over multi-chunk input can emit chunks with
+                # invalid binary offsets (parquet write then fails)
+                col = col.combine_chunks()
             col = pc.if_else(pc.equal(col, NULL_KEY), pa.scalar(None, col.type), col)
             batch = batch.set_column(batch.column_names.index(key), key, col)
         return batch

@@ -256,3 +256,22 @@ def test_top_k_by_group():
     out2 = top_k_by_group(rd.from_arrow(t).repartition(7), "g", "v", k=5,
                           tie_breakers=["id"]).to_pandas()
     assert sorted(out["id"]) == sorted(out2["id"])
+
+
+def test_restore_nulls_multichunk_parquet_safe(tmp_path):
+    """Regression (found at sf1): pc.if_else over a MULTI-CHUNK string column
+    emits chunks with invalid binary offsets -- parquet write then fails
+    'First or last binary offset out of bounds'. _restore_nulls must
+    combine_chunks first."""
+    import pyarrow.parquet as pq
+
+    from fluent_plugin_geoip_ray.stages.aggregate import NULL_KEY, _restore_nulls
+
+    chunks = [pa.array([f"k{j}_{i}" for i in range(50_000)]) for j in range(4)]
+    chunks.append(pa.array([NULL_KEY] * 10))
+    t = pa.table({"key": pa.chunked_array(chunks),
+                  "n": pa.array(np.arange(200_010, dtype=np.int64))})
+    g = t.group_by(["key"]).aggregate([("n", "sum")]).rename_columns(["key", "n"])
+    out = _restore_nulls("key")(g)
+    pq.write_table(out, str(tmp_path / "x.parquet"))   # must not raise
+    assert out.column("key").null_count == 1
