@@ -239,7 +239,18 @@ class MinHashSketch:
         self.num_perm, self.bands, self.seed = num_perm, bands, seed
         self.rows_per_band = num_perm // bands
 
+    # memory bound: the signature kernel builds a (num_perm x n_shingles)
+    # matrix; an unbounded input block (e.g. one 50k-doc batch ~= 13 GB peak)
+    # must never reach it in one piece.  Slicing INSIDE the callable keeps
+    # the per-slice peak ~1 GB without rebatching (a map_batches batch_size
+    # would COALESCE small blocks and collapse task parallelism).
+    CHUNK = 2048
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows > self.CHUNK:
+            parts = [self(batch.slice(i, self.CHUNK))
+                     for i in range(0, batch.num_rows, self.CHUNK)]
+            return pa.concat_tables(parts).combine_chunks()
         sig = minhash_signatures(batch, self.text_col, self.num_perm, seed=self.seed)
         n = sig.shape[0]
         r = self.rows_per_band
@@ -304,8 +315,14 @@ def lsh_verified_edges(sketches, key_col: str, verify, merge: str = "driver",
 
     Returns a pandas DataFrame of verified edges (a, b).
     """
+    import os
+    import time as _time
+
     import pandas as pd
     import ray
+
+    _dbg = os.environ.get("GRAFT_DEBUG_TIMING")
+    _t0 = _time.perf_counter()
 
     # bucket winners WITH their signatures in one partial+final pass: each
     # batch emits (bucket, min_key, count, min_key's sig) -- the sig tags
@@ -368,6 +385,9 @@ def lsh_verified_edges(sketches, key_col: str, verify, merge: str = "driver",
     wsig = b_sig[widx]
 
     state = ray.put((b_ids, b_win, wk, wsig))
+    if _dbg:
+        print(f"[lsh] winners {_time.perf_counter()-_t0:.2f}s", flush=True)
+        _t0 = _time.perf_counter()
 
     def edges_fn(batch: pa.Table) -> pa.Table:
         ids, win, wkk, wss = ray.get(state)
@@ -388,6 +408,14 @@ def lsh_verified_edges(sketches, key_col: str, verify, merge: str = "driver",
             return pa.table({"a": empty, "b": empty, "bucket": empty,
                              "ok": pa.array([], pa.bool_())})
         a, b, bkt, ridx = a[valid], mkeys[valid], flat[valid], rows[valid]
+        # a (member, winner) pair recurs once per shared band (up to
+        # ``width`` copies) -- dedupe BEFORE verification so the signature
+        # gathers and compares run once per pair, not once per band
+        dorder = np.lexsort((a, ridx))
+        da, dr = a[dorder], ridx[dorder]
+        first = np.r_[True, (da[1:] != da[:-1]) | (dr[1:] != dr[:-1])]
+        sel = dorder[first]
+        a, b, bkt, ridx = a[sel], b[sel], bkt[sel], ridx[sel]
         wpos = np.searchsorted(wkk, a)
         ok = verify(wss[wpos], sig[ridx])
         return pa.table({
@@ -402,6 +430,9 @@ def lsh_verified_edges(sketches, key_col: str, verify, merge: str = "driver",
             ).to_arrow_refs()
         ) if t.num_rows
     ]
+    if _dbg:
+        print(f"[lsh] edge pass {_time.perf_counter()-_t0:.2f}s", flush=True)
+        _t0 = _time.perf_counter()
     if not edge_tables:
         return pd.DataFrame({"a": [], "b": []})
     edges = pa.concat_tables(edge_tables).combine_chunks()
@@ -412,6 +443,10 @@ def lsh_verified_edges(sketches, key_col: str, verify, merge: str = "driver",
     })
 
     failed = edges.filter(pa.array(~okm))
+    if _dbg:
+        print(f"[lsh] edge split {_time.perf_counter()-_t0:.2f}s "
+              f"(verified={len(verified)}, failed={failed.num_rows})", flush=True)
+        _t0 = _time.perf_counter()
     if failed.num_rows == 0:
         return verified
 
@@ -453,6 +488,9 @@ def lsh_verified_edges(sketches, key_col: str, verify, merge: str = "driver",
             extra_b.extend(rest[ok2].tolist())
             members = rest[~ok2]
 
+    if _dbg:
+        print(f"[lsh] restar {_time.perf_counter()-_t0:.2f}s "
+              f"(extra={len(extra_a)})", flush=True)
     if extra_a:
         verified = pd.concat(
             [verified, pd.DataFrame({"a": extra_a, "b": extra_b})],
@@ -704,10 +742,16 @@ class SimHashSketch:
     with the band index in the high bits -- pigeonhole bucketing for
     hamming <= 3)."""
 
+    CHUNK = 4096  # 64-wide bit-matrix kernel: bound peak memory per slice
+
     def __init__(self, key_col: str = "doc_id", text_col: str = "text"):
         self.key_col, self.text_col = key_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows > self.CHUNK:
+            parts = [self(batch.slice(i, self.CHUNK))
+                     for i in range(0, batch.num_rows, self.CHUNK)]
+            return pa.concat_tables(parts).combine_chunks()
         sh = simhash_bits(batch, self.text_col)
         n = len(sh)
         bucket = np.empty((n, 4), dtype=np.int64)
