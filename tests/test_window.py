@@ -75,3 +75,22 @@ def test_session_windows_vs_pandas():
     assert (got["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
     assert (got["ts_min"].to_numpy() == exp["ts_min"].to_numpy()).all()
     assert (got["ts_max"].to_numpy() == exp["ts_max"].to_numpy()).all()
+
+
+def test_session_scan_matches_groups_impl():
+    """The sorted-scan sessionization must equal the per-group reference
+    implementation row-for-row (including session_idx numbering)."""
+    df = events_df(1500)
+    a = (
+        session_windows(rd.from_pandas(df), key="user_id", gap_sec=1800,
+                        order_tiebreak="event_id", impl="scan")
+        .to_pandas().sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    )
+    b = (
+        session_windows(rd.from_pandas(df), key="user_id", gap_sec=1800,
+                        order_tiebreak="event_id", impl="groups")
+        .to_pandas().sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a[b.columns], b)
