@@ -69,7 +69,7 @@ def count_by(ds, key: str, batch_size: int = 65536):
 
 
 def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536,
-                merge: str = "ray"):
+                merge: str = "bucketed"):
     """General partial+final grouped aggregate.
 
     ``aggs`` entries are ``(col, fn, out_name)`` with fn in
@@ -79,12 +79,15 @@ def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536,
     Null string keys survive the shuffle via sentinel encoding.
 
     ``merge="ray"``: distributed groupby over the partials (returns a lazy
-    Dataset; the scale path for high-cardinality keys).  NOTE: Ray's
-    sort-based shuffle costs O(blocks), so it is slow over hundreds of tiny
-    partial blocks.  ``merge="driver"``: fetch partial blocks in parallel
-    and merge with one C++ ``pyarrow.Table.group_by`` (returns a Dataset
-    built from the merged table) -- right whenever the RESULT fits one
-    process, regardless of input size.
+    Dataset).  NOTE: Ray's sort-based shuffle costs O(blocks), so it is
+    slow over hundreds of tiny partial blocks.  ``merge="driver"``: fetch
+    partial blocks in parallel and merge with one C++
+    ``pyarrow.Table.group_by`` -- right whenever the RESULT fits one
+    process, regardless of input size.  ``merge="bucketed"``: hash-bucket
+    the partials by key (ONE exchange over partial rows, skew-free by
+    construction) and re-aggregate each bucket with a C++ group_by -- the
+    high-cardinality scale path: no driver state, no sort shuffle, B
+    Python calls total.
     """
     from ray.data.aggregate import Max, Min
 
@@ -142,6 +145,42 @@ def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536,
         return batch
 
     refit_fn = {"sum": "sum", "count": "sum", "count_all": "sum", "min": "min", "max": "max"}
+
+    def _refit_table(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(
+            [(f"__p_{nm}", refit_fn[need[nm][1]]) for nm in need]
+        )
+        rename = {
+            f"__p_{nm}_{refit_fn[need[nm][1]]}": f"__f_{nm}" for nm in need
+        }
+        return g.rename_columns([rename.get(c, c) for c in g.column_names])
+
+    if merge == "bucketed":
+        import numpy as np
+        import pandas as pd
+
+        num_buckets = 32
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            cols = [t.column(k).to_pandas().to_numpy(dtype=object) for k in keys]
+            h = pd.util.hash_array(cols[0])
+            for c in cols[1:]:
+                h = h ^ pd.util.hash_array(c)
+            return t.append_column(
+                "__bucket", pa.array((h % num_buckets).astype(np.int32))
+            )
+
+        bucketed = partials.map_batches(
+            add_bucket, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def merge_bucket(t: pa.Table) -> pa.Table:
+            return finalize(_refit_table(t.drop_columns(["__bucket"])))
+
+        return bucketed.groupby("__bucket").map_groups(
+            merge_bucket, batch_format="pyarrow"
+        )
+
     if merge == "driver":
         import ray
         import ray.data as rd
@@ -150,14 +189,7 @@ def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536,
         if not tables:
             return rd.from_items([])
         allt = pa.concat_tables(tables).combine_chunks()
-        g = allt.group_by(keys).aggregate(
-            [(f"__p_{nm}", refit_fn[need[nm][1]]) for nm in need]
-        )
-        rename = {
-            f"__p_{nm}_{refit_fn[need[nm][1]]}": f"__f_{nm}" for nm in need
-        }
-        g = g.rename_columns([rename.get(c, c) for c in g.column_names])
-        return rd.from_arrow(finalize(g))
+        return rd.from_arrow(finalize(_refit_table(allt)))
 
     refit = {"sum": Sum, "count": Sum, "count_all": Sum, "min": Min, "max": Max}
     ray_aggs = []

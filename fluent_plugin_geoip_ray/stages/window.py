@@ -8,9 +8,10 @@ input is treated as an ordered partitioned log (the ``events`` table):
   the partial+final grouped aggregate -- no sort needed at all.
 * sliding: each event belongs to ``size/step`` windows; the assignment is an
   exploded vectorized repeat per batch, counts via partial+final groupby.
-* session: gap-based sessionization needs per-key time order ->
-  ``groupby(key).map_groups`` over ts-sorted groups (the documented
-  partitioning assumption: one key's events fit one group).
+* session: gap-based sessionization needs per-key time order -> sorted-scan
+  implementation (sessions are contiguous runs after a (key, ts) sort; one
+  vectorized pass per block + O(blocks) boundary-carry scan); the
+  per-group ``map_groups`` variant is kept only as a cross-check reference.
 """
 
 from __future__ import annotations

@@ -275,3 +275,22 @@ def test_restore_nulls_multichunk_parquet_safe(tmp_path):
     out = _restore_nulls("key")(g)
     pq.write_table(out, str(tmp_path / "x.parquet"))   # must not raise
     assert out.column("key").null_count == 1
+
+
+def test_groupby_agg_merge_modes_agree():
+    """driver / ray / bucketed merges must produce identical results."""
+    rng = np.random.default_rng(31)
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 500, 5000).astype(str)),
+        "v": pa.array(rng.random(5000)),
+    })
+    outs = {}
+    for merge in ("driver", "ray", "bucketed"):
+        outs[merge] = (
+            groupby_agg(rd.from_arrow(t).repartition(8), ["k"],
+                        [("v", "sum", "s"), ("v", "count", "c"),
+                         ("v", "mean", "m")], merge=merge)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs["driver"], outs["ray"])
+    pd.testing.assert_frame_equal(outs["driver"], outs["bucketed"])
