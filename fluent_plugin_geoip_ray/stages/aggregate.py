@@ -56,16 +56,22 @@ def _partial_count(key: str):
     return partial
 
 
-def count_by(ds, key: str, batch_size: int = 65536):
-    """``SELECT key, count(*) AS n GROUP BY key`` -- partial + final."""
+def count_by(ds, key: str, batch_size: int = 65536, merge: str = "bucketed"):
+    """``SELECT key, count(*) AS n GROUP BY key`` -- partial + final.
+
+    The final merge defaults to the bucketed hash-exchange (scale-safe at
+    any key cardinality); ``merge="ray"`` uses Ray's groupby directly."""
     partials = ds.map_batches(
         _partial_count(key),
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
     )
-    agg = partials.groupby(key).aggregate(Sum("n", alias_name="n"))
-    return agg.map_batches(_restore_nulls(key), batch_format="pyarrow")
+    if merge == "ray":
+        agg = partials.groupby(key).aggregate(Sum("n", alias_name="n"))
+        return agg.map_batches(_restore_nulls(key), batch_format="pyarrow")
+    out = groupby_agg(partials, [key], [("n", "sum", "n")], merge=merge)
+    return out.map_batches(_restore_nulls(key), batch_format="pyarrow")
 
 
 def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536,

@@ -72,10 +72,8 @@ def sliding_window_counts(ds, ts_col: str = "ts", size_sec: int = 3600,
         g = t.group_by(keys + ["window_start"]).aggregate([([], "count_all")])
         return g.rename_columns(list(g.column_names[:-1]) + ["n"])
 
-    from ray.data.aggregate import Sum
-
     partials = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby(keys + ["window_start"]).aggregate(Sum("n", alias_name="n"))
+    return groupby_agg(partials, keys + ["window_start"], [("n", "sum", "n")])
 
 
 def session_windows(ds, key: str = "user_id", ts_col: str = "ts",
