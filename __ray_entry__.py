@@ -724,6 +724,17 @@ def q_redact(sf_dir: str):
     ).select_columns(["conv_id", "turn_idx", "redacted"])
 
 
+def q_compact_latest(sf_dir: str):
+    """Log compaction: each user's latest event (CDC latest-state step)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import compact_latest
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts"])
+    return compact_latest(ds, "user_id", "ts", tie_breakers=["event_id"])
+
+
 def q_events_asof(sf_dir: str):
     """As-of join (custom operator Ray Data lacks): each event joined to the
     user's most recent signup event at-or-before its timestamp.  Broadcast
@@ -876,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs": q_pack_docs,
         "quantiles_events": q_quantiles_events,
         "topk_per_user": q_topk_per_user,
+        "compact_latest": q_compact_latest,
         "redact": q_redact,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
@@ -1163,6 +1175,12 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.5) AS q50,
                    quantile_cont(value, 0.95) AS q95
             FROM events GROUP BY event_type""",
+        "compact_latest": """
+            SELECT user_id, event_id, ts FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id
+                ) AS rn FROM events
+            ) WHERE rn = 1""",
         "topk_per_user": """
             SELECT user_id, event_id, value FROM (
                 SELECT *, row_number() OVER (

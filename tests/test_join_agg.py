@@ -294,3 +294,31 @@ def test_groupby_agg_merge_modes_agree():
         )
     pd.testing.assert_frame_equal(outs["driver"], outs["ray"])
     pd.testing.assert_frame_equal(outs["driver"], outs["bucketed"])
+
+
+def test_approx_distinct_by_error_bound_and_merge_invariance():
+    from fluent_plugin_geoip_ray.stages.aggregate import approx_distinct_by
+
+    rng = np.random.default_rng(41)
+    n = 60_000
+    t = pa.table({
+        "k": pa.array(np.where(np.arange(n) % 2 == 0, "a", "b")),
+        "v": pa.array(np.concatenate([
+            rng.integers(0, 20_000, n // 2),      # ~18.9k distinct under a
+            rng.integers(0, 500, n // 2),         # 500 distinct under b
+        ]).astype(np.int64)),
+    })
+    df = t.to_pandas()
+    exact = df.groupby("k")["v"].nunique()
+    out = (
+        approx_distinct_by(rd.from_arrow(t), "k", "v")
+        .to_pandas().set_index("k")["approx_distinct"]
+    )
+    for k in ("a", "b"):
+        assert abs(out[k] / exact[k] - 1) < 0.08, (k, out[k], exact[k])
+    # sketch merge is register-max: result must not depend on partitioning
+    out2 = (
+        approx_distinct_by(rd.from_arrow(t).repartition(13), "k", "v")
+        .to_pandas().set_index("k")["approx_distinct"]
+    )
+    assert (out.sort_index() == out2.sort_index()).all()
