@@ -68,12 +68,17 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
 
     q = np.asarray(queries, dtype=np.float64)
     q_ref = ray.put(q)
+
+    # tasks mode: warm Ray workers are reused across executions (no actor
+    # pool spin-up per query); the broadcast query matrix is rehydrated
+    # zero-copy per task via ray.get
+    def scorer(batch: pa.Table) -> pa.Table:
+        return BruteForceTopK(q_ref, k=k, id_col=id_col, emb_col=emb_col)(batch)
+
     partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs=dict(queries_ref=q_ref, k=k, id_col=id_col, emb_col=emb_col),
+        scorer,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     ).to_pandas()
     if query_ids is None:
         query_ids = np.arange(q.shape[0])
