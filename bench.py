@@ -107,6 +107,10 @@ def run_bench() -> dict:
     # engine. (Pipeline semantics are identical either way.)
     sink_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     out_dir = tempfile.mkdtemp(prefix="graft_bench_", dir=sink_root)
+
+    class _FlagshipOnly(Exception):
+        pass
+
     try:
         # warm-up execution: spawns Ray workers + actor pool and imports the
         # package in every worker once, so the timed run measures pipeline
@@ -120,14 +124,25 @@ def run_bench() -> dict:
         )
         shutil.rmtree(warm_dir, ignore_errors=True)
 
-        t0 = time.perf_counter()
-        stats = run_flagship(
+        # min-of-N per query: this host is multi-tenant with ±2-3x noise
+        # spikes; a single sample can catch a neighbor burst (BASELINE.md)
+        reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+
+        def timed(name, fn):
+            best, result = None, None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                result = fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            queries[name] = round(best, 3)
+            return result
+
+        stats = timed("flagship", lambda: run_flagship(
             path,
             out_dir=out_dir,
             enrich_concurrency=(2, max(4, num_cpus)),
-        )
-        flagship_sec = time.perf_counter() - t0
-        queries["flagship"] = round(flagship_sec, 3)
+        ))
         import pyarrow.compute as pc
 
         rows = int(
@@ -141,13 +156,14 @@ def run_bench() -> dict:
             ).as_py()
         )
 
+        if os.environ.get("GRAFT_BENCH_ONLY") == "flagship":
+            raise _FlagshipOnly  # skip secondary queries (scaling children)
+
         # secondary: enrich-only scan (no sink IO) and aggregate
-        t0 = time.perf_counter()
-        enr = build_enriched(
-            rd.read_parquet(path), enrich_concurrency=(2, max(4, num_cpus))
-        )
-        agg = count_by(enr, "country_code").to_pandas()
-        queries["enrich_agg_country"] = round(time.perf_counter() - t0, 3)
+        timed("enrich_agg_country", lambda: count_by(
+            build_enriched(rd.read_parquet(path),
+                           enrich_concurrency=(2, max(4, num_cpus))),
+            "country_code").to_pandas())
 
         # training-data + window operator timings over the same sf's tables
         from fluent_plugin_geoip_ray.stages.dedup import dedup_exact, dedup_minhash
@@ -156,30 +172,24 @@ def run_bench() -> dict:
         docs_path = os.path.join(sf_dir, "documents.parquet")
         events_path = os.path.join(sf_dir, "events.parquet")
         if os.path.exists(docs_path):
-            t0 = time.perf_counter()
-            dedup_exact(rd.read_parquet(docs_path)).count()
-            queries["dedup_exact_docs"] = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            dedup_minhash(rd.read_parquet(docs_path)).count()
-            queries["dedup_minhash_docs"] = round(time.perf_counter() - t0, 3)
+            timed("dedup_exact_docs",
+                  lambda: dedup_exact(rd.read_parquet(docs_path)).count())
+            timed("dedup_minhash_docs",
+                  lambda: dedup_minhash(rd.read_parquet(docs_path)).count())
         if os.path.exists(events_path):
-            t0 = time.perf_counter()
-            tumbling_window(
+            timed("tumbling_events", lambda: tumbling_window(
                 rd.read_parquet(events_path, columns=["event_type", "value", "ts"]),
                 size_sec=3600, keys=["event_type"],
                 aggs=[("value", "count", "n")],
-            ).count()
-            queries["tumbling_events"] = round(time.perf_counter() - t0, 3)
+            ).count())
 
             from fluent_plugin_geoip_ray.stages.window import session_windows
 
-            t0 = time.perf_counter()
-            session_windows(
+            timed("sessions_events", lambda: session_windows(
                 rd.read_parquet(events_path,
                                 columns=["user_id", "event_id", "ts"]),
                 key="user_id", gap_sec=1800, order_tiebreak="event_id",
-            ).count()
-            queries["sessions_events"] = round(time.perf_counter() - t0, 3)
+            ).count())
 
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         if os.path.exists(emb_path):
@@ -187,11 +197,16 @@ def run_bench() -> dict:
 
             from fluent_plugin_geoip_ray.stages.similarity import knn_brute_force
 
-            t0 = time.perf_counter()
-            emb = rd.read_parquet(emb_path)
-            qrows = emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id")
-            knn_brute_force(emb, np.stack(qrows["embedding"].to_numpy()), k=10)
-            queries["knn_embeddings"] = round(time.perf_counter() - t0, 3)
+            def knn_once():
+                emb = rd.read_parquet(emb_path)
+                qrows = emb.filter(expr="vec_id < 8").to_pandas().sort_values("vec_id")
+                return knn_brute_force(
+                    emb, np.stack(qrows["embedding"].to_numpy()), k=10
+                )
+
+            timed("knn_embeddings", knn_once)
+    except _FlagshipOnly:
+        pass
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     ray.shutdown()
@@ -229,6 +244,9 @@ def main() -> None:
         os.environ["GRAFT_BENCH_MODE"] = "heavy"
         sys.argv.append("--scaling")
     if "--scaling" in sys.argv:
+        # scaling children measure the flagship only (the extras would just
+        # lengthen each child without affecting the efficiency ratio)
+        os.environ.setdefault("GRAFT_BENCH_ONLY", "flagship")
         # Scaling efficiency must be measured in the compute-bound regime:
         # at sf0.1 (600k rows ~ a few CPU-seconds of work) fixed per-run
         # overhead dominates and ANY cpu count looks the same. The scaling
