@@ -22,7 +22,6 @@ from fluent_plugin_geoip_ray.functions.ip import IPV4
 from fluent_plugin_geoip_ray.sources.transcripts import (
     ensure_for_sf_dir,
     geo_fixture_path,
-    sf_from_dir,
     transcripts_path,
 )
 

@@ -30,13 +30,12 @@ import pyarrow.parquet as pq
 
 from ..config import RecordSpec, compile_record_spec
 from ..lineage import (
-    Partition,
     clean_partition_outputs,
     completed_pids,
     plan_partitions,
     write_manifest,
 )
-from ..stages.aggregate import NULL_KEY, count_by
+from ..stages.aggregate import NULL_KEY
 from ..stages.enrich import enrich_dataset
 from ..stages.parse import parse_dataset
 from ..stages.route import RouteSpec
