@@ -165,3 +165,17 @@ def test_run_cli_with_mmdb_conf(tmp_path):
     assert "city" in t.column_names
     cities = set(t.column("city").to_pylist())
     assert "Mountain View" in cities or "Tokorozawa" in cities
+
+
+def test_example_conf_loads():
+    """examples/pipeline.json stays loadable (user-facing template)."""
+    import os
+
+    from fluent_plugin_geoip_ray.run import load_conf
+
+    path = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "pipeline.json")
+    spec, routes, backend = load_conf(path)
+    assert spec.lookup_keys == ["ip"]
+    assert [r.name for r in routes] == ["enriched", "raw"]
+    assert backend is None  # no geoip2_database -> dict fixture backend
