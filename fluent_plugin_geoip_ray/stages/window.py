@@ -132,10 +132,20 @@ def _session_windows_scan(ds, key: str, ts_col: str, gap_sec: int,
     sort_cols = [key, ts_col] + ([order_tiebreak] if order_tiebreak else [])
     sorted_ds = ds.sort(sort_cols).materialize()
 
+    def _first_tb(batch: pa.Table):
+        # block identity = full first-row sort tuple: with a tiebreak column
+        # the tuple is unique per row, so blocks can never collide even when
+        # duplicate (key, ts) rows split across block boundaries
+        if not order_tiebreak:
+            return 0
+        col = batch.column(order_tiebreak)
+        return int(col[0].as_py())
+
     def block_summary(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"first_key": pa.array([], pa.int64()),
                              "first_ts": pa.array([], pa.int64()),
+                             "first_tb": pa.array([], pa.int64()),
                              "last_key": pa.array([], pa.int64()),
                              "last_ts": pa.array([], pa.int64()),
                              "internal_runs": pa.array([], pa.int64())})
@@ -150,6 +160,7 @@ def _session_windows_scan(ds, key: str, ts_col: str, gap_sec: int,
         return pa.table({
             "first_key": pa.array([int(kn[0])], pa.int64()),
             "first_ts": pa.array([int(ts[0])], pa.int64()),
+            "first_tb": pa.array([_first_tb(batch)], pa.int64()),
             "last_key": pa.array([int(kn[-1])], pa.int64()),
             "last_ts": pa.array([int(ts[-1])], pa.int64()),
             "internal_runs": pa.array([int(brk.sum())], pa.int64()),
@@ -177,10 +188,11 @@ def _session_windows_scan(ds, key: str, ts_col: str, gap_sec: int,
     offsets = np.zeros(n_blocks, dtype=np.int64)
     acc = np.cumsum(brk0.astype(np.int64) + runs)
     offsets[1:] = acc[:-1]
-    # block identified in pass 2 by its first (key, ts) pair
+    # block identified in pass 2 by its first-row sort tuple
+    ftb = summaries["first_tb"].to_numpy()
     block_map = {
-        (int(a), int(b)): (int(o), bool(c))
-        for a, b, o, c in zip(fk, ft, offsets, brk0)
+        (int(a), int(b), int(t)): (int(o), bool(c))
+        for a, b, t, o, c in zip(fk, ft, ftb, offsets, brk0)
     }
     state = ray.put(block_map)
 
@@ -196,7 +208,7 @@ def _session_windows_scan(ds, key: str, ts_col: str, gap_sec: int,
         k = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
         kn = k.to_numpy(zero_copy_only=False)
         ts = _ts_us(batch, ts_col)
-        off, first_brk = bm[(int(kn[0]), int(ts[0]))]
+        off, first_brk = bm[(int(kn[0]), int(ts[0]), _first_tb(batch))]
         brk = np.empty(len(kn), dtype=bool)
         brk[0] = first_brk
         if len(kn) > 1:

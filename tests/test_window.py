@@ -94,3 +94,25 @@ def test_session_scan_matches_groups_impl():
     import pandas as pd
 
     pd.testing.assert_frame_equal(a[b.columns], b)
+
+
+def test_session_scan_duplicate_key_ts_across_blocks():
+    """Duplicate (key, ts) rows split across blocks must not collide in the
+    scan's block-identity map (tiebreak column disambiguates)."""
+    import pandas as pd
+
+    n = 600
+    df = pd.DataFrame({
+        "user_id": np.repeat([1, 2, 3], n // 3),
+        "ts": pd.to_datetime("2026-01-01")  # EVERY row same timestamp
+              + pd.to_timedelta(np.zeros(n), unit="s"),
+        "event_id": np.arange(n),
+    })
+    out = (
+        session_windows(rd.from_pandas(df).repartition(10), key="user_id",
+                        gap_sec=60, order_tiebreak="event_id")
+        .to_pandas().sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    )
+    # all rows of a user share one session (gap 0 <= 60s)
+    assert len(out) == 3
+    assert (out["n_events"] == n // 3).all()
