@@ -332,6 +332,7 @@ def run_flagship(
     record_spec: RecordSpec | None = None,
     routes: list[RouteSpec] | None = None,
     backend_spec: dict | None = None,
+    stages: list[dict] | None = None,
     enrich_batch_size: int | None = None,
     enrich_concurrency=None,
     scale_agg: bool = True,
@@ -353,6 +354,10 @@ def run_flagship(
         enrich_batch_size=enrich_batch_size,
         enrich_concurrency=enrich_concurrency,
     )
+    if stages:
+        from ..stages.registry import apply_stages
+
+        enriched = apply_stages(enriched, stages)
     agg_dir = os.path.join(out_dir, "agg_partials") if (out_dir and scale_agg) else None
     return run_fanout(enriched, routes, agg_dir=agg_dir)
 
@@ -390,6 +395,7 @@ def run_partitioned(
     record_spec: RecordSpec | None = None,
     routes: list[RouteSpec] | None = None,
     backend_spec: dict | None = None,
+    stages: list[dict] | None = None,
     files_per_partition: int = 1,
     resume: bool = True,
     enrich_concurrency=None,
@@ -414,6 +420,10 @@ def run_partitioned(
             ds, record_spec=record_spec, backend_spec=backend_spec,
             enrich_concurrency=enrich_concurrency,
         )
+        if stages:
+            from ..stages.registry import apply_stages
+
+            enriched = apply_stages(enriched, stages)
         stats = run_fanout(enriched, routes, pid=part.pid)
         partial_dir = os.path.join(out_dir, "_partials", f"{part.pid:06d}")
         os.makedirs(partial_dir, exist_ok=True)

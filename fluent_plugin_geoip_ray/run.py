@@ -42,7 +42,7 @@ def load_conf(path: str | None):
     from .stages.route import RouteSpec
 
     if path is None:
-        return None, None, None
+        return None, None, None, []
     with open(path) as f:
         conf = json.load(f)
     spec = (
@@ -53,7 +53,8 @@ def load_conf(path: str | None):
     routes = None
     if "routes" in conf:
         routes = [RouteSpec(**r) for r in conf["routes"]]
-    return spec, routes, backend_spec
+    stages = conf.get("stages") or []
+    return spec, routes, backend_spec, stages
 
 
 def main(argv=None) -> int:
@@ -93,7 +94,7 @@ def main(argv=None) -> int:
 
     DataContext.get_current().enable_progress_bars = False
 
-    spec, routes, backend_spec = load_conf(args.conf)
+    spec, routes, backend_spec, stages = load_conf(args.conf)
     from .pipelines.flagship import canonical_routes, run_flagship, run_partitioned
     from .stages.route import RouteSpec
 
@@ -114,7 +115,7 @@ def main(argv=None) -> int:
     if args.partitioned:
         result = run_partitioned(
             inputs, args.out, record_spec=spec, routes=routes,
-            backend_spec=backend_spec,
+            backend_spec=backend_spec, stages=stages,
             files_per_partition=args.files_per_partition,
             resume=not args.no_resume,
         )
@@ -124,7 +125,8 @@ def main(argv=None) -> int:
         }
     else:
         stats = run_flagship(inputs, out_dir=args.out, record_spec=spec,
-                             routes=routes, backend_spec=backend_spec)
+                             routes=routes, backend_spec=backend_spec,
+                             stages=stages)
         rows = {
             r["route"]: r["n"]
             for r in stats.to_pylist()

@@ -1,0 +1,119 @@
+"""Stage-plugin registry: declarative per-Dataset transform stages.
+
+The reference's user-extension surface is Fluentd's plugin registration
+(``register_filter('geoip')``, ``filter_geoip.rb:17``) -- users compose a
+pipeline from named filters in config text.  The Ray-Data analog (SURVEY
+§2.3 "User-extension surface"): a registry of named stage factories, each
+``(ds, **params) -> ds``, so a pipeline conf can carry::
+
+    "stages": [
+        {"use": "redact"},
+        {"use": "hash_sample", "key_col": "turn_idx", "fraction": 0.5}
+    ]
+
+applied in order between enrich and routing (``run.py --conf``).  Register
+custom stages with :func:`register_stage` -- exactly how a user plugs a
+model-scoring or custom-filter stage into the engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+_REGISTRY: dict[str, Callable] = {}
+
+
+def register_stage(name: str, factory: Callable | None = None):
+    """Register ``factory(ds, **params) -> ds`` under ``name``.
+
+    Usable directly or as a decorator::
+
+        @register_stage("my_filter")
+        def my_filter(ds, threshold=0.5): ...
+    """
+    if factory is None:
+        def deco(fn):
+            _REGISTRY[name] = fn
+            return fn
+
+        return deco
+    _REGISTRY[name] = factory
+    return factory
+
+
+def get_stage(name: str) -> Callable:
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown stage {name!r}; registered: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name]
+
+
+def list_stages() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def apply_stages(ds, stages: list[dict]):
+    """Apply a conf-declared stage chain in order.
+
+    Each entry: ``{"use": <registered name>, ...params}``."""
+    for spec in stages:
+        spec = dict(spec)
+        name = spec.pop("use")
+        ds = get_stage(name)(ds, **spec)
+    return ds
+
+
+# ---- built-in stages --------------------------------------------------------
+
+@register_stage("redact")
+def _redact_stage(ds, text_col: str = "text", out_col: str | None = None):
+    from .text import redact
+
+    return ds.map_batches(
+        lambda t: redact(t, text_col=text_col, out_col=out_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+@register_stage("hash_sample")
+def _hash_sample_stage(ds, key_col: str, fraction: float, seed: int = 0):
+    from .sample import hash_sample
+
+    return hash_sample(ds, key_col, fraction, seed=seed)
+
+
+@register_stage("split")
+def _split_stage(ds, key_col: str, fractions: dict, seed: int = 0):
+    from .sample import split
+
+    return split(ds, key_col, fractions, seed=seed)
+
+
+@register_stage("quality")
+def _quality_stage(ds):
+    from .text import QualityScore
+
+    return ds.map_batches(QualityScore, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 4))
+
+
+@register_stage("token_count")
+def _token_count_stage(ds):
+    from .text import token_count
+
+    return ds.map_batches(token_count, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+@register_stage("lang_id")
+def _lang_id_stage(ds):
+    from .text import LangId
+
+    return ds.map_batches(LangId, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 4))
+
+
+@register_stage("filter_expr")
+def _filter_expr_stage(ds, expr: str):
+    return ds.filter(expr=expr)

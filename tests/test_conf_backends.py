@@ -175,7 +175,8 @@ def test_example_conf_loads():
 
     path = os.path.join(os.path.dirname(__file__), "..", "examples",
                         "pipeline.json")
-    spec, routes, backend = load_conf(path)
+    spec, routes, backend, stages = load_conf(path)
     assert spec.lookup_keys == ["ip"]
     assert [r.name for r in routes] == ["enriched", "raw"]
     assert backend is None  # no geoip2_database -> dict fixture backend
+    assert stages == []
