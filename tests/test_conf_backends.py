@@ -179,4 +179,4 @@ def test_example_conf_loads():
     assert spec.lookup_keys == ["ip"]
     assert [r.name for r in routes] == ["enriched", "raw"]
     assert backend is None  # no geoip2_database -> dict fixture backend
-    assert stages == []
+    assert [s["use"] for s in stages] == ["redact", "hash_sample"]
