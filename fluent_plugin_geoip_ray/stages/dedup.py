@@ -313,7 +313,9 @@ def lsh_verified_edges(sketches, key_col: str, verify, merge: str = "driver",
        of LSH band thresholds) -- closing plain star-then-verify's
        under-merge gap (ADVICE round 1).
 
-    Returns a pandas DataFrame of verified edges (a, b).
+    Returns a pandas DataFrame of verified edges (a, b).  Assumes keys are
+    globally unique (doc ids): the winner-signature gather maps each
+    batch-local min key back to its row by searchsorted over batch keys.
     """
     import os
     import time as _time

@@ -27,7 +27,9 @@ def pack_bins(ds, key_col: str, tokens_col: str, budget: int):
 
     The input is sorted by ``key_col`` and materialized; both passes walk
     the same physical blocks (``batch_size=None`` = one batch per block),
-    which is what makes offset lookup by block min-key exact.
+    which is what makes offset lookup by block min-key exact.  Requires
+    UNIQUE keys (document ids) -- duplicate keys split across a block
+    boundary would alias two blocks in the offset map.
     """
     import ray
 
