@@ -690,22 +690,56 @@ def _drop_losers(ds, losers, key_col: str):
     return ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def build_sketch_index(ds, index_dir: str, kind: str = "minhash",
+                       key_col: str = "doc_id", text_col: str = "text",
+                       **sketch_kwargs) -> str:
+    """Persist the sketch table (key, sig, bucket) as Parquet.
+
+    Sketching is the expensive pass over raw text; at corpus scale it is
+    computed ONCE and reused across dedup runs / threshold changes / resume
+    after failure (the same lineage idea as the flagship's partitioned
+    sinks).  ``dedup_minhash(..., sketch_dir=...)`` consumes it without
+    re-reading the corpus text."""
+    import os
+
+    cls = {"minhash": MinHashSketch, "simhash": SimHashSketch}[kind]
+    kwargs = dict(key_col=key_col)
+    if kind == "minhash":
+        kwargs["text_col"] = text_col
+        kwargs.update(sketch_kwargs)
+    else:
+        kwargs["text_col"] = text_col
+    sk = ds.map_batches(cls(**kwargs), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    os.makedirs(index_dir, exist_ok=True)
+    sk.write_parquet(index_dir)
+    return index_dir
+
+
 def dedup_minhash(ds, key_col: str = "doc_id", text_col: str = "text",
                   jaccard_threshold: float = 0.7, num_perm: int = 64,
-                  bands: int = 16, seed: int = 42):
+                  bands: int = 16, seed: int = 42,
+                  sketch_dir: str | None = None):
     """Near-dup removal: keep the min-key representative of each LSH cluster.
 
     Candidates are verified by MinHash-estimated Jaccard >= threshold (the
     signature agreement rate is an unbiased Jaccard estimator) in the SAME
     pass that emits them -- signatures ride in the sketch table, so the
     corpus is scanned once for sketching and once for the final drop filter.
+    ``sketch_dir``: read a persisted sketch table (build_sketch_index)
+    instead of re-sketching the corpus text (resume / re-threshold path).
     """
-    sketches = ds.map_batches(
-        MinHashSketch(key_col=key_col, text_col=text_col,
-                      num_perm=num_perm, bands=bands, seed=seed),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).materialize()
+    import ray.data as rd
+
+    if sketch_dir is not None:
+        sketches = rd.read_parquet(sketch_dir).materialize()
+    else:
+        sketches = ds.map_batches(
+            MinHashSketch(key_col=key_col, text_col=text_col,
+                          num_perm=num_perm, bands=bands, seed=seed),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
 
     def verify(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
         return (sa == sb).mean(axis=1) >= jaccard_threshold

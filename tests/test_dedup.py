@@ -196,3 +196,21 @@ def test_restar_connects_members_failing_vs_bucket_min():
     pairs = set(map(tuple, edges[["a", "b"]].to_numpy()))
     assert (2, 3) in pairs          # re-star connected them
     assert not any(1 in p for p in pairs)  # dissimilar min never linked
+
+
+def test_persisted_sketch_index_resume(tmp_path, docs_ds):
+    """Sketch once to parquet, dedup from the index (no corpus re-sketch);
+    result identical to the direct path."""
+    from fluent_plugin_geoip_ray.stages.dedup import build_sketch_index
+
+    idx = str(tmp_path / "sketches")
+    build_sketch_index(docs_ds, idx)
+    direct = sorted(dedup_minhash(rd.from_arrow(make_docs()),
+                                  jaccard_threshold=0.6).to_pandas()["doc_id"])
+    via_idx = sorted(
+        dedup_minhash(rd.from_arrow(make_docs()), jaccard_threshold=0.6,
+                      sketch_dir=idx).to_pandas()["doc_id"]
+    )
+    assert via_idx == direct
+    import glob
+    assert glob.glob(idx + "/*.parquet")   # persisted layout on disk
