@@ -256,3 +256,36 @@ def test_read_aggregates_merge_on_read(sf_path, tmp_path):
                 )
             )
             assert pc.sum(m["n"]).as_py() == r["n"]
+
+
+def test_incremental_ingest_appends_only_new_partition():
+    """Continuous-ingest shape: after a completed run, newly-arrived input
+    files become NEW partitions; re-running processes only those (existing
+    partitions skipped via their manifests)."""
+    import shutil
+    import tempfile
+
+    files = transcript_files(0.01)
+    assert len(files) >= 3
+    out_dir = tempfile.mkdtemp(prefix="graft_incr_")
+    try:
+        first = files[:-1]
+        r1 = run_partitioned(first, out_dir, files_per_partition=1)
+        assert len(r1["ran"]) == len(first)
+        # a "new" file arrives
+        r2 = run_partitioned(files, out_dir, files_per_partition=1)
+        assert r2["ran"] == [len(files) - 1]
+        assert sorted(r2["skipped"]) == list(range(len(first)))
+        total = sum(
+            pq.read_table(f).num_rows
+            for f in glob.glob(os.path.join(out_dir, "raw", "part=*", "*.parquet"))
+        )
+        assert total == sum(pq.read_table(f).num_rows for f in files)
+        # aggregates include the new partition
+        agg = r2["aggregates"]
+        rows_out = agg.filter(
+            pc.and_(pc.equal(agg["route"], "raw"), pc.equal(agg["kind"], "rows"))
+        )
+        assert pc.sum(rows_out["n"]).as_py() == total
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
