@@ -1012,6 +1012,8 @@ def oracle_sql() -> dict[str, str]:
                          f" read_parquet('{_GOLDEN_DIR}/dedup_simhash_sf001.parquet')",
         "dedup_minhash": f"SELECT doc_id, lang, source FROM"
                          f" read_parquet('{_GOLDEN_DIR}/dedup_minhash_sf001.parquet')",
+        "multimodal": f"SELECT media_id, feat_dim, feat_mean FROM"
+                      f" read_parquet('{_GOLDEN_DIR}/multimodal_sf001.parquet')",
         "knn_ivf": f"SELECT query_id, vec_id, rank FROM"
                    f" read_parquet('{_GOLDEN_DIR}/knn_ivf_sf001.parquet')",
         "embedding_near_dup": f"SELECT vec_id, label FROM"
