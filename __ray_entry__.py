@@ -734,6 +734,57 @@ def q_compact_latest(sf_dir: str):
     return compact_latest(ds, "user_id", "ts", tie_breakers=["event_id"])
 
 
+def q_curation(sf_dir: str):
+    """End-to-end corpus curation (the training-data capstone, fully
+    SQL-oracled): redact PII -> token/punctuation quality filter -> exact
+    dedup on the redacted text -> deterministic train/val/test split ->
+    per-split token-budget packing.  One streaming chain of the engine's
+    stages; output (doc_id, n_tokens, split, pack_id)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_exact
+    from fluent_plugin_geoip_ray.stages.pack import pack_bins
+    from fluent_plugin_geoip_ray.stages.sample import split as hash_split
+    from fluent_plugin_geoip_ray.stages.text import redact, token_count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = redact(t)
+        t = token_count(t)
+        text = t.column("text")
+        n_chars = pc.utf8_length(text).cast(pa.float64())
+        stripped = pc.replace_substring_regex(text, r"[^\w\s]", "")
+        punct = pc.divide(
+            pc.subtract(n_chars, pc.utf8_length(stripped).cast(pa.float64())),
+            pc.max_element_wise(n_chars, 1.0),
+        )
+        keep = pc.and_(pc.greater_equal(t.column("n_tokens"), 5),
+                       pc.less(punct, 0.2))
+        return t.filter(pc.fill_null(keep, False))
+
+    kept = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    deduped = dedup_exact(kept, key_col="doc_id", text_col="text")
+    tagged = hash_split(deduped.select_columns(["doc_id", "n_tokens"]),
+                        "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+                        seed=3)
+
+    parts = []
+    for name in ("train", "val", "test"):
+        sub = tagged.map_batches(
+            lambda t, name=name: t.filter(
+                pc.equal(pc.fill_null(t.column("split"), ""), name)
+            ),
+            batch_format="pyarrow",
+        )
+        parts.append(pack_bins(sub, "doc_id", "n_tokens", budget=2000))
+    out = parts[0].union(parts[1]).union(parts[2])
+    return out.select_columns(["doc_id", "n_tokens", "split", "pack_id"])
+
+
 def q_events_asof(sf_dir: str):
     """As-of join (custom operator Ray Data lacks): each event joined to the
     user's most recent signup event at-or-before its timestamp.  Broadcast
@@ -887,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_events": q_quantiles_events,
         "topk_per_user": q_topk_per_user,
         "compact_latest": q_compact_latest,
+        "curation": q_curation,
         "redact": q_redact,
         "events_asof": q_events_asof,
         "events_range_join": q_events_range_join,
@@ -966,6 +1018,48 @@ _PACK_DOCS_SQL = """
            CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
                  - n_tokens) // 2000 AS BIGINT) AS pack_id
     FROM toks"""
+
+
+_REDACT_EXPR = (
+    "regexp_replace(regexp_replace(regexp_replace(text,"
+    " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    " '\\b\\d(?:[ -]?\\d){12,15}\\b', '<CARD>', 'g'),"
+    " '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g')"
+)
+
+_CURATION_SQL = f"""
+    WITH red AS (
+        SELECT doc_id, {_REDACT_EXPR} AS text FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, text,
+               CASE WHEN length(text) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(text, '\\s+')) END AS n_tokens,
+               (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                 / greatest(length(text), 1) AS punct_ratio
+        FROM red
+    ),
+    kept AS (
+        SELECT * FROM tok WHERE n_tokens >= 5 AND punct_ratio < 0.2
+    ),
+    ded AS (
+        SELECT k.* FROM kept k
+        JOIN (SELECT text, min(doc_id) AS keep_id FROM kept GROUP BY text) w
+          ON k.text = w.text AND k.doc_id = w.keep_id
+    ),
+    spl AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CASE WHEN {_shx("doc_id", 3)} < CAST(14757395258967642112 AS UBIGINT) THEN 'train'
+                    WHEN {_shx("doc_id", 3)} < CAST(16602069666338596864 AS UBIGINT) THEN 'val'
+                    WHEN {_shx("doc_id", 3)} < CAST(18446744073709551615 AS UBIGINT) THEN 'test'
+                    ELSE NULL END AS split
+        FROM ded
+    )
+    SELECT doc_id, n_tokens, split,
+           CAST((sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                // 2000 AS BIGINT) AS pack_id
+    FROM spl"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1176,6 +1270,7 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.5) AS q50,
                    quantile_cont(value, 0.95) AS q95
             FROM events GROUP BY event_type""",
+        "curation": _CURATION_SQL,
         "compact_latest": """
             SELECT user_id, event_id, ts FROM (
                 SELECT *, row_number() OVER (
