@@ -191,6 +191,12 @@ def run_bench() -> dict:
                 key="user_id", gap_sec=1800, order_tiebreak="event_id",
             ).count())
 
+        if os.path.exists(docs_path):
+            import __ray_entry__ as entrymod
+
+            timed("curation_docs",
+                  lambda: entrymod.q_curation(sf_dir).count())
+
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         if os.path.exists(emb_path):
             import numpy as np
