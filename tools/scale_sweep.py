@@ -1,0 +1,131 @@
+"""Scale sweep: run the heavy operators at N x the bench inputs.
+
+Replicates the sf0.1 tables K times with shifted ids (documents / events /
+embeddings) and runs the operators whose cost is super-linear or
+memory-shaped -- exactly the probe that exposed four real scale bugs in
+round 2 (unbounded sketch matrices, per-band duplicate verification,
+per-key Python sessionization, multi-chunk if_else corruption).
+
+Usage: python tools/scale_sweep.py [K=10] [sf_dir=/root/testdata/sf0.1]
+Prints one line per operator; any traceback = a scale bug.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def replicate(table, id_cols: dict, k: int, parts_per_copy: int = 4):
+    """K copies with id columns shifted per copy (distinct keys).
+
+    Returns a LIST of tables (k * parts_per_copy chunks):
+    ``ray.data.from_arrow(list)`` makes one block per table, so the sweep
+    exercises real block parallelism instead of one serial mega-block."""
+    import pyarrow as pa
+
+    parts = []
+    for i in range(k):
+        t = table
+        for col, stride in id_cols.items():
+            arr = pa.array(
+                t.column(col).to_numpy(zero_copy_only=False) + i * stride
+            )
+            t = t.set_column(t.column_names.index(col), col, arr)
+        step = max(t.num_rows // parts_per_copy, 1)
+        for s in range(0, t.num_rows, step):
+            parts.append(t.slice(s, step))
+    return parts
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    import pyarrow.parquet as pq
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.op_resource_reservation_enabled = False
+    ctx.read_op_min_num_blocks = 32
+    import ray.data as rd
+
+    docs = replicate(pq.read_table(os.path.join(sf_dir, "documents.parquet")),
+                     {"doc_id": 10_000_000}, k)
+    events = replicate(pq.read_table(os.path.join(sf_dir, "events.parquet")),
+                       {"event_id": 100_000_000, "user_id": 10_000_000}, k)
+    embs = replicate(pq.read_table(os.path.join(sf_dir, "embeddings.parquet")),
+                     {"vec_id": 10_000_000}, k)
+    print(f"inputs x{k}: docs={sum(t.num_rows for t in docs)} "
+          f"events={sum(t.num_rows for t in events)} "
+          f"embeddings={sum(t.num_rows for t in embs)} "
+          f"blocks/ds={len(docs)}")
+
+    from fluent_plugin_geoip_ray.stages.aggregate import (
+        approx_distinct_by,
+        compact_latest,
+        groupby_agg,
+        quantiles_by,
+        top_k_by_group,
+    )
+    from fluent_plugin_geoip_ray.stages.dedup import (
+        dedup_exact,
+        dedup_minhash,
+        dedup_simhash,
+    )
+    from fluent_plugin_geoip_ray.stages.similarity import embedding_near_dup
+    from fluent_plugin_geoip_ray.stages.window import (
+        session_windows,
+        sliding_window_counts,
+    )
+
+    runs = [
+        ("dedup_exact", lambda: dedup_exact(rd.from_arrow(docs)).count()),
+        ("dedup_minhash", lambda: dedup_minhash(rd.from_arrow(docs)).count()),
+        ("dedup_simhash", lambda: dedup_simhash(rd.from_arrow(docs)).count()),
+        ("embedding_near_dup",
+         lambda: embedding_near_dup(rd.from_arrow(embs)).count()),
+        ("sessions", lambda: session_windows(
+            rd.from_arrow(events), key="user_id", gap_sec=1800,
+            order_tiebreak="event_id").count()),
+        ("sliding", lambda: sliding_window_counts(
+            rd.from_arrow(events), keys=["event_type"]).count()),
+        ("groupby_user", lambda: groupby_agg(
+            rd.from_arrow(events), ["user_id"],
+            [("value", "sum", "s"), ("value", "count", "c")]).count()),
+        ("topk_per_group", lambda: top_k_by_group(
+            rd.from_arrow(events), "user_id", "value", k=2,
+            tie_breakers=["event_id"]).count()),
+        ("compact", lambda: compact_latest(
+            rd.from_arrow(events), "user_id", "ts",
+            tie_breakers=["event_id"]).count()),
+        ("quantiles_sketch", lambda: quantiles_by(
+            rd.from_arrow(events), "event_type", "value",
+            mode="sketch").count()),
+        ("hll", lambda: approx_distinct_by(
+            rd.from_arrow(events), "event_type", "user_id").count()),
+    ]
+    failures = 0
+    for name, fn in runs:
+        t0 = time.perf_counter()
+        try:
+            n = fn()
+            print(f"{name}: {time.perf_counter() - t0:.2f}s -> {n}")
+        except Exception as e:  # noqa: BLE001 - sweep reports, caller triages
+            failures += 1
+            print(f"{name}: FAIL {type(e).__name__}: {e}")
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
