@@ -289,3 +289,42 @@ def test_incremental_ingest_appends_only_new_partition():
         assert pc.sum(rows_out["n"]).as_py() == total
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_fanout_idempotent_under_real_ray_retry(sf_path, tmp_path):
+    """Inject a genuine task failure AFTER sink files are written: Ray
+    retries the task, the deterministic file names make the retry overwrite
+    its own files, and total sink rows stay exact (no dupes, no loss)."""
+    import ray
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.pipelines.flagship import (
+        FanoutWrite,
+        build_enriched,
+        canonical_routes,
+    )
+
+    out = str(tmp_path / "retrysink")
+    marker = str(tmp_path / "crashed_once")
+    routes = canonical_routes(out)
+
+    def crashy(batch):
+        fw = FanoutWrite(routes)
+        result = fw(batch)  # files written BEFORE the crash
+        if not os.path.exists(marker):
+            open(marker, "w").write("x")
+            os._exit(1)  # hard worker death -> Ray retries the task
+        return result
+
+    total = total_rows(sf_path)
+    enriched = build_enriched(rd.read_parquet(sf_path))
+    stats = enriched.map_batches(
+        crashy, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=total,
+    ).to_pandas()
+    assert os.path.exists(marker)  # the failure really happened
+    sink_rows = sum(
+        pq.read_table(f).num_rows
+        for f in glob.glob(os.path.join(out, "raw", "part=*", "*.parquet"))
+    )
+    assert sink_rows == total
