@@ -81,12 +81,26 @@ def write_manifest(out_dir: str, pid: int, payload: dict) -> str:
     return path
 
 
+def _rmtree_robust(path: str, attempts: int = 3) -> None:
+    """rmtree that tolerates a straggler write landing mid-removal (exactly
+    the crashed-attempt garbage this cleaner exists for)."""
+    import time
+
+    for _ in range(attempts):
+        try:
+            shutil.rmtree(path)
+            return
+        except OSError:
+            time.sleep(0.2)
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def clean_partition_outputs(out_dir: str, sinks: dict[str, str], pid: int) -> None:
     """Remove leftovers of a crashed attempt before re-running a partition."""
     for sink_dir in sinks.values():
         part_dir = os.path.join(sink_dir, f"part={pid:06d}")
         if os.path.isdir(part_dir):
-            shutil.rmtree(part_dir)
+            _rmtree_robust(part_dir)
     partial = os.path.join(out_dir, "_partials", f"{pid:06d}")
     if os.path.isdir(partial):
-        shutil.rmtree(partial)
+        _rmtree_robust(partial)

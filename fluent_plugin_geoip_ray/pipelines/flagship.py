@@ -285,7 +285,13 @@ def run_fanout(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-    )
+    ).materialize()
+    # materialize() is load-bearing, not an optimization: the fan-out UDF has
+    # SIDE EFFECTS (sink files).  On a lazy dataset, Ray Data's deferred
+    # schema probe can re-execute the chain with limit=1 AFTER this function
+    # returns, writing a stray 1-row sink file and racing the next run's
+    # partition cleanup.  A materialized dataset caches schema + blocks, so
+    # no later probe ever re-runs the UDF.
     if merge == "ray":
         from ray.data.aggregate import Sum
 
