@@ -326,65 +326,51 @@ def lsh_verified_edges(sketches, key_col: str, verify, merge: str = "driver",
     _dbg = os.environ.get("GRAFT_DEBUG_TIMING")
     _t0 = _time.perf_counter()
 
-    # bucket winners WITH their signatures in one partial+final pass: each
-    # batch emits (bucket, min_key, count, min_key's sig) -- the sig tags
-    # along through the tiny partial rows, so no second filtered scan of the
-    # corpus is needed to gather winner signatures.
-    sig_width = None
+    # Pass A: bucket winners (min key, count) -- TINY rows (24B), via the
+    # bucketed hash-exchange merge (no driver state, skew-free).  Carrying
+    # signatures inside these partials looks like it saves a pass, but when
+    # duplicates scatter across batches the partials barely collapse and the
+    # 512B/row sig payload turns the merge into the bottleneck (measured
+    # 240s at 100k docs); the sig gather below is one cheap filtered scan of
+    # the SKETCH table instead.
+    from .aggregate import groupby_agg
 
-    def winners_partial(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        sig = _fixed_list_to_matrix(batch.column("sig"))
-        bk = _fixed_list_to_matrix(batch.column("bucket"))
-        n, width = bk.shape
-        t = pa.table({
-            "bucket": pa.array(bk.ravel().astype(np.int64)),
-            "k": pa.array(np.repeat(keys, width)),
-        })
-        g = t.group_by("bucket").aggregate([("k", "min"), ([], "count_all")])
-        gmin = g.column("k_min").to_numpy(zero_copy_only=False)
-        korder = np.argsort(keys)
-        ridx = korder[np.searchsorted(keys[korder], gmin)]
-        return pa.table({
-            "bucket": g.column("bucket"),
-            "__a": g.column("k_min"),
-            "__n": g.column("count_all").cast(pa.int64()),
-            "sig": _matrix_to_fixed_list(sig[ridx], sig.shape[1],
-                                         dtype=sig.dtype),
-        })
+    exploded = sketches.map_batches(
+        _explode_buckets(key_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    buckets = groupby_agg(
+        exploded, ["bucket"],
+        [(key_col, "min", "__a"), (key_col, "count", "__n")],
+        merge=merge if merge != "driver" else "bucketed",
+    ).to_pandas()
+    buckets = buckets[buckets["__n"] > 1]
+    if not len(buckets):
+        return pd.DataFrame({"a": [], "b": []})
+    b_ids = buckets["bucket"].to_numpy().astype(np.int64)
+    b_win = buckets["__a"].to_numpy().astype(np.int64)
+    border = np.argsort(b_ids)
+    b_ids, b_win = b_ids[border], b_win[border]
 
-    ptabs = [
-        t for t in ray.get(
+    # Pass B: winner signatures -- one vectorized filtered scan of the
+    # sketch table (winner count is O(hot buckets), small)
+    wkeys = np.unique(b_win)
+    wref = ray.put(pa.array(wkeys))
+
+    def winner_sigs(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(key_col), value_set=ray.get(wref))
+        return batch.select([key_col, "sig"]).filter(pc.fill_null(mask, False))
+
+    wtab = pa.concat_tables(
+        ray.get(
             sketches.map_batches(
-                winners_partial, batch_format="pyarrow", zero_copy_batch=True
+                winner_sigs, batch_format="pyarrow", zero_copy_batch=True
             ).to_arrow_refs()
-        ) if t.num_rows
-    ]
-    if not ptabs:
-        return pd.DataFrame({"a": [], "b": []})
-    pall = pa.concat_tables(ptabs).combine_chunks()
-    pb = pall.column("bucket").to_numpy(zero_copy_only=False)
-    pk = pall.column("__a").to_numpy(zero_copy_only=False)
-    pn = pall.column("__n").to_numpy(zero_copy_only=False)
-    psig = _fixed_list_to_matrix(pall.column("sig"))
-    # final merge: global min key (and ITS sig) + total count per bucket.
-    # Gather signature rows ONLY for the hot-bucket winners -- a full
-    # psig[order] reorder of the (partial_rows x num_perm) matrix is an
-    # O(all partials) random gather, needlessly the slowest step here.
-    order = np.lexsort((pk, pb))
-    pb_s, pk_s, pn_s = pb[order], pk[order], pn[order]
-    first_idx = np.flatnonzero(np.r_[True, pb_s[1:] != pb_s[:-1]]) \
-        if len(pb_s) else np.empty(0, np.int64)
-    counts = np.add.reduceat(pn_s, first_idx)
-    hot = counts > 1
-    if not hot.any():
-        return pd.DataFrame({"a": [], "b": []})
-    sel = first_idx[hot]
-    b_ids, b_win = pb_s[sel], pk_s[sel]
-    b_sig = psig[order[sel]]
-    # b_ids already sorted; winner sig lookup table deduped by key
-    wk, widx = np.unique(b_win, return_index=True)
-    wsig = b_sig[widx]
+        )
+    ).combine_chunks()
+    wk = wtab.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    wsig = _fixed_list_to_matrix(wtab.column("sig"))
+    worder = np.argsort(wk)
+    wk, wsig = wk[worder], wsig[worder]
 
     state = ray.put((b_ids, b_win, wk, wsig))
     if _dbg:
