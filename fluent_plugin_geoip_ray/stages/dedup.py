@@ -201,11 +201,22 @@ def minhash_signatures(batch: pa.Table, text_col: str = "text",
     n_docs = len(sh_off) - 1
     if len(sh) == 0:
         return np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    # universal-hash each shingle under num_perm permutations; the
+    # permutation axis is processed in chunks so the working set stays
+    # ~8 x n_shingles (a single multi-million-token document would
+    # otherwise allocate num_perm x n_shingles at once)
+    sig = np.empty((n_docs, num_perm), dtype=np.uint64)
+    step = max(1, min(num_perm, (1 << 24) // max(len(sh), 1) + 1))
     with np.errstate(over="ignore"):
-        # universal-hash each shingle under num_perm permutations
-        hv = (sh[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
-    sig = np.minimum.reduceat(hv, sh_off[:-1], axis=1).T  # (n_docs, num_perm)
-    # empty-slice guard: reduceat on zero-length slices returns hv[start]
+        for p0 in range(0, num_perm, step):
+            hv = (sh[None, :] * a[p0:p0 + step, None]
+                  + b[p0:p0 + step, None]) % np.uint64(_MERSENNE)
+            # empty-slice guard: reduceat on zero-length slices returns
+            # hv[start]; doc slices here are never empty (short docs get a
+            # single folded hash)
+            sig[:, p0:p0 + step] = np.minimum.reduceat(
+                hv, sh_off[:-1], axis=1
+            ).T
     return sig
 
 
