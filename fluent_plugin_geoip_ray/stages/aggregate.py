@@ -380,40 +380,74 @@ def quantiles_by(ds, key: str, value: str, qs: tuple = (0.5, 0.95, 0.99),
 
     partials = ds.map_batches(sketch_partial, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size)
-    hist = groupby_agg(partials, [key, "bin"], [("n", "sum", "n")],
-                       merge="driver").to_pandas()
 
-    def bin_value(b):
-        import numpy as np
+    # merge: hash-exchange the (key, bin, n) partial rows on KEY (every bin
+    # of a key lands in one bucket), then the whole per-bucket finalize is
+    # vectorized: lexsort by (key, bin) -> segment-sum duplicate bins ->
+    # per-key CDF as global-cumsum minus segment base -> one searchsorted
+    # per quantile against base + q*total (the global cumsum is strictly
+    # increasing across segments, so the probe cannot leave its key's
+    # segment).  O(groups x bins) rows move once; the driver holds nothing.
+    import pandas as _pd
 
-        return float(10 ** (-6.0 + (np.asarray(b, np.float64) + 0.5) / bins * 15.0))
+    num_buckets = 32
 
-    keys_out, cols = [], {f"q{int(q * 100)}": [] for q in qs}
-    for k, grp in hist.groupby(key):
-        grp = grp.sort_values("bin")
-        cdf = grp["n"].cumsum().to_numpy()
-        total = cdf[-1]
-        keys_out.append(k)
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys_np = t.column(key).to_pandas().to_numpy(dtype=object)
+        b = (_pd.util.hash_array(keys_np) % num_buckets).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def finalize_bucket(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__bucket"])
+        keys_np = t.column(key).to_pandas().to_numpy(dtype=object)
+        b = t.column("bin").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((b, keys_np))
+        ks, bs, ns = keys_np[order], b[order], n[order]
+        # collapse duplicate (key, bin) rows (partials from many blocks)
+        newseg = np.r_[True, (ks[1:] != ks[:-1]) | (bs[1:] != bs[:-1])]
+        starts = np.flatnonzero(newseg)
+        ns = np.add.reduceat(ns, starts)
+        ks, bs = ks[starts], bs[starts]
+        # per-key segments over the collapsed rows
+        kstart = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        kend = np.append(kstart[1:], len(ks))
+        cdf = np.cumsum(ns)
+        base = np.concatenate([[0], cdf[kend - 1]])[:len(kstart)]
+        total = cdf[kend - 1] - base
+        out = {key: pa.array(ks[kstart])}
         for q in qs:
-            import numpy as np
+            pos = np.searchsorted(cdf, base + q * total, side="left")
+            pos = np.minimum(pos, kend - 1)
+            vals = 10.0 ** (-6.0 + (bs[pos].astype(np.float64) + 0.5) / bins * 15.0)
+            out[f"q{int(q * 100)}"] = pa.array(vals, pa.float64())
+        return pa.table(out)
 
-            pos = int(np.searchsorted(cdf, q * total, side="left"))
-            cols[f"q{int(q * 100)}"].append(bin_value(grp["bin"].iloc[min(pos, len(grp) - 1)]))
-    out = {key: pa.array(keys_out)}
-    out.update({name: pa.array(v, pa.float64()) for name, v in cols.items()})
-    return rd.from_arrow(pa.table(out))
+    bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return bucketed.groupby("__bucket").map_groups(
+        finalize_bucket, batch_format="pyarrow"
+    )
 
 
 def top_k_by_group(ds, group_col: str, order_col: str, k: int,
                    descending: bool = True, tie_breakers: list[str] | None = None,
-                   batch_size: int = 65536):
+                   batch_size: int = 65536, merge: str = "auto",
+                   driver_limit: int = 2_000_000, num_buckets: int = 32):
     """Top-k rows per group by ``order_col`` (grouped top-k): vectorized
     per-batch partial top-k (at most k rows per group per batch leave the
-    worker -- algebraic, so partial-of-partials is exact), tiny driver
-    final.  Ties break on ``tie_breakers`` ascending (deterministic; the
-    oracle's ROW_NUMBER ORDER BY).  At unbounded group cardinality route
-    the partials through a hash repartition on ``group_col`` and re-apply
-    the partial per bucket instead of the driver merge."""
+    worker -- algebraic, so partial-of-partials is exact).  Ties break on
+    ``tie_breakers`` ascending (deterministic; the oracle's ROW_NUMBER
+    ORDER BY).
+
+    Final merge: ``merge="auto"`` (default) counts the partial rows (an
+    O(1) scalar off the materialized partials) and uses the driver merge
+    only when they fit ``driver_limit``; past that -- unbounded group
+    cardinality, where k x groups rows would OOM the driver -- the
+    partials route through a hash exchange on ``group_col`` (same shape
+    as ``groupby_agg``'s bucketed merge) and the partial re-applies per
+    bucket, so no driver state at any cardinality.  ``merge="driver"`` /
+    ``merge="bucketed"`` force a path."""
     import numpy as np
     import ray
     import ray.data as rd
@@ -437,6 +471,29 @@ def top_k_by_group(ds, group_col: str, order_col: str, k: int,
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size)
+
+    if merge == "auto":
+        partials = partials.materialize()
+        merge = "driver" if partials.count() <= driver_limit else "bucketed"
+
+    if merge == "bucketed":
+        import pandas as pd
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            gk = t.column(group_col).to_pandas().to_numpy(dtype=object)
+            b = (pd.util.hash_array(gk) % num_buckets).astype(np.int32)
+            return t.append_column("__bucket", pa.array(b))
+
+        bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+
+        def merge_bucket(t: pa.Table) -> pa.Table:
+            return partial(t.drop_columns(["__bucket"]))
+
+        return bucketed.groupby("__bucket").map_groups(
+            merge_bucket, batch_format="pyarrow"
+        )
+
     tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
     if not tables:
         return rd.from_items([])
@@ -445,26 +502,36 @@ def top_k_by_group(ds, group_col: str, order_col: str, k: int,
 
 
 def compact_latest(ds, key: str, ts_col: str, tie_breakers: list[str] | None = None,
-                   batch_size: int = 65536):
+                   batch_size: int = 65536, merge: str = "auto"):
     """Log compaction: keep each key's LATEST row by ``ts_col`` (the CDC /
     state-table compaction step).  Grouped top-1 by timestamp descending --
     algebraic per-batch partials, so at most one row per key per batch ever
-    leaves a worker.  Ties break on ``tie_breakers`` ascending."""
+    leaves a worker.  Ties break on ``tie_breakers`` ascending.  The final
+    merge auto-switches to the bucketed hash exchange above the driver
+    limit (groups = distinct keys at CDC scale; see
+    :func:`top_k_by_group`)."""
     return top_k_by_group(ds, key, ts_col, k=1, descending=True,
-                          tie_breakers=tie_breakers, batch_size=batch_size)
+                          tie_breakers=tie_breakers, batch_size=batch_size,
+                          merge=merge)
 
 
 def approx_distinct_by(ds, key: str, value: str, p: int = 11,
-                       batch_size: int = 65536):
+                       batch_size: int = 65536, merge: str = "bucketed",
+                       num_buckets: int = 32):
     """Approximate COUNT(DISTINCT value) per key -- HyperLogLog sketch.
 
     Registers are built fully vectorized per batch (hash -> bucket index =
     top ``p`` bits, rho = leading-zero run of the rest; per-(key, bucket)
     max via lexsort + ``maximum.reduceat``) and emitted as one
     FixedSizeList<uint8>[2^p] row per key per batch.  The merge is an
-    elementwise register max per key (bucketed hash-exchange, same shape as
-    ``groupby_agg``'s scale merge).  Standard error ~= 1.04/sqrt(2^p)
-    (~2.3% at p=11); exact small counts via linear counting.
+    elementwise register max per key routed through the bucketed
+    hash-exchange (same shape as ``groupby_agg``'s scale merge): each hash
+    bucket sees all partial rows of its keys, takes the register max with
+    one ``maximum.reduceat`` over key-sorted rows, and reads the estimate
+    vectorized -- no driver state at any key cardinality
+    (``merge="driver"`` keeps the single-process merge for tiny results).
+    Standard error ~= 1.04/sqrt(2^p) (~2.3% at p=11); exact small counts
+    via linear counting.
     """
     import numpy as np
     import pandas as pd
@@ -513,34 +580,53 @@ def approx_distinct_by(ds, key: str, value: str, p: int = 11,
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size)
 
-    def estimate(regs: np.ndarray) -> float:
+    def merge_table(t: pa.Table) -> pa.Table:
+        # register max per key + vectorized estimate: sort partial rows by
+        # key, one ``maximum.reduceat`` over key segments (axis=0), then the
+        # HLL estimator evaluated for ALL keys at once (linear counting
+        # applied rowwise where est <= 2.5m and zero registers remain)
+        keys_np = t.column(key).to_pandas().to_numpy(dtype=object)
+        regs = _fixed_uint8_matrix(t.column("__regs"), m)
+        order = np.argsort(keys_np, kind="stable")
+        ks, rg = keys_np[order], regs[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        merged = np.maximum.reduceat(rg, starts, axis=0)
         alpha = 0.7213 / (1 + 1.079 / m)
-        est = alpha * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
-        zeros = int((regs == 0).sum())
-        if est <= 2.5 * m and zeros:
-            est = m * np.log(m / zeros)   # linear counting, small range
-        return float(est)
+        est = alpha * m * m / (2.0 ** (-merged.astype(np.float64))).sum(axis=1)
+        zeros = (merged == 0).sum(axis=1)
+        lc = zeros > 0
+        small = (est <= 2.5 * m) & lc
+        est = np.where(
+            small, m * np.log(m / np.where(lc, zeros, 1).astype(np.float64)), est
+        )
+        return pa.table({
+            key: pa.array(ks[starts]),
+            "approx_distinct": pa.array(np.round(est).astype(np.int64)),
+        })
 
-    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
-    if not tables:
-        return rd.from_items([])
-    allt = pa.concat_tables(tables).combine_chunks()
-    keys_np = allt.column(key).to_pandas().to_numpy(dtype=object)
-    regs = np.frombuffer(
-        allt.column("__regs").combine_chunks().flatten().to_numpy(
-            zero_copy_only=False
-        ).astype(np.uint8), dtype=np.uint8
-    ).reshape(len(keys_np), m)
-    order = np.argsort(keys_np)
-    ks, rg = keys_np[order], regs[order]
-    starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-    out_keys, out_est = [], []
-    bounds = np.append(starts, len(ks))
-    for i in range(len(starts)):
-        merged = rg[bounds[i]:bounds[i + 1]].max(axis=0)
-        out_keys.append(ks[starts[i]])
-        out_est.append(round(estimate(merged)))
-    return rd.from_arrow(pa.table({
-        key: pa.array(out_keys),
-        "approx_distinct": pa.array(np.asarray(out_est, np.int64)),
-    }))
+    if merge == "driver":
+        tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+        if not tables:
+            return rd.from_items([])
+        return rd.from_arrow(merge_table(pa.concat_tables(tables).combine_chunks()))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        keys_np = t.column(key).to_pandas().to_numpy(dtype=object)
+        b = (pd.util.hash_array(keys_np) % num_buckets).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return bucketed.groupby("__bucket").map_groups(
+        lambda t: merge_table(t.drop_columns(["__bucket"])),
+        batch_format="pyarrow",
+    )
+
+
+def _fixed_uint8_matrix(col, m: int) -> "np.ndarray":
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint8)
+    return flat.reshape(-1, m)
