@@ -238,7 +238,9 @@ class EmbeddingLSHSketch:
 
 def embedding_near_dup(ds, threshold: float = 0.95, id_col: str = "vec_id",
                        emb_col: str = "embedding", n_planes: int = 16,
-                       seed: int = 42):
+                       seed: int = 42, mode: str = "auto",
+                       hot_bucket_limit: int = 2_000_000,
+                       edge_driver_limit: int = 20_000_000):
     """Embedding-cosine near-dup via random-hyperplane LSH buckets +
     exact-cosine verification; keeps the min-id representative per cluster.
 
@@ -246,10 +248,13 @@ def embedding_near_dup(ds, threshold: float = 0.95, id_col: str = "vec_id",
     partial+final aggregate, star edges emitted via vectorized searchsorted
     probes and verified by a dot product in the same pass (the normalized
     vector rides in the sketch), members failing against the bucket min
-    re-starred among themselves."""
+    re-starred among themselves.  ``mode`` mirrors
+    :func:`dedup.dedup_minhash`: past the hot-bucket / edge limits (or
+    forced with "distributed") emission, clustering and the drop filter all
+    run Dataset-native with no driver state."""
     import ray
 
-    from .dedup import _drop_losers, connected_components, lsh_verified_edges
+    from .dedup import _resolve_clusters_and_drop, lsh_verified_edges
 
     # dimension probe from one row
     first = ds.limit(1).to_pandas()
@@ -270,7 +275,9 @@ def embedding_near_dup(ds, threshold: float = 0.95, id_col: str = "vec_id",
     def verify(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
         return (sa.astype(np.float64) * sb.astype(np.float64)).sum(axis=1) >= threshold
 
-    edges = lsh_verified_edges(sketches, id_col, verify)
-    labels = connected_components(edges)
-    losers = {k for k, root in labels.items() if root != k}
-    return _drop_losers(ds, losers, id_col)
+    edge_mode = {"auto": "auto", "distributed": "distributed",
+                 "driver": "broadcast"}[mode]
+    edges = lsh_verified_edges(sketches, id_col, verify, edge_mode=edge_mode,
+                               hot_bucket_limit=hot_bucket_limit)
+    return _resolve_clusters_and_drop(ds, edges, id_col, mode=mode,
+                                      edge_driver_limit=edge_driver_limit)

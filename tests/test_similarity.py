@@ -71,6 +71,23 @@ def test_embedding_near_dup_drops_clones():
     assert not ids.intersection({50, 51, 52, 53, 54})
 
 
+def test_embedding_near_dup_distributed_matches_driver():
+    """VERDICT r2 #1/#2 for the embedding path: distributed emission + CC +
+    anti-join drop must match the driver path exactly."""
+    m = make_vectors(n=60)
+    clones = np.vstack([m, m[:8] * 1.0001])
+    ref = sorted(embedding_near_dup(vec_ds(clones), threshold=0.999,
+                                    mode="driver").to_pandas()["vec_id"])
+    dist = sorted(embedding_near_dup(vec_ds(clones), threshold=0.999,
+                                     mode="distributed").to_pandas()["vec_id"])
+    assert dist == ref
+    auto = sorted(embedding_near_dup(vec_ds(clones), threshold=0.999,
+                                     mode="auto", hot_bucket_limit=0,
+                                     edge_driver_limit=0)
+                  .to_pandas()["vec_id"])
+    assert auto == ref
+
+
 def test_persisted_ivf_index_roundtrip(tmp_path):
     """build_ivf_index writes bucket-partitioned parquet + centroids;
     query_ivf_index prunes to nprobe bucket dirs and matches the in-memory
