@@ -59,7 +59,7 @@ def _ctrl(type_num: int, size: int) -> bytes:
         return bytes([(first3 << 5) | 29]) + ext + bytes([size - 29])
     if size < 285 + 65536:
         return bytes([(first3 << 5) | 30]) + ext + (size - 285).to_bytes(2, "big")
-    return bytes([(first3 << 5) | 31]) + ext + (size - 821_245).to_bytes(3, "big")
+    return bytes([(first3 << 5) | 31]) + ext + (size - 65_821).to_bytes(3, "big")
 
 
 def _uint_bytes(v: int) -> bytes:
@@ -304,7 +304,7 @@ class MMDBReader:
             size = 285 + int.from_bytes(buf[offset:offset + 2], "big")
             offset += 2
         elif size == 31:
-            size = 821_245 + int.from_bytes(buf[offset:offset + 3], "big")
+            size = 65_821 + int.from_bytes(buf[offset:offset + 3], "big")
             offset += 3
 
         if type_num == _T_UTF8:

@@ -60,6 +60,19 @@ def test_ipv6_lookup(mmdb_path):
     assert doc["country"]["iso_code"] == "US"
 
 
+def test_size31_field_roundtrip(tmp_path):
+    """ADVICE r2: the size-31 length base is 65_821 (285 + 65536) per the
+    MaxMind DB spec.  A field >= 65_821 bytes must round-trip — the old
+    821_245 constant made the writer crash with OverflowError in the
+    65_821..821_244 range and mis-decode conformant files."""
+    big = "x" * 70_000                      # inside the formerly-broken range
+    docs = {"10.9.9.9": {"country": {"iso_code": "US"}, "blob": big}}
+    path = write_mmdb(docs, str(tmp_path / "big.mmdb"))
+    doc = MMDBReader(path).get("10.9.9.9")
+    assert doc["blob"] == big
+    assert doc["country"]["iso_code"] == "US"
+
+
 def test_maxmind_backend_lookup_contract(mmdb_path):
     be = MaxmindBackend(mmdb_path)
     assert be.lookup("66.102.3.80")["city"]["names"]["en"] == "Mountain View"

@@ -35,3 +35,45 @@ def test_pack_partition_invariant():
     a = a.sort_values("doc_id").reset_index(drop=True)
     b = b.sort_values("doc_id").reset_index(drop=True)
     assert (a["pack_id"] == b["pack_id"]).all()
+
+
+def test_pack_string_keys():
+    """ADVICE/VERDICT r2: string document ids must use the same scan path;
+    bins follow lexicographic key order (zero-padded ids keep it numeric)."""
+    t = _docs()
+    ids = np.array([f"doc-{i:05d}" for i in range(t.num_rows)])
+    ts = pa.table({"doc_id": pa.array(ids), "n_tokens": t.column("n_tokens")})
+    out = (
+        pack_bins(rd.from_arrow(ts).repartition(7), "doc_id", "n_tokens", 500)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    toks = t.column("n_tokens").to_numpy()
+    excl = np.concatenate([[0], np.cumsum(toks)[:-1]])
+    assert (out["pack_id"].to_numpy() == excl // 500).all()
+
+
+def test_pack_duplicate_block_minkeys_raise():
+    """A run of one key spanning a block boundary must raise, not alias.
+    (Ray's sort keeps equal keys in one output partition at test scale, so
+    the guard is pinned directly; it fires when giant blocks split.)"""
+    import pytest
+
+    from fluent_plugin_geoip_ray.stages.pack import _check_unique_minkeys
+
+    _check_unique_minkeys(np.array([1, 2, 3]))         # unique: fine
+    _check_unique_minkeys(np.array(["a", "b"], object))
+    with pytest.raises(ValueError, match="unique keys"):
+        _check_unique_minkeys(np.array([1, 1, 2]))
+
+
+def test_pack_all_equal_keys_single_partition_is_exact():
+    """All-equal keys land in one sort partition -> exact result (and the
+    empty sibling blocks flow through the schema-less empty-block path)."""
+    t = pa.table({
+        "doc_id": pa.array(np.zeros(64, np.int64)),
+        "n_tokens": pa.array(np.full(64, 10, np.int64)),
+    })
+    out = pack_bins(rd.from_arrow(t).repartition(8), "doc_id", "n_tokens",
+                    100).to_pandas()
+    assert len(out) == 64
+    assert sorted(out["pack_id"].unique()) == list(range(7))
