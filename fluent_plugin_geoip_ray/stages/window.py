@@ -78,7 +78,8 @@ def sliding_window_counts(ds, ts_col: str = "ts", size_sec: int = 3600,
 
 def session_windows(ds, key: str = "user_id", ts_col: str = "ts",
                     gap_sec: int = 1800, order_tiebreak: str | None = None,
-                    impl: str = "scan"):
+                    impl: str = "scan", merge: str = "auto",
+                    driver_limit: int = 2_000_000):
     """Gap-based sessionization per key -> (key, session_idx, n_events,
     ts_min, ts_max), session_idx numbered 1.. per key in time order --
     equivalent to the SQL lag()+cumulative-sum idiom (the oracle).
@@ -94,7 +95,8 @@ def session_windows(ds, key: str = "user_id", ts_col: str = "ts",
     15k keys (kept for cross-checking).
     """
     if impl == "scan":
-        return _session_windows_scan(ds, key, ts_col, gap_sec, order_tiebreak)
+        return _session_windows_scan(ds, key, ts_col, gap_sec, order_tiebreak,
+                                     merge=merge, driver_limit=driver_limit)
     gap = np.timedelta64(gap_sec, "s")
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
@@ -122,65 +124,74 @@ def session_windows(ds, key: str = "user_id", ts_col: str = "ts",
     return ds.groupby(key).map_groups(sessions, batch_format="pandas")
 
 
+def _key_arrow(batch: pa.Table, key: str) -> pa.Array:
+    col = batch.column(key)
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
 def _session_windows_scan(ds, key: str, ts_col: str, gap_sec: int,
-                          order_tiebreak: str | None):
-    """Sorted-scan sessionization (see :func:`session_windows`)."""
+                          order_tiebreak: str | None,
+                          num_buckets: int = 32, merge: str = "auto",
+                          driver_limit: int = 2_000_000):
+    """Sorted-scan sessionization (see :func:`session_windows`).
+
+    After the (key, ts) sort + materialize, blocks are addressed
+    POSITIONALLY via ``to_arrow_refs`` -- one Ray task per block, so block
+    identity never depends on row content (round-2 ADVICE: the old
+    first-row-tuple block map silently collided when a run of duplicate
+    (key, ts) rows spanned a block, and only worked for int64 keys).  Keys
+    stay Arrow-typed end to end: int64, string, anything comparable.
+
+    Driver state is O(blocks) scalars (boundary-carry + run-id offsets).
+    The final merge auto-switches on the global session count (free on the
+    driver: the run-id counter): below ``driver_limit`` one C++ pass over
+    the collected O(runs) partial rows; above it the partials become a
+    Dataset (``from_arrow_refs``, zero-copy) hash-exchanged on ``key`` --
+    run ids are assigned in global (key, ts) sort order, so each key's runs
+    form a contiguous id range: one argsort per bucket groups keys AND
+    orders sessions, and ``session_idx`` is a per-key arange.  No driver
+    state at any cardinality on that path.
+    """
     import ray
     import ray.data as rd
 
     gap_us = np.int64(gap_sec) * 1_000_000
     sort_cols = [key, ts_col] + ([order_tiebreak] if order_tiebreak else [])
     sorted_ds = ds.sort(sort_cols).materialize()
+    refs = sorted_ds.to_arrow_refs()  # dataset (= sort) order
 
-    def _first_tb(batch: pa.Table):
-        # block identity = full first-row sort tuple: with a tiebreak column
-        # the tuple is unique per row, so blocks can never collide even when
-        # duplicate (key, ts) rows split across block boundaries
-        if not order_tiebreak:
-            return 0
-        col = batch.column(order_tiebreak)
-        return int(col[0].as_py())
-
-    def block_summary(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"first_key": pa.array([], pa.int64()),
-                             "first_ts": pa.array([], pa.int64()),
-                             "first_tb": pa.array([], pa.int64()),
-                             "last_key": pa.array([], pa.int64()),
-                             "last_ts": pa.array([], pa.int64()),
-                             "internal_runs": pa.array([], pa.int64())})
-        keys = batch.column(key)
-        ts = _ts_us(batch, ts_col)
-        k = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
-        kn = k.to_numpy(zero_copy_only=False)
-        brk = np.empty(len(kn), dtype=bool)
-        brk[0] = False  # boundary-carry decided on the driver
+    @ray.remote
+    def block_summary(t: pa.Table):
+        # (first_key, first_ts, last_key, last_ts, internal_runs); None when
+        # the block is empty (excluded from the boundary chain)
+        if t.num_rows == 0:
+            return None
+        kn = _key_arrow(t, key).to_numpy(zero_copy_only=False)
+        ts = _ts_us(t, ts_col)
+        n_internal = 0
         if len(kn) > 1:
-            brk[1:] = (kn[1:] != kn[:-1]) | (np.diff(ts) > gap_us)
-        return pa.table({
-            "first_key": pa.array([int(kn[0])], pa.int64()),
-            "first_ts": pa.array([int(ts[0])], pa.int64()),
-            "first_tb": pa.array([_first_tb(batch)], pa.int64()),
-            "last_key": pa.array([int(kn[-1])], pa.int64()),
-            "last_ts": pa.array([int(ts[-1])], pa.int64()),
-            "internal_runs": pa.array([int(brk.sum())], pa.int64()),
-        })
+            n_internal = int(((kn[1:] != kn[:-1]) | (np.diff(ts) > gap_us)).sum())
+        return (kn[0], int(ts[0]), kn[-1], int(ts[-1]), n_internal)
 
-    summaries = pa.concat_tables(
-        ray.get(
-            sorted_ds.map_batches(
-                block_summary, batch_format="pyarrow", zero_copy_batch=True,
-                batch_size=None,
-            ).to_arrow_refs()
-        )
-    ).to_pandas()
-    # blocks arrive in dataset (= sort) order; sanity-check monotonicity
-    fk = summaries["first_key"].to_numpy()
-    ft = summaries["first_ts"].to_numpy()
-    lk = summaries["last_key"].to_numpy()
-    lt = summaries["last_ts"].to_numpy()
-    runs = summaries["internal_runs"].to_numpy()
-    n_blocks = len(summaries)
+    summaries = ray.get([block_summary.remote(r) for r in refs])
+    live = [(r, s) for r, s in zip(refs, summaries) if s is not None]
+    if not live:
+        key_type = pa.int64()
+        if refs:
+            sch = ray.get(refs[0]).schema
+            if key in sch.names:
+                key_type = sch.field(key).type
+        return rd.from_arrow(pa.schema([
+            (key, key_type), ("session_idx", pa.int64()),
+            ("n_events", pa.int64()),
+            ("ts_min", pa.timestamp("us")), ("ts_max", pa.timestamp("us")),
+        ]).empty_table())
+    fk = np.array([s[0] for _, s in live], dtype=object)
+    ft = np.array([s[1] for _, s in live], dtype=np.int64)
+    lk = np.array([s[2] for _, s in live], dtype=object)
+    lt = np.array([s[3] for _, s in live], dtype=np.int64)
+    runs = np.array([s[4] for _, s in live], dtype=np.int64)
+    n_blocks = len(live)
     brk0 = np.zeros(n_blocks, dtype=bool)
     brk0[0] = True  # very first row starts run 1
     if n_blocks > 1:
@@ -188,27 +199,12 @@ def _session_windows_scan(ds, key: str, ts_col: str, gap_sec: int,
     offsets = np.zeros(n_blocks, dtype=np.int64)
     acc = np.cumsum(brk0.astype(np.int64) + runs)
     offsets[1:] = acc[:-1]
-    # block identified in pass 2 by its first-row sort tuple
-    ftb = summaries["first_tb"].to_numpy()
-    block_map = {
-        (int(a), int(b), int(t)): (int(o), bool(c))
-        for a, b, t, o, c in zip(fk, ft, ftb, offsets, brk0)
-    }
-    state = ray.put(block_map)
 
-    def run_partials(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({key: pa.array([], pa.int64()),
-                             "run_id": pa.array([], pa.int64()),
-                             "n_events": pa.array([], pa.int64()),
-                             "ts_min": pa.array([], pa.int64()),
-                             "ts_max": pa.array([], pa.int64())})
-        bm = ray.get(state)
-        keys = batch.column(key)
-        k = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+    @ray.remote
+    def run_partials(t: pa.Table, off: int, first_brk: bool) -> pa.Table:
+        k = _key_arrow(t, key)
         kn = k.to_numpy(zero_copy_only=False)
-        ts = _ts_us(batch, ts_col)
-        off, first_brk = bm[(int(kn[0]), int(ts[0]), _first_tb(batch))]
+        ts = _ts_us(t, ts_col)
         brk = np.empty(len(kn), dtype=bool)
         brk[0] = first_brk
         if len(kn) > 1:
@@ -221,42 +217,71 @@ def _session_windows_scan(ds, key: str, ts_col: str, gap_sec: int,
         starts = np.flatnonzero(seg)
         n_ev = np.diff(np.append(starts, len(kn)))
         return pa.table({
-            key: pa.array(kn[starts]),
+            key: k.take(pa.array(starts)),
             "run_id": pa.array(run_id[starts]),
             "n_events": pa.array(n_ev.astype(np.int64)),
             "ts_min": pa.array(ts[starts]),
             "ts_max": pa.array(ts[np.append(starts[1:], len(kn)) - 1]),
         })
 
-    partials = pa.concat_tables(
-        ray.get(
-            sorted_ds.map_batches(
-                run_partials, batch_format="pyarrow", zero_copy_batch=True,
-                batch_size=None,
-            ).to_arrow_refs()
-        )
-    ).combine_chunks()
-    # merge boundary-spanning runs (a run spans blocks only at block edges)
-    g = partials.group_by(["run_id"]).aggregate(
-        [(key, "min"), ("n_events", "sum"), ("ts_min", "min"), ("ts_max", "max")]
-    )
-    kn = g.column(f"{key}_min").to_numpy(zero_copy_only=False)
-    rid = g.column("run_id").to_numpy(zero_copy_only=False)
-    nev = g.column("n_events_sum").to_numpy(zero_copy_only=False)
-    tmin = g.column("ts_min_min").to_numpy(zero_copy_only=False)
-    tmax = g.column("ts_max_max").to_numpy(zero_copy_only=False)
-    order = np.lexsort((rid, kn))
-    kn, rid, nev = kn[order], rid[order], nev[order]
-    tmin, tmax = tmin[order], tmax[order]
-    firsts = np.r_[True, kn[1:] != kn[:-1]]
-    group_start = np.maximum.accumulate(np.where(firsts, np.arange(len(kn)), 0))
-    session_idx = np.arange(len(kn)) - group_start + 1
-    import ray.data as rd
+    part_refs = [
+        run_partials.remote(r, int(o), bool(c))
+        for (r, _), o, c in zip(live, offsets, brk0)
+    ]
 
-    return rd.from_arrow(pa.table({
-        key: pa.array(kn.astype(np.int64)),
-        "session_idx": pa.array(session_idx.astype(np.int64)),
-        "n_events": pa.array(nev.astype(np.int64)),
-        "ts_min": pa.array(tmin).cast(pa.timestamp("us")),
-        "ts_max": pa.array(tmax).cast(pa.timestamp("us")),
-    }))
+    def _finalize(t: pa.Table) -> pa.Table:
+        kcol = _key_arrow(t, key)
+        rid = t.column("run_id").to_numpy(zero_copy_only=False)
+        nev = t.column("n_events").to_numpy(zero_copy_only=False)
+        tmin = t.column("ts_min").to_numpy(zero_copy_only=False)
+        tmax = t.column("ts_max").to_numpy(zero_copy_only=False)
+        # run ids are globally ordered by (key, ts): one argsort both merges
+        # duplicate run segments AND leaves each key's runs contiguous in
+        # time order -- no object-dtype key sort needed
+        order = np.argsort(rid, kind="stable")
+        rs = rid[order]
+        starts = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+        nev_m = np.add.reduceat(nev[order], starts)
+        tmin_m = np.minimum.reduceat(tmin[order], starts)
+        tmax_m = np.maximum.reduceat(tmax[order], starts)
+        kidx = order[starts]
+        kn = kcol.to_numpy(zero_copy_only=False)[kidx]
+        firsts = np.r_[True, kn[1:] != kn[:-1]]
+        group_start = np.maximum.accumulate(
+            np.where(firsts, np.arange(len(kn)), 0)
+        )
+        session_idx = np.arange(len(kn)) - group_start + 1
+        return pa.table({
+            key: kcol.take(pa.array(kidx)),
+            "session_idx": pa.array(session_idx.astype(np.int64)),
+            "n_events": pa.array(nev_m.astype(np.int64)),
+            "ts_min": pa.array(tmin_m).cast(pa.timestamp("us")),
+            "ts_max": pa.array(tmax_m).cast(pa.timestamp("us")),
+        })
+
+    # final merge: total session count is already known on the driver for
+    # free (acc[-1] = global run counter), so merge="auto" costs nothing to
+    # decide -- driver merge below driver_limit (one C++ pass over O(runs)
+    # rows), bucketed hash exchange on key above it (no driver state at any
+    # cardinality; all segments of a run share its key, so boundary-spanning
+    # runs reunite in their bucket).
+    total_runs = int(acc[-1])
+    if merge == "driver" or (merge == "auto" and total_runs <= driver_limit):
+        tables = [t for t in ray.get(part_refs) if t.num_rows]
+        return rd.from_arrow(_finalize(pa.concat_tables(tables).combine_chunks()))
+
+    import pandas as pd
+
+    partials = rd.from_arrow_refs(part_refs)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        kn = t.column(key).to_pandas().to_numpy(dtype=object)
+        b = (pd.util.hash_array(kn) % num_buckets).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return bucketed.groupby("__bucket").map_groups(
+        lambda t: _finalize(t.drop_columns(["__bucket"])),
+        batch_format="pyarrow",
+    )

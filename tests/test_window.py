@@ -116,3 +116,74 @@ def test_session_scan_duplicate_key_ts_across_blocks():
     # all rows of a user share one session (gap 0 <= 60s)
     assert len(out) == 3
     assert (out["n_events"] == n // 3).all()
+
+
+def test_session_scan_string_keys():
+    """Round-2 VERDICT gap: string user ids must use the fast scan path and
+    match the per-group reference implementation exactly."""
+    df = events_df(900)
+    df["user_id"] = np.array([f"user-{u:03d}" for u in df["user_id"]])
+    a = (
+        session_windows(rd.from_pandas(df).repartition(9), key="user_id",
+                        gap_sec=1800, order_tiebreak="event_id", impl="scan")
+        .to_pandas().sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    )
+    b = (
+        session_windows(rd.from_pandas(df), key="user_id", gap_sec=1800,
+                        order_tiebreak="event_id", impl="groups")
+        .to_pandas().sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[b.columns], b)
+
+
+def test_session_scan_no_tiebreak_duplicates_across_blocks():
+    """Round-2 ADVICE (medium): with order_tiebreak=None, duplicate (key, ts)
+    runs spanning block boundaries used to collide in the content-addressed
+    block map.  Block identity is positional now, so this must be exact."""
+    n = 600
+    df = pd.DataFrame({
+        "user_id": np.repeat([1, 2, 3], n // 3),
+        "ts": pd.to_datetime("2026-01-01")
+              + pd.to_timedelta(np.zeros(n), unit="s"),
+    })
+    out = (
+        session_windows(rd.from_pandas(df).repartition(10), key="user_id",
+                        gap_sec=60, order_tiebreak=None)
+        .to_pandas().sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    )
+    assert len(out) == 3
+    assert (out["n_events"] == n // 3).all()
+    assert (out["session_idx"] == 1).all()
+
+
+def test_session_scan_empty_input():
+    df = events_df(10).iloc[:0]
+    out = session_windows(rd.from_pandas(df), key="user_id", gap_sec=60)
+    assert out.count() == 0
+    # Ray's to_pandas drops columns on 0-row datasets; the schema is the API
+    assert out.schema().names == ["user_id", "session_idx", "n_events",
+                                  "ts_min", "ts_max"]
+
+
+def test_session_scan_driver_equals_bucketed_merge():
+    """The bucketed hash-exchange final (the 100 TB path) must equal the
+    driver merge row-for-row, int and string keys."""
+    for as_str in (False, True):
+        df = events_df(1200, seed=11)
+        if as_str:
+            df["user_id"] = np.array([f"u{u:03d}" for u in df["user_id"]])
+        a = (
+            session_windows(rd.from_pandas(df).repartition(8), key="user_id",
+                            gap_sec=1800, order_tiebreak="event_id",
+                            merge="driver")
+            .to_pandas().sort_values(["user_id", "session_idx"])
+            .reset_index(drop=True)
+        )
+        b = (
+            session_windows(rd.from_pandas(df).repartition(8), key="user_id",
+                            gap_sec=1800, order_tiebreak="event_id",
+                            merge="bucketed")
+            .to_pandas().sort_values(["user_id", "session_idx"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b[a.columns])
