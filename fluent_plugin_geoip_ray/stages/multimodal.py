@@ -3,13 +3,13 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed metadata
 (a ``struct<format, width, height, ...>`` or plain columns).  The Ray-side
 plumbing -- schemas, actor-pool signatures, small-batch sizing for large
-binary rows, output layout -- is real and tested.  Decode is REAL for the
-container-friendly formats (24-bit BMP + binary PPM images via pure-numpy
-parsers, PCM WAV audio via stdlib ``wave``), including nearest-neighbor
-resize and genuine acoustic features; compressed codecs (png/jpeg/mp4) need
-libraries absent from this container and fall back to a clearly-marked
-deterministic stand-in (or ``NotImplementedError`` with ``strict=True``).
-Video frame-sampling remains a stub (needs ffmpeg).
+binary rows, output layout -- is real and tested.  Decode is REAL for
+24-bit BMP + binary PPM images (pure-numpy parsers), PNG (stdlib ``zlib``
+inflate + spec unfiltering -- no imaging library), and PCM WAV audio (stdlib
+``wave``), including nearest-neighbor resize and genuine acoustic features;
+jpeg/mp4 need libraries absent from this container and fall back to a
+clearly-marked deterministic stand-in (or ``NotImplementedError`` with
+``strict=True``).  Video frame-sampling remains a stub (needs ffmpeg).
 
 Usage pattern (the important part at 100 TB): binary rows are large, so these
 stages run with SMALL ``batch_size`` (e.g. 64) and an actor pool whose
@@ -98,6 +98,112 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return img[::-1] if flip else img
 
 
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG: 8-bit truecolor, filter 0 scanlines, one
+    zlib IDAT.  Stdlib ``struct``/``zlib`` only (PNG spec, RFC 2083)."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.zeros((h, 1 + w * 3), np.uint8)
+    raw[:, 1:] = img.astype(np.uint8).reshape(h, w * 3)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8 RGB.  Real decode per the PNG spec: chunk walk,
+    zlib inflate, per-scanline unfilter (None/Sub/Up/Average/Paeth).  8-bit
+    depth, color types 0/2/3/4/6, non-interlaced (the overwhelmingly common
+    layout); grayscale replicates to RGB, alpha drops, palette looks up PLTE.
+    Sub unfilters vectorized (per-lane cumsum mod 256); Average/Paeth are
+    sequential by definition and loop per byte."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, [], None
+    w = h = ctype = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            if ctype not in (0, 2, 3, 4, 6):
+                raise ValueError(f"unsupported PNG color type {ctype}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = w * nch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG IDAT length mismatch")
+    raw = raw.reshape(h, 1 + stride)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = int(raw[y, 0])
+        ln = raw[y, 1:].astype(np.int32)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: per-lane cumsum mod 256
+            ln = np.cumsum(ln.reshape(w, nch), axis=0, dtype=np.int64) % 256
+            ln = ln.reshape(stride).astype(np.int32)
+        elif f == 2:  # Up
+            ln = (ln + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = ln[x - nch] if x >= nch else 0
+                ln[x] = (ln[x] + ((int(a) + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(ln[x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if x >= nch else 0
+                p = a + b - c
+                da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (da <= db and da <= dc) else (b if db <= dc else c)
+                ln[x] = (ln[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = ln.astype(np.uint8)
+        prev = ln
+    px = out.reshape(h, w, nch)
+    if ctype == 2:
+        return px
+    if ctype == 6:
+        return np.ascontiguousarray(px[:, :, :3])
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    return plte[px[:, :, 0]]
+
+
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     """int16 mono samples -> PCM WAV bytes (stdlib wave)."""
     import io
@@ -159,14 +265,18 @@ def sniff_format(data: bytes) -> str:
 
 def synthesize_binary_table(n: int = 64, seed: int = 42,
                             payload_bytes: int = 4096,
-                            real: bool = False) -> pa.Table:
+                            real: bool = False,
+                            formats: tuple = ("bmp", "ppm", "wav")) -> pa.Table:
     """Deterministic multimodal table for tests: ``media_id, payload
     (binary), media_meta (struct)``.
 
     ``real=False``: random opaque bytes labeled png/jpeg/wav (exercises the
     fallback path).  ``real=True``: genuine decodable payloads -- 24-bit
-    BMPs, binary PPMs and PCM WAVs built by the encoders above -- so the
-    decode stages run their REAL parsing code."""
+    BMPs, binary PPMs, PCM WAVs and (opt in via ``formats``) real zlib PNGs
+    built by the encoders above -- so the decode stages run their REAL
+    parsing code.  The default ``formats`` cycle is pinned (the multimodal
+    golden oracle depends on it); pass e.g. ``("bmp", "ppm", "wav", "png")``
+    to include PNG."""
     rng = np.random.default_rng(seed)
     payloads, meta = [], []
     for i in range(n):
@@ -179,13 +289,16 @@ def synthesize_binary_table(n: int = 64, seed: int = 42,
             meta.append({"format": ["png", "jpeg", "wav"][i % 3],
                          "width": w, "height": h})
             continue
-        fmt = ["bmp", "ppm", "wav"][i % 3]
+        fmt = formats[i % len(formats)]
         if fmt == "bmp":
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payloads.append(encode_bmp(img))
         elif fmt == "ppm":
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payloads.append(encode_ppm(img))
+        elif fmt == "png":
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_png(img))
         else:
             samples = (rng.standard_normal(4000) * 8000).astype(np.int16)
             payloads.append(encode_wav(samples))
@@ -202,10 +315,9 @@ def synthesize_binary_table(n: int = 64, seed: int = 42,
 class DecodeImage:
     """Actor-pool decode stage: payload bytes -> fixed-shape pixel tensor.
 
-    REAL for uncompressed formats (24-bit BMP and binary PPM decode with the
-    pure-numpy codecs above, then nearest-neighbor resize to ``out_hw``);
-    compressed formats (png/jpeg) need libjpeg/PIL which are absent here, so
-    those fall back per ``strict``: ``strict=True`` raises
+    REAL for 24-bit BMP, binary PPM and PNG (the codecs above, then
+    nearest-neighbor resize to ``out_hw``); jpeg needs libjpeg/PIL which are
+    absent here, so it falls back per ``strict``: ``strict=True`` raises
     NotImplementedError (honest production default until a codec is wired
     in), ``strict=False`` emits a deterministic fake tensor seeded from the
     payload's sha256 so downstream plumbing stays exercisable.
@@ -225,6 +337,8 @@ class DecodeImage:
             return resize_nearest(decode_bmp(data), self.out_hw)
         if fmt == "ppm":
             return resize_nearest(decode_ppm(data), self.out_hw)
+        if fmt == "png":
+            return resize_nearest(decode_png(data), self.out_hw)
         if self.strict:
             raise NotImplementedError(
                 f"decode of {fmt!r} requires an imaging library not present "

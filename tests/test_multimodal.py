@@ -136,3 +136,136 @@ def test_decode_audio_features():
             assert out.column("audio_rms")[i].as_py() > 0
         else:
             assert out.column("audio_sec")[i].as_py() is None
+
+
+def test_png_roundtrip():
+    """Real PNG decode (round-2 VERDICT item): encoder output (filter 0,
+    zlib) decodes back bit-exact."""
+    from fluent_plugin_geoip_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(37, 23, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+def _png_with_filters(img, filters):
+    """Assemble a PNG whose scanlines use the given filter types, applying
+    the spec's FORWARD filters here (the test-side reference) so decode must
+    invert them exactly."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    bpp = 3
+    stride = w * bpp
+    flat = img.reshape(h, stride).astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        line = flat[y]
+        if f == 0:
+            enc = line
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            enc = (line - left) % 256
+        elif f == 2:
+            enc = (line - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+            enc = (line - ((left + prev) >> 1)) % 256
+        else:  # Paeth
+            enc = np.empty(stride, np.int32)
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (da <= db and da <= dc) else (b if db <= dc else c)
+                enc[x] = (line[x] - pred) % 256
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_all_filter_types():
+    from fluent_plugin_geoip_ray.stages.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(20, 9, 3), dtype=np.uint8)
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        data = _png_with_filters(img, filters)
+        assert (decode_png(data) == img).all(), f"filters {filters}"
+
+
+def test_png_color_types():
+    """Grayscale / RGBA / palette PNGs decode to (h, w, 3) RGB."""
+    import struct
+    import zlib
+
+    from fluent_plugin_geoip_ray.stages.multimodal import decode_png
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    def build(w, h, ctype, pixel_bytes, extra=b""):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+        raw = b"".join(
+            b"\x00" + pixel_bytes[y * w * nch:(y + 1) * w * nch]
+            for y in range(h)
+        )
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + extra
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(3)
+    # grayscale -> replicated channels
+    g = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+    out = decode_png(build(5, 4, 0, g.tobytes()))
+    assert (out == np.repeat(g[:, :, None], 3, axis=2)).all()
+    # RGBA -> alpha dropped
+    rgba = rng.integers(0, 256, size=(4, 5, 4), dtype=np.uint8)
+    out = decode_png(build(5, 4, 6, rgba.tobytes()))
+    assert (out == rgba[:, :, :3]).all()
+    # palette
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(4, 5), dtype=np.uint8)
+    import struct as _s
+    import zlib as _z
+    plte_chunk = (_s.pack(">I", plte.size) + b"PLTE" + plte.tobytes()
+                  + _s.pack(">I", _z.crc32(b"PLTE" + plte.tobytes()) & 0xFFFFFFFF))
+    out = decode_png(build(5, 4, 3, idx.tobytes(), extra=plte_chunk))
+    assert (out == plte[idx]).all()
+
+
+def test_png_decodes_under_strict_in_stage():
+    """PNG is now a REAL codec: the strict actor stage decodes it instead of
+    raising, and pixels match the source after resize."""
+    from fluent_plugin_geoip_ray.stages.multimodal import (
+        DecodeImage,
+        resize_nearest,
+        synthesize_binary_table,
+    )
+
+    t = synthesize_binary_table(n=8, real=True,
+                                formats=("png", "bmp", "ppm", "wav"))
+    imgs = t.filter(pa.compute.equal(
+        pa.compute.struct_field(t.column("media_meta"), "format"), "png"
+    ))
+    out = DecodeImage(out_hw=(8, 8), strict=True)(imgs)
+    # row 0 of the cycle is png with (h, w) = (32, 32) and the first rng draw
+    rng = np.random.default_rng(42)
+    img0 = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    got = np.asarray(out.column("pixels")[0].as_py(), dtype=np.uint8)
+    assert (got == resize_nearest(img0, (8, 8)).ravel()).all()
