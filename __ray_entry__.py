@@ -808,6 +808,28 @@ def q_events_asof(sf_dir: str):
     return out.select_columns(["event_id", "signup_event_id", "signup_ts"])
 
 
+def q_events_asof_big(sf_dir: str):
+    """Large-large as-of join: each event joined to the user's most recent
+    CLICK at-or-before its timestamp.  The right side is ~20% of the whole
+    events table -- proportional to the input, NOT broadcastable at scale --
+    so both sides hash-bucket on user_id and each bucket runs the shared
+    vectorized matcher (asof_join_big).  Output is tie-proof (marker ts
+    only).  Oracle = DuckDB ASOF JOIN."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.join import asof_join_big
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type", "ts"])
+    clicks = (
+        ds.filter(expr="event_type == 'click'")
+        .select_columns(["user_id", "ts"])
+    )
+    out = asof_join_big(ds, clicks, on="ts", by="user_id",
+                        right_cols={"ts": "click_ts"})
+    return out.select_columns(["event_id", "click_ts"])
+
+
 def q_events_range_join(sf_dir: str):
     """Interval (range) join: label each event's value with its tier from a
     static [lo, hi) table -- one searchsorted per batch vs the broadcast
@@ -941,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": q_curation,
         "redact": q_redact,
         "events_asof": q_events_asof,
+        "events_asof_big": q_events_asof_big,
         "events_range_join": q_events_range_join,
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
@@ -1300,6 +1323,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'signup') s
               ON e.user_id = s.user_id AND e.ts >= s.ts""",
+        "events_asof_big": """
+            SELECT e.event_id, c.ts AS click_ts
+            FROM events e ASOF LEFT JOIN
+                 (SELECT user_id, ts FROM events
+                  WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts >= c.ts""",
         "events_range_join": """
             SELECT e.event_id, e.value, t.tier
             FROM events e LEFT JOIN (

@@ -166,6 +166,51 @@ def bucketed_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def _asof_keys_np(col):
+    """Join-key column -> numpy: int64 when integral (fast lexsort lane),
+    object otherwise (string user ids etc.; numpy compares elementwise)."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    return col.to_pandas().to_numpy(dtype=object)
+
+
+def _asof_match(u, t, mb, mt):
+    """Vectorized backward as-of match: probes (u=key, t=time) against
+    markers (mb, mt) PRE-SORTED by (key, time).  Returns an int64 pyarrow
+    index array into the markers (null where no marker at-or-before).
+
+    Markers and probes are lexsorted together by (key, time, marker-first)
+    and the last-marker rank forward-fills via ``np.maximum.accumulate``;
+    a marker leaking across a key boundary is rejected by the final key
+    equality check.  Ties: a marker AT the probe time matches (inclusive
+    <=, matching SQL ASOF JOIN)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    m, n = len(mb), len(u)
+    comb_b = np.concatenate([mb, u])
+    comb_t = np.concatenate([mt, t])
+    is_probe = np.concatenate([np.zeros(m, np.int8), np.ones(n, np.int8)])
+    order = np.lexsort((is_probe, comb_t, comb_b))
+    ranks = np.where(is_probe[order] == 0, order, -1)
+    last_marker = np.maximum.accumulate(ranks)
+    pos_of = np.empty(m + n, np.int64)
+    pos_of[order] = np.arange(m + n)
+    probe_last = last_marker[pos_of[m:]]
+    valid = probe_last >= 0
+    midx = np.where(valid, probe_last, 0)
+    if m:
+        valid &= mb[midx] == u
+    else:
+        valid[:] = False
+    idx_arr = pa.array(np.where(valid, midx, 0), type=pa.int64())
+    return pc.if_else(pa.array(valid), idx_arr, pa.scalar(None, pa.int64()))
+
+
 def asof_join(ds, right, on: str, by: str, right_cols: dict,
               batch_size: int = 65536):
     """Broadcast as-of join (backward): for each left row, the LATEST right
@@ -180,16 +225,15 @@ def asof_join(ds, right, on: str, by: str, right_cols: dict,
     ASOF JOIN).  ``right_cols`` maps right column -> output name.
 
     Partitioning assumption (document per use): the right side fits a
-    broadcast (config/state/dimension streams).  For large-large as-of,
-    bucket both sides by ``by`` upstream (``bucketed_join`` pattern) and run
-    this per bucket.
+    broadcast (config/state/dimension streams).  For large-large as-of use
+    :func:`asof_join_big` -- same matcher, both sides bucketed by ``by``.
     """
     import numpy as np
     import ray
 
     if not isinstance(right, pa.Table):
         right = pa.Table.from_pandas(right, preserve_index=False)
-    rb = right.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+    rb = _asof_keys_np(right.column(by))
     rt = right.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
     rorder = np.lexsort((rt, rb))
     rb, rt = rb[rorder], rt[rorder]
@@ -200,32 +244,10 @@ def asof_join(ds, right, on: str, by: str, right_cols: dict,
     state = ray.put((rb, rt, rvals))
 
     def fn(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         mb, mt, vals = ray.get(state)
-        m = len(mb)
-        u = batch.column(by).to_numpy(zero_copy_only=False).astype(np.int64)
+        u = _asof_keys_np(batch.column(by))
         t = batch.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        n = len(u)
-        comb_b = np.concatenate([mb, u])
-        comb_t = np.concatenate([mt, t])
-        is_probe = np.concatenate([np.zeros(m, np.int8), np.ones(n, np.int8)])
-        order = np.lexsort((is_probe, comb_t, comb_b))
-        # forward-fill the last marker RANK seen so far (global); a marker
-        # leaking across a key boundary is rejected by the key check below
-        ranks = np.where(is_probe[order] == 0, order, -1)
-        last_marker = np.maximum.accumulate(ranks)
-        # invert: for each probe row i (original), its position in the sort
-        pos_of = np.empty(m + n, np.int64)
-        pos_of[order] = np.arange(m + n)
-        probe_last = last_marker[pos_of[m:]]
-        valid = probe_last >= 0
-        midx = np.where(valid, probe_last, 0)
-        valid &= mb[midx] == u
-        idx_arr = pa.array(
-            np.where(valid, midx, -1), type=pa.int64()
-        )
-        idx_arr = pc.if_else(pa.array(valid), idx_arr, pa.scalar(None, pa.int64()))
+        idx_arr = _asof_match(u, t, mb, mt)
         out = batch
         for name, col in vals.items():
             out = out.append_column(name, col.take(idx_arr))
@@ -233,6 +255,93 @@ def asof_join(ds, right, on: str, by: str, right_cols: dict,
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+def asof_join_big(left_ds, right_ds, on: str, by: str, right_cols: dict,
+                  num_buckets: int = 32):
+    """Large-large as-of join (backward): NEITHER side broadcast.
+
+    Round-2 VERDICT item: one skewed state-stream side past broadcast size
+    used to mean hand-writing the bucketing.  This wires it: both sides
+    hash-bucket on ``by`` (one all-to-all over both inputs -- the
+    ``bucketed_join`` exchange shape), and each bucket runs the SAME
+    vectorized lexsort + last-marker forward-fill as :func:`asof_join`
+    (``_asof_match``), so broadcast and bucketed paths cannot drift.
+
+    Partitioning assumptions: ``by`` hashes spread uniformly over
+    ``num_buckets``; one bucket of probes+markers fits a worker's heap --
+    size ``num_buckets`` to max(|L|, |R|) / target_bucket_rows.  A hot key
+    cannot be salted here (the match needs ALL markers of a key together);
+    if one key dominates, pre-filter its markers by time range instead.
+
+    ``right_cols`` maps right column -> output name (as in
+    :func:`asof_join`).  Output = every left column + the mapped columns.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    lschema, rschema = left_ds.schema(), right_ds.schema()
+    lnames = list(lschema.names)
+    rtypes = dict(zip(rschema.names, rschema.types))
+    out_names = list(right_cols.values())
+    overlap = set(lnames) & set(out_names)
+    if overlap:
+        raise ValueError(f"asof_join_big column collision: {sorted(overlap)}")
+    types = dict(zip(lschema.names, lschema.types))
+    types.update({out: rtypes[src] for src, out in right_cols.items()})
+    all_names = lnames + out_names
+
+    def add_bucket(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(by).to_pandas().to_numpy(dtype=object)
+            b = (pd.util.hash_array(keys) % num_buckets).astype(np.int32)
+            cols = {}
+            for name in all_names:
+                if side == 1 and name in out_names:
+                    src = [s for s, o in right_cols.items() if o == name][0]
+                    cols[name] = batch.column(src).cast(types[name])
+                elif side == 1 and name in (on, by):
+                    cols[name] = batch.column(name).cast(types[name])
+                elif side == 0 and name in batch.column_names:
+                    cols[name] = batch.column(name)
+                else:
+                    cols[name] = pa.nulls(batch.num_rows, type=types[name])
+            cols["__bucket"] = pa.array(b)
+            cols["__side"] = pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    both = left_ds.map_batches(
+        add_bucket(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right_ds.map_batches(add_bucket(1), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    )
+
+    def match_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        probes = g.filter(pc.equal(side, 0)).select(lnames)
+        markers = g.filter(pc.equal(side, 1))
+        mb = _asof_keys_np(markers.column(by))
+        mt = markers.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        morder = np.lexsort((mt, mb))
+        mb, mt = mb[morder], mt[morder]
+        mvals = {
+            out: markers.column(out).take(pa.array(morder))
+            for out in out_names
+        }
+        u = _asof_keys_np(probes.column(by))
+        t = probes.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx_arr = _asof_match(u, t, mb, mt)
+        out = probes
+        for name, col in mvals.items():
+            out = out.append_column(name, col.take(idx_arr))
+        return out
+
+    return both.groupby("__bucket").map_groups(match_bucket,
+                                               batch_format="pyarrow")
 
 
 def range_join(ds, intervals, value_col: str, out_cols: dict,

@@ -403,3 +403,81 @@ def test_quantiles_sketch_partition_invariant():
          .to_pandas().sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert set(a["k"]) == set(t.column("k").to_pylist())
+
+
+def test_asof_join_big_matches_broadcast():
+    """Large-large as-of (bucketed both sides) must equal the broadcast
+    matcher row-for-row -- int and string keys, including keys with no
+    markers at all and markers with no probes."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.join import asof_join, asof_join_big
+
+    rng = np.random.default_rng(13)
+    n, m = 4000, 1200
+    for as_str in (False, True):
+        lu = rng.integers(0, 80, size=n)
+        ru = rng.integers(40, 120, size=m)  # partial key overlap
+        if as_str:
+            lu = np.array([f"u{v:03d}" for v in lu])
+            ru = np.array([f"u{v:03d}" for v in ru])
+        left = pa.table({
+            "user": pa.array(lu),
+            "ts": pa.array(rng.integers(0, 10_000, size=n), type=pa.int64()),
+            "eid": pa.array(np.arange(n, dtype=np.int64)),
+        })
+        right = pa.table({
+            "user": pa.array(ru),
+            "ts": pa.array(rng.integers(0, 10_000, size=m), type=pa.int64()),
+            "state": pa.array(rng.integers(0, 1000, size=m), type=pa.int64()),
+        })
+        a = (
+            asof_join(rd.from_arrow(left).repartition(7), right.to_pandas(),
+                      on="ts", by="user",
+                      right_cols={"state": "state", "ts": "state_ts"})
+            .to_pandas().sort_values("eid").reset_index(drop=True)
+        )
+        b = (
+            asof_join_big(rd.from_arrow(left).repartition(7),
+                          rd.from_arrow(right).repartition(5),
+                          on="ts", by="user", num_buckets=8,
+                          right_cols={"state": "state", "ts": "state_ts"})
+            .to_pandas().sort_values("eid").reset_index(drop=True)
+        )
+        # state_ts is tie-proof; state may differ only on (user, ts) marker
+        # ties -- this fixture has none (checked), so compare fully
+        dup = pd.DataFrame({"u": ru, "t": right.column("ts").to_numpy()})
+        assert not dup.duplicated().any()
+        pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_asof_join_big_timestamp_cols():
+    """Timestamp on-columns work through the bucketed union (type cast path)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.join import asof_join_big
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    left = pa.table({
+        "user": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array(base + np.array([10, 30, 5]).astype("timedelta64[s]")),
+        "eid": pa.array([0, 1, 2], pa.int64()),
+    })
+    right = pa.table({
+        "user": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(base + np.array([8, 20]).astype("timedelta64[s]")),
+    })
+    out = (
+        asof_join_big(rd.from_arrow(left), rd.from_arrow(right),
+                      on="ts", by="user", right_cols={"ts": "m_ts"})
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    )
+    assert out["m_ts"][0] == pd.Timestamp(base + np.timedelta64(8, "s"))
+    assert out["m_ts"][1] == pd.Timestamp(base + np.timedelta64(8, "s"))
+    assert pd.isna(out["m_ts"][2])  # user2 probe at t=5 precedes marker t=20
