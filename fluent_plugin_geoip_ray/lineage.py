@@ -8,20 +8,23 @@ SURVEY §4); at 10^12-turn scale a run must be resumable.  Design:
   file still yields one partition).
 * each partition writes its sink files under ``<sink>/part=<pid>/`` and its
   aggregate partials under ``<out>/_partials/<pid>/``, then commits ONE
-  manifest JSON atomically (tmp + rename).  A partition is complete iff its
-  manifest exists -- sink files without a manifest are ignorable garbage from
-  a crashed attempt (and are deleted on retry), giving partition-level
-  exactly-once.
+  manifest JSON atomically (tmp + rename locally; single-PUT on object
+  stores).  A partition is complete iff its manifest exists -- sink files
+  without a manifest are ignorable garbage from a crashed attempt (and are
+  deleted on retry), giving partition-level exactly-once.
 * resume = skip partitions whose manifest validates; the final aggregate
   merge reads only committed partials.
+* every path may be a ``scheme://`` URI (fsio.py) -- manifests and sinks
+  live on shared/object storage on a real cluster, never a worker-local
+  disk.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
 from dataclasses import dataclass
+
+from . import fsio
 
 
 @dataclass(frozen=True)
@@ -39,31 +42,28 @@ def plan_partitions(input_files: list[str], files_per_partition: int = 1) -> lis
 
 
 def manifest_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "_manifests")
+    return fsio.join(out_dir, "_manifests")
 
 
 def manifest_path(out_dir: str, pid: int) -> str:
-    return os.path.join(manifest_dir(out_dir), f"part-{pid:06d}.json")
+    return fsio.join(manifest_dir(out_dir), f"part-{pid:06d}.json")
 
 
 def load_manifest(out_dir: str, pid: int) -> dict | None:
-    path = manifest_path(out_dir, pid)
-    if not os.path.exists(path):
+    f, path = fsio.resolve(manifest_path(out_dir, pid))
+    if not fsio.exists(f, path):
         return None
     try:
-        with open(path) as f:
-            m = json.load(f)
+        m = json.loads(fsio.read_bytes(f, path))
         return m if m.get("complete") else None
     except (json.JSONDecodeError, OSError):
         return None
 
 
 def completed_pids(out_dir: str) -> set[int]:
-    d = manifest_dir(out_dir)
-    if not os.path.isdir(d):
-        return set()
+    f, d = fsio.resolve(manifest_dir(out_dir))
     out = set()
-    for name in os.listdir(d):
+    for name in fsio.listdir(f, d):
         if name.startswith("part-") and name.endswith(".json"):
             pid = int(name[5:-5])
             if load_manifest(out_dir, pid) is not None:
@@ -72,35 +72,19 @@ def completed_pids(out_dir: str) -> set[int]:
 
 
 def write_manifest(out_dir: str, pid: int, payload: dict) -> str:
-    os.makedirs(manifest_dir(out_dir), exist_ok=True)
-    path = manifest_path(out_dir, pid)
-    tmp = path + f".tmp{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump({**payload, "pid": pid, "complete": True}, f, indent=1)
-    os.replace(tmp, path)
-    return path
-
-
-def _rmtree_robust(path: str, attempts: int = 3) -> None:
-    """rmtree that tolerates a straggler write landing mid-removal (exactly
-    the crashed-attempt garbage this cleaner exists for)."""
-    import time
-
-    for _ in range(attempts):
-        try:
-            shutil.rmtree(path)
-            return
-        except OSError:
-            time.sleep(0.2)
-    shutil.rmtree(path, ignore_errors=True)
+    f, d = fsio.resolve(manifest_dir(out_dir))
+    fsio.makedirs(f, d)
+    uri_path = manifest_path(out_dir, pid)
+    _, path = fsio.resolve(uri_path)
+    data = json.dumps({**payload, "pid": pid, "complete": True}, indent=1)
+    fsio.write_bytes_atomic(f, data.encode(), path)
+    return uri_path
 
 
 def clean_partition_outputs(out_dir: str, sinks: dict[str, str], pid: int) -> None:
     """Remove leftovers of a crashed attempt before re-running a partition."""
     for sink_dir in sinks.values():
-        part_dir = os.path.join(sink_dir, f"part={pid:06d}")
-        if os.path.isdir(part_dir):
-            _rmtree_robust(part_dir)
-    partial = os.path.join(out_dir, "_partials", f"{pid:06d}")
-    if os.path.isdir(partial):
-        _rmtree_robust(partial)
+        f, base = fsio.resolve(sink_dir)
+        fsio.delete_dir(f, fsio.join(base, f"part={pid:06d}"))
+    f, base = fsio.resolve(out_dir)
+    fsio.delete_dir(f, fsio.join(base, "_partials", f"{pid:06d}"))

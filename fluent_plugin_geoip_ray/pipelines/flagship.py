@@ -20,7 +20,6 @@ over transcript Parquet (SURVEY §3.4):
 from __future__ import annotations
 
 import hashlib
-import os
 import time
 
 import numpy as np
@@ -28,6 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from .. import fsio
 from ..config import RecordSpec, compile_record_spec
 from ..lineage import (
     clean_partition_outputs,
@@ -91,7 +91,7 @@ def canonical_routes(out_dir: str | None) -> list[RouteSpec]:
     """FIXTURES.md §4: an enriched sink (gated) and a raw passthrough sink."""
 
     def sink(name):
-        return os.path.join(out_dir, name) if out_dir else None
+        return fsio.join(out_dir, name) if out_dir else None
 
     return [
         RouteSpec(
@@ -200,20 +200,21 @@ class FanoutWrite:
         for route in self.routes:
             routed = route.apply(batch)
             if route.sink and routed.num_rows:
-                part_dir = os.path.join(route.sink, f"part={self.pid:06d}")
-                os.makedirs(part_dir, exist_ok=True)
-                path = os.path.join(part_dir, self._file_name(routed))
-                tmp = path + f".tmp{os.getpid()}"
+                # sink may be a URI (s3://...); all IO goes through fsio --
+                # local keeps tmp+rename, object stores use single-PUT
+                fs, base = fsio.resolve(route.sink)
+                part_dir = fsio.join(base, f"part={self.pid:06d}")
+                fsio.makedirs(fs, part_dir)
+                path = fsio.join(part_dir, self._file_name(routed))
                 if getattr(route, "sink_format", "parquet") == "json":
                     # ndjson lines (Elasticsearch-bulk-shaped consumers)
                     path = path.replace(".parquet", ".jsonl")
-                    tmp = path + f".tmp{os.getpid()}"
-                    routed.to_pandas().to_json(
-                        tmp, orient="records", lines=True, date_format="iso"
+                    payload = routed.to_pandas().to_json(
+                        orient="records", lines=True, date_format="iso"
                     )
+                    fsio.write_bytes_atomic(fs, payload.encode(), path)
                 else:
-                    pq.write_table(routed, tmp)
-                os.replace(tmp, path)
+                    fsio.write_parquet_atomic(fs, routed, path)
             stats["route"].append(route.name)
             stats["kind"].append("rows")
             stats["key"].append("")
@@ -249,12 +250,11 @@ class FanoutWrite:
         if self.agg_dir is None:
             return full
         # side-output the full partials (incl. high-cardinality kinds) ...
-        part_dir = os.path.join(self.agg_dir, f"part={self.pid:06d}")
-        os.makedirs(part_dir, exist_ok=True)
-        path = os.path.join(part_dir, self._file_name(batch).replace("batch-", "agg-"))
-        tmp = path + f".tmp{os.getpid()}"
-        pq.write_table(full, tmp)
-        os.replace(tmp, path)
+        fs, base = fsio.resolve(self.agg_dir)
+        part_dir = fsio.join(base, f"part={self.pid:06d}")
+        fsio.makedirs(fs, part_dir)
+        path = fsio.join(part_dir, self._file_name(batch).replace("batch-", "agg-"))
+        fsio.write_parquet_atomic(fs, full, path)
         # ... and only the constant-size kinds travel to the driver merge
         mask = pc.is_in(full.column("kind"), value_set=pa.array(list(self.driver_kinds)))
         return full.filter(mask)
@@ -364,7 +364,7 @@ def run_flagship(
         from ..stages.registry import apply_stages
 
         enriched = apply_stages(enriched, stages)
-    agg_dir = os.path.join(out_dir, "agg_partials") if (out_dir and scale_agg) else None
+    agg_dir = fsio.join(out_dir, "agg_partials") if (out_dir and scale_agg) else None
     return run_fanout(enriched, routes, agg_dir=agg_dir)
 
 
@@ -376,12 +376,16 @@ def read_aggregates(agg_dir: str, kinds: tuple | None = None) -> pa.Table:
     (one C++ group_by over the partial files -- at 10^12 scale point the
     same glob at ``ray.data.read_parquet`` and reuse count_by's partial+final
     path instead)."""
-    import glob as _glob
-
-    files = sorted(_glob.glob(os.path.join(agg_dir, "part=*", "agg-*.parquet")))
+    fs, base = fsio.resolve(agg_dir)
+    files = [
+        fsio.join(base, part, name)
+        for part in fsio.listdir(fs, base) if part.startswith("part=")
+        for name in fsio.listdir(fs, fsio.join(base, part))
+        if name.startswith("agg-") and name.endswith(".parquet")
+    ]
     if not files:
         return FanoutWrite.STATS_SCHEMA.empty_table()
-    allt = pa.concat_tables([pq.read_table(f) for f in files])
+    allt = pa.concat_tables([fsio.read_parquet(fs, f) for f in sorted(files)])
     if kinds:
         allt = allt.filter(pc.is_in(allt.column("kind"), value_set=pa.array(list(kinds))))
     merged = (
@@ -431,11 +435,10 @@ def run_partitioned(
 
             enriched = apply_stages(enriched, stages)
         stats = run_fanout(enriched, routes, pid=part.pid)
-        partial_dir = os.path.join(out_dir, "_partials", f"{part.pid:06d}")
-        os.makedirs(partial_dir, exist_ok=True)
-        tmp = os.path.join(partial_dir, "stats.parquet.tmp")
-        pq.write_table(stats, tmp)
-        os.replace(tmp, os.path.join(partial_dir, "stats.parquet"))
+        ofs, obase = fsio.resolve(out_dir)
+        partial_dir = fsio.join(obase, "_partials", f"{part.pid:06d}")
+        fsio.makedirs(ofs, partial_dir)
+        fsio.write_parquet_atomic(ofs, stats, fsio.join(partial_dir, "stats.parquet"))
         rows = {
             r.name: int(
                 pc.sum(
@@ -458,14 +461,13 @@ def run_partitioned(
         for r in routes:
             if not r.sink:
                 continue
-            pdir = os.path.join(r.sink, f"part={part.pid:06d}")
-            files = (
-                sorted(os.listdir(pdir)) if os.path.isdir(pdir) else []
-            )
+            sfs, sbase = fsio.resolve(r.sink)
+            pdir = fsio.join(sbase, f"part={part.pid:06d}")
+            files = fsio.listdir(sfs, pdir)
             sink_metrics[r.name] = {
                 "files": len(files),
                 "bytes": sum(
-                    os.path.getsize(os.path.join(pdir, f)) for f in files
+                    fsio.file_size(sfs, fsio.join(pdir, f)) for f in files
                 ),
             }
         elapsed = round(time.perf_counter() - t0, 3)
@@ -484,12 +486,16 @@ def run_partitioned(
         ran.append(part.pid)
 
     # final aggregate merge over committed partials (small)
-    import glob
-
-    partial_files = sorted(glob.glob(os.path.join(out_dir, "_partials", "*", "stats.parquet")))
+    ofs, obase = fsio.resolve(out_dir)
+    partials_base = fsio.join(obase, "_partials")
+    partial_files = sorted(
+        fsio.join(partials_base, d, "stats.parquet")
+        for d in fsio.listdir(ofs, partials_base)
+        if fsio.exists(ofs, fsio.join(partials_base, d, "stats.parquet"))
+    )
     merged = None
     if partial_files:
-        tables = [pq.read_table(f) for f in partial_files]
+        tables = [fsio.read_parquet(ofs, f) for f in partial_files]
         allt = pa.concat_tables(tables)
         merged = allt.group_by(["route", "kind", "key"]).aggregate([("n", "sum")])
         merged = merged.rename_columns(["route", "kind", "key", "n"])
@@ -501,7 +507,5 @@ def run_partitioned(
             pc.equal(kcol, NULL_KEY), pa.scalar(None, pa.string()), kcol
         )
         merged = merged.set_column(merged.column_names.index("key"), "key", key_col)
-        agg_path = os.path.join(out_dir, "aggregates.parquet")
-        pq.write_table(merged, agg_path + ".tmp")
-        os.replace(agg_path + ".tmp", agg_path)
+        fsio.write_parquet_atomic(ofs, merged, fsio.join(obase, "aggregates.parquet"))
     return {"ran": ran, "skipped": skipped, "aggregates": merged}

@@ -328,3 +328,44 @@ def test_fanout_idempotent_under_real_ray_retry(sf_path, tmp_path):
         for f in glob.glob(os.path.join(out, "raw", "part=*", "*.parquet"))
     )
     assert sink_rows == total
+
+
+def test_flagship_with_file_uri_sinks(sf_path, tmp_path):
+    """Round-2 VERDICT item #8: sinks/aggregate side-outputs/manifests accept
+    scheme:// URIs (fsio.py resolves via pyarrow.fs) -- the flagship run over
+    a file:// out_dir produces byte-identical sink content to the plain-path
+    run."""
+    plain_dir = str(tmp_path / "plain")
+    uri_dir = "file://" + str(tmp_path / "uri")
+    s_plain = run_flagship(sf_path, out_dir=plain_dir)
+    s_uri = run_flagship(sf_path, out_dir=uri_dir)
+
+    def canon(stats):
+        return stats.sort_by([("route", "ascending"), ("kind", "ascending"),
+                              ("key", "ascending")])
+
+    assert canon(s_plain).equals(canon(s_uri))
+    a = read_sink(plain_dir, "enriched").sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    b = read_sink(str(tmp_path / "uri"), "enriched").sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert a.equals(b)
+
+
+def test_partitioned_resume_with_file_uri(sf_path, tmp_path):
+    """Partitioned run + resume over a file:// out_dir: manifests commit,
+    resume skips everything, aggregates identical."""
+    out_uri = "file://" + str(tmp_path / "out")
+    r1 = run_partitioned(transcript_files(0.001), out_uri)
+    assert r1["ran"] and not r1["skipped"]
+    r2 = run_partitioned(transcript_files(0.001), out_uri)
+    assert not r2["ran"] and r2["skipped"] == r1["ran"]
+    agg1 = r1["aggregates"].sort_by(
+        [("route", "ascending"), ("kind", "ascending"), ("key", "ascending")])
+    agg2 = r2["aggregates"].sort_by(
+        [("route", "ascending"), ("kind", "ascending"), ("key", "ascending")])
+    assert agg1.equals(agg2)
+    # manifests + aggregates landed under the resolved local dir
+    base = str(tmp_path / "out")
+    assert sorted(os.listdir(os.path.join(base, "_manifests")))
+    assert os.path.exists(os.path.join(base, "aggregates.parquet"))
