@@ -115,15 +115,29 @@ def test_dump_cli(capsys):
 
 
 def test_backend_spec_from_conf():
+    """ADVICE r2: dispatch on backend_library like the reference
+    (filter_geoip.rb:204-217), not on which path param is present."""
     from fluent_plugin_geoip_ray.conf import backend_spec_from_conf
+    from fluent_plugin_geoip_ray.config import ConfigError
 
     assert backend_spec_from_conf({}) is None
     assert backend_spec_from_conf({"geoip2_database": "/x/a.mmdb"}) == {
         "library": "maxmind", "path": "/x/a.mmdb"
     }
-    assert backend_spec_from_conf({"geoip_database": "/x/b.mmdb"}) == {
-        "library": "maxmind", "path": "/x/b.mmdb"
-    }
+    assert backend_spec_from_conf({
+        "backend_library": "geoip2_compat", "geoip2_database": "/x/a.mmdb"
+    }) == {"library": "maxmind", "path": "/x/a.mmdb"}
+    # geoip2_* backends ignore the legacy path param (reference dispatch)
+    assert backend_spec_from_conf({"geoip_database": "/x/b.dat"}) is None
+    # the legacy .dat backend is an explicit config-time error, not a
+    # confusing MMDBReader failure at task time
+    with pytest.raises(ConfigError, match="legacy GeoIP"):
+        backend_spec_from_conf({
+            "backend_library": "geoip", "geoip_database": "/x/b.dat"
+        })
+    assert backend_spec_from_conf({"backend_library": "geoip"}) is None
+    with pytest.raises(ConfigError, match="unsupported backend_library"):
+        backend_spec_from_conf({"backend_library": "mystery"})
 
 
 def test_run_cli_with_mmdb_conf(tmp_path):
