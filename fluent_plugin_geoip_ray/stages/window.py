@@ -79,7 +79,7 @@ def sliding_window_counts(ds, ts_col: str = "ts", size_sec: int = 3600,
 def session_windows(ds, key: str = "user_id", ts_col: str = "ts",
                     gap_sec: int = 1800, order_tiebreak: str | None = None,
                     impl: str = "scan", merge: str = "auto",
-                    driver_limit: int = 2_000_000):
+                    driver_limit: int = 250_000):
     """Gap-based sessionization per key -> (key, session_idx, n_events,
     ts_min, ts_max), session_idx numbered 1.. per key in time order --
     equivalent to the SQL lag()+cumulative-sum idiom (the oracle).
@@ -132,7 +132,7 @@ def _key_arrow(batch: pa.Table, key: str) -> pa.Array:
 def _session_windows_scan(ds, key: str, ts_col: str, gap_sec: int,
                           order_tiebreak: str | None,
                           num_buckets: int = 32, merge: str = "auto",
-                          driver_limit: int = 2_000_000):
+                          driver_limit: int = 250_000):
     """Sorted-scan sessionization (see :func:`session_windows`).
 
     After the (key, ts) sort + materialize, blocks are addressed

@@ -97,6 +97,16 @@ def main() -> int:
         ("sessions", lambda: session_windows(
             rd.from_arrow(events), key="user_id", gap_sec=1800,
             order_tiebreak="event_id").count()),
+        ("sessions_bucketed", lambda: session_windows(
+            rd.from_arrow(events), key="user_id", gap_sec=1800,
+            order_tiebreak="event_id", merge="bucketed").count()),
+        ("asof_big", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.join", fromlist=["asof_join_big"]
+        ).asof_join_big(
+            rd.from_arrow(events),
+            rd.from_arrow(events).filter(expr="event_type == 'click'")
+              .select_columns(["user_id", "ts"]),
+            on="ts", by="user_id", right_cols={"ts": "click_ts"}).count()),
         ("sliding", lambda: sliding_window_counts(
             rd.from_arrow(events), keys=["event_type"]).count()),
         ("groupby_user", lambda: groupby_agg(
