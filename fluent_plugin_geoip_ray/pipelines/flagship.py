@@ -169,6 +169,24 @@ class FanoutWrite:
         self.agg_dir = agg_dir
         self.driver_kinds = driver_kinds
         self._group_tables: list = []
+        # resolve each sink's filesystem ONCE (pyarrow filesystems pickle,
+        # so resolved handles ride into the actor pool) and memoize created
+        # part dirs -- no per-batch resolve/create_dir RPCs in the hot loop
+        self._sink_fs = {
+            r.sink: fsio.resolve(r.sink) for r in routes if r.sink
+        }
+        if agg_dir is not None:
+            self._sink_fs[agg_dir] = fsio.resolve(agg_dir)
+        self._made_dirs: set = set()
+
+    def _part_dir(self, root: str) -> tuple:
+        """(fs, part_dir) for a sink root, creating the dir once."""
+        fs, base = self._sink_fs[root]
+        part_dir = fsio.join(base, f"part={self.pid:06d}")
+        if part_dir not in self._made_dirs:
+            fsio.makedirs(fs, part_dir)
+            self._made_dirs.add(part_dir)
+        return fs, part_dir
 
     def _file_name(self, routed: pa.Table) -> str:
         """Deterministic name from the FULL key-column content (not just the
@@ -202,9 +220,7 @@ class FanoutWrite:
             if route.sink and routed.num_rows:
                 # sink may be a URI (s3://...); all IO goes through fsio --
                 # local keeps tmp+rename, object stores use single-PUT
-                fs, base = fsio.resolve(route.sink)
-                part_dir = fsio.join(base, f"part={self.pid:06d}")
-                fsio.makedirs(fs, part_dir)
+                fs, part_dir = self._part_dir(route.sink)
                 path = fsio.join(part_dir, self._file_name(routed))
                 if getattr(route, "sink_format", "parquet") == "json":
                     # ndjson lines (Elasticsearch-bulk-shaped consumers)
@@ -250,9 +266,7 @@ class FanoutWrite:
         if self.agg_dir is None:
             return full
         # side-output the full partials (incl. high-cardinality kinds) ...
-        fs, base = fsio.resolve(self.agg_dir)
-        part_dir = fsio.join(base, f"part={self.pid:06d}")
-        fsio.makedirs(fs, part_dir)
+        fs, part_dir = self._part_dir(self.agg_dir)
         path = fsio.join(part_dir, self._file_name(batch).replace("batch-", "agg-"))
         fsio.write_parquet_atomic(fs, full, path)
         # ... and only the constant-size kinds travel to the driver merge
