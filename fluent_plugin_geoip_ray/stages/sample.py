@@ -99,12 +99,20 @@ def _topk_per_group(gk: np.ndarray, h: np.ndarray, k: int,
 
 
 def sample_per_group(ds, group_col: str, key_col: str, k: int, seed: int = 0,
-                     batch_size: int = 65536, merge: str = "driver"):
+                     batch_size: int = 65536, merge: str = "auto",
+                     driver_limit: int = 2_000_000, num_buckets: int = 32):
     """Deterministic k-per-group sample: the k smallest key hashes in each
     group.  Per batch, a vectorized partial top-k (at most k rows per group
     per batch leave the worker); the final merge re-applies the same top-k
     over the tiny partials.  Oracle: ``ROW_NUMBER() OVER (PARTITION BY g
-    ORDER BY <hash>, key) <= k``."""
+    ORDER BY <hash>, key) <= k``.
+
+    ``merge="auto"`` counts the materialized partial rows and merges on the
+    driver below ``driver_limit``; above it -- unbounded group cardinality,
+    where k x groups rows would OOM the driver -- the partials route
+    through a hash exchange on ``group_col`` and the partial re-applies per
+    bucket (same shape as ``top_k_by_group``'s scale merge).  No driver
+    state at any cardinality on that path."""
     import ray
     import ray.data as rd
 
@@ -117,8 +125,28 @@ def sample_per_group(ds, group_col: str, key_col: str, k: int, seed: int = 0,
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size)
-    if merge != "driver":
+    if merge == "partials":
         return partials  # caller re-applies partial() after a repartition
+
+    if merge == "auto":
+        partials = partials.materialize()
+        merge = "driver" if partials.count() <= driver_limit else "bucketed"
+
+    if merge == "bucketed":
+        import pandas as pd
+
+        def add_bucket(t: pa.Table) -> pa.Table:
+            gk = t.column(group_col).to_pandas().to_numpy(dtype=object)
+            b = (pd.util.hash_array(gk) % num_buckets).astype(np.int32)
+            return t.append_column("__bucket", pa.array(b))
+
+        bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+        return bucketed.groupby("__bucket").map_groups(
+            lambda t: partial(t.drop_columns(["__bucket"])),
+            batch_format="pyarrow",
+        )
+
     tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
     if not tables:
         return rd.from_items([])

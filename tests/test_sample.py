@@ -82,3 +82,18 @@ def test_weighted_mix_rates_and_nesting():
     lo = weighted_mix(rd.from_arrow(t), "id", "src", {"b": 0.1}).to_pandas()
     hi = weighted_mix(rd.from_arrow(t), "id", "src", {"b": 0.25}).to_pandas()
     assert set(lo["id"]).issubset(set(hi["id"]))
+
+
+def test_sample_per_group_bucketed_equals_driver():
+    """The bucketed hash-exchange final (scale path) must equal the driver
+    merge exactly."""
+    import pandas as pd
+
+    t = _tbl(4000)
+    a = (sample_per_group(rd.from_arrow(t).repartition(7), "g", "id", k=3,
+                          merge="driver")
+         .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
+    b = (sample_per_group(rd.from_arrow(t).repartition(7), "g", "id", k=3,
+                          merge="bucketed")
+         .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b[a.columns])
