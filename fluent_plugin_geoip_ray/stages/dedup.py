@@ -382,20 +382,7 @@ def lsh_verified_edges(sketches, key_col: str, verify, merge: str = "driver",
 
     # Pass B: winner signatures -- one vectorized filtered scan of the
     # sketch table (winner count is O(hot buckets), small)
-    wkeys = np.unique(b_win)
-    wref = ray.put(pa.array(wkeys))
-
-    def winner_sigs(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column(key_col), value_set=ray.get(wref))
-        return batch.select([key_col, "sig"]).filter(pc.fill_null(mask, False))
-
-    wtab = pa.concat_tables(
-        ray.get(
-            sketches.map_batches(
-                winner_sigs, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
-        )
-    ).combine_chunks()
+    wtab = _gather_sigs(sketches, key_col, np.unique(b_win))
     wk = wtab.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
     wsig = _fixed_list_to_matrix(wtab.column("sig"))
     worder = np.argsort(wk)
@@ -468,20 +455,10 @@ def lsh_verified_edges(sketches, key_col: str, verify, merge: str = "driver",
         return verified
 
     # -- iterative re-star over verification failures (small set) ----------
-    fkeys = np.unique(failed.column("b").to_numpy(zero_copy_only=False))
-    fref = ray.put(pa.array(fkeys))
-
-    def failed_sigs(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column(key_col), value_set=ray.get(fref))
-        return batch.select([key_col, "sig"]).filter(pc.fill_null(mask, False))
-
-    ftab = pa.concat_tables(
-        ray.get(
-            sketches.map_batches(
-                failed_sigs, batch_format="pyarrow", zero_copy_batch=True
-            ).to_arrow_refs()
-        )
-    ).combine_chunks()
+    ftab = _gather_sigs(
+        sketches, key_col,
+        np.unique(failed.column("b").to_numpy(zero_copy_only=False)),
+    )
     fk = ftab.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
     fsig = _fixed_list_to_matrix(ftab.column("sig"))
     forder = np.argsort(fk)
@@ -514,6 +491,28 @@ def lsh_verified_edges(sketches, key_col: str, verify, merge: str = "driver",
             ignore_index=True,
         )
     return verified
+
+
+def _gather_sigs(sketches, key_col: str, keys: "np.ndarray") -> pa.Table:
+    """Filtered (key, sig) gather over the MATERIALIZED sketch table: one
+    raw Ray task per block (``is_in`` + select) -- the same distributed work
+    as a ``map_batches`` pass but without a Dataset execution's fixed
+    plan/stats cost (~0.5-1 s per pass at bench scale; there are two such
+    gathers per dedup call)."""
+    import ray
+
+    keys_arr = pa.array(keys)
+
+    @ray.remote
+    def gather(t: pa.Table, kset) -> pa.Table:
+        mask = pc.is_in(t.column(key_col), value_set=kset)
+        return t.select([key_col, "sig"]).filter(pc.fill_null(mask, False))
+
+    kref = ray.put(keys_arr)
+    tables = ray.get(
+        [gather.remote(r, kref) for r in sketches.to_arrow_refs()]
+    )
+    return pa.concat_tables(tables).combine_chunks()
 
 
 def _lsh_edges_distributed(sketches, exploded, hot, key_col: str, verify,
