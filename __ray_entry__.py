@@ -449,6 +449,67 @@ def q_multimodal(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Video frame sampling with ALL-REAL codecs (golden-pinned): synthesize
+    deterministic MJPEG-in-AVI clips, walk the RIFF container
+    (stages/avic.py), keep every 3rd frame, decode each frame with the
+    spec-based baseline JPEG decoder (stages/jpegc.py) under strict=True --
+    no stand-ins anywhere -- and summarize per-frame pixel means."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages import avic, jpegc
+    from fluent_plugin_geoip_ray.stages.multimodal import (
+        DecodeImage,
+        SampleFrames,
+    )
+
+    payloads = []
+    for i in range(12):
+        h, w = 24 + (i % 3) * 8, 32 + (i % 2) * 16
+        yy, xx = np.mgrid[0:h, 0:w]
+        frames = [
+            jpegc.encode_jpeg(
+                np.stack([(yy * 3 + f * 17 + i) % 256, (xx * 5 + f) % 256,
+                          ((yy + xx) * 2) % 256], -1).astype(np.uint8),
+                quality=90, subsample=bool(i % 2),
+            )
+            for f in range(10)
+        ]
+        payloads.append(avic.encode_avi(frames, w, h))
+    t = pa.table({
+        "media_id": pa.array(np.arange(12, dtype=np.int64)),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+    def sample(batch: pa.Table) -> pa.Table:
+        out = SampleFrames(stride=3, strict=True)(batch)
+        return out.rename_columns(["media_id", "frame_idx", "payload"])
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        pix = batch.column("pixels")
+        if isinstance(pix, pa.ChunkedArray):
+            pix = pix.combine_chunks()
+        flat = pix.flatten().to_numpy(zero_copy_only=False)
+        means = flat.reshape(batch.num_rows, -1).mean(axis=1)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "frame_idx": batch.column("frame_idx"),
+            "pix_mean": pa.array(means, pa.float64()),
+        })
+
+    ds = rd.from_arrow(t)
+    ds = ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=4)
+    ds = ds.map_batches(DecodeImage, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=8,
+                        concurrency=(1, 2),
+                        fn_constructor_kwargs={"out_hw": (8, 8),
+                                               "strict": True})
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_corpus_pipeline(sf_dir: str):
     """Composite training-data pipeline over documents: quality filter ->
     exact dedup -> per-language counts + token totals (one streaming chain)."""
@@ -946,6 +1007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_pivot": q_role_pivot,
         "distinct": q_distinct,
         "multimodal": q_multimodal,
+        "multimodal_frames": q_multimodal_frames,
         "corpus_pipeline": q_corpus_pipeline,
         "salted_agg": q_salted_agg,
         "bucketed_join": q_bucketed_join,
@@ -1131,6 +1193,8 @@ def oracle_sql() -> dict[str, str]:
                          f" read_parquet('{_GOLDEN_DIR}/dedup_minhash_sf001.parquet')",
         "multimodal": f"SELECT media_id, feat_dim, feat_mean FROM"
                       f" read_parquet('{_GOLDEN_DIR}/multimodal_sf001.parquet')",
+        "multimodal_frames": f"SELECT media_id, frame_idx, pix_mean FROM"
+                             f" read_parquet('{_GOLDEN_DIR}/multimodal_frames_sf001.parquet')",
         "knn_ivf": f"SELECT query_id, vec_id, rank FROM"
                    f" read_parquet('{_GOLDEN_DIR}/knn_ivf_sf001.parquet')",
         "embedding_near_dup": f"SELECT vec_id, label FROM"

@@ -5,11 +5,14 @@ Image/audio/video payloads are opaque ``binary`` columns with typed metadata
 plumbing -- schemas, actor-pool signatures, small-batch sizing for large
 binary rows, output layout -- is real and tested.  Decode is REAL for
 24-bit BMP + binary PPM images (pure-numpy parsers), PNG (stdlib ``zlib``
-inflate + spec unfiltering -- no imaging library), and PCM WAV audio (stdlib
-``wave``), including nearest-neighbor resize and genuine acoustic features;
-jpeg/mp4 need libraries absent from this container and fall back to a
-clearly-marked deterministic stand-in (or ``NotImplementedError`` with
-``strict=True``).  Video frame-sampling remains a stub (needs ffmpeg).
+inflate + spec unfiltering), baseline JPEG (``jpegc.py``: spec-based Huffman
++ batched IDCT, validated against real libjpeg output), and PCM WAV audio
+(stdlib ``wave``), including nearest-neighbor resize and genuine acoustic
+features -- no imaging library anywhere.  Progressive JPEG / mp4 need
+libraries absent from this container and fall back to a clearly-marked
+deterministic stand-in (or ``NotImplementedError`` with ``strict=True``).
+Video frame-sampling is REAL for MJPEG-in-AVI (``avic.py``); other
+containers keep the documented chunking stand-in.
 
 Usage pattern (the important part at 100 TB): binary rows are large, so these
 stages run with SMALL ``batch_size`` (e.g. 64) and an actor pool whose
@@ -24,6 +27,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from . import avic, jpegc
+
 IMAGE_META_TYPE = pa.struct(
     [("format", pa.string()), ("width", pa.int32()), ("height", pa.int32())]
 )
@@ -32,7 +37,7 @@ IMAGE_META_TYPE = pa.struct(
 # --------------------------------------------------------------------------
 # REAL codecs for container-friendly formats (pure numpy / stdlib -- no
 # external imaging/audio libraries needed): 24-bit BMP, binary PPM (P6),
-# PCM WAV.  Compressed formats (png/jpeg/mp4) remain stubbed below.
+# PCM WAV, PNG (below) and baseline JPEG (jpegc.py).
 # --------------------------------------------------------------------------
 
 def encode_ppm(img: np.ndarray) -> bytes:
@@ -273,10 +278,12 @@ def synthesize_binary_table(n: int = 64, seed: int = 42,
     ``real=False``: random opaque bytes labeled png/jpeg/wav (exercises the
     fallback path).  ``real=True``: genuine decodable payloads -- 24-bit
     BMPs, binary PPMs, PCM WAVs and (opt in via ``formats``) real zlib PNGs
-    built by the encoders above -- so the decode stages run their REAL
-    parsing code.  The default ``formats`` cycle is pinned (the multimodal
-    golden oracle depends on it); pass e.g. ``("bmp", "ppm", "wav", "png")``
-    to include PNG."""
+    and real baseline JPEGs (4:4:4/4:2:0 + restart intervals, cycled per
+    row) built by the encoders above/``jpegc`` -- so the decode stages run
+    their REAL parsing code.  The default ``formats`` cycle is pinned (the
+    multimodal golden oracle depends on it); pass e.g.
+    ``("bmp", "ppm", "wav", "png", "jpeg")`` to include the compressed
+    codecs."""
     rng = np.random.default_rng(seed)
     payloads, meta = [], []
     for i in range(n):
@@ -299,6 +306,13 @@ def synthesize_binary_table(n: int = 64, seed: int = 42,
         elif fmt == "png":
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payloads.append(encode_png(img))
+        elif fmt == "jpeg":
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([(yy * 3 + i) % 256, (xx * 5) % 256,
+                            ((yy + xx) * 2) % 256], -1).astype(np.uint8)
+            payloads.append(jpegc.encode_jpeg(
+                img, quality=90, subsample=bool(i % 2),
+                restart_interval=(i % 3)))
         else:
             samples = (rng.standard_normal(4000) * 8000).astype(np.int16)
             payloads.append(encode_wav(samples))
@@ -315,11 +329,11 @@ def synthesize_binary_table(n: int = 64, seed: int = 42,
 class DecodeImage:
     """Actor-pool decode stage: payload bytes -> fixed-shape pixel tensor.
 
-    REAL for 24-bit BMP, binary PPM and PNG (the codecs above, then
-    nearest-neighbor resize to ``out_hw``); jpeg needs libjpeg/PIL which are
-    absent here, so it falls back per ``strict``: ``strict=True`` raises
-    NotImplementedError (honest production default until a codec is wired
-    in), ``strict=False`` emits a deterministic fake tensor seeded from the
+    REAL for 24-bit BMP, binary PPM, PNG and baseline JPEG (the codecs above
+    plus ``jpegc.decode_jpeg``, then nearest-neighbor resize to ``out_hw``).
+    Progressive/arithmetic JPEG and unknown formats fall back per ``strict``:
+    ``strict=True`` raises NotImplementedError (honest production default),
+    ``strict=False`` emits a deterministic fake tensor seeded from the
     payload's sha256 so downstream plumbing stays exercisable.
 
     The per-row loop is intentional: each row is ONE large binary payload
@@ -339,6 +353,12 @@ class DecodeImage:
             return resize_nearest(decode_ppm(data), self.out_hw)
         if fmt == "png":
             return resize_nearest(decode_png(data), self.out_hw)
+        if fmt == "jpeg":
+            try:
+                return resize_nearest(jpegc.decode_jpeg(data), self.out_hw)
+            except NotImplementedError:
+                if self.strict:
+                    raise
         if self.strict:
             raise NotImplementedError(
                 f"decode of {fmt!r} requires an imaging library not present "
@@ -439,15 +459,17 @@ class ExtractImageFeatures:
 
 
 class SampleFrames:
-    """Video frame-sampling stub: payload -> every Nth "frame" offset.
+    """Video frame sampling: one payload row -> every ``stride``-th frame row.
 
-    Real frame extraction needs ffmpeg (absent); the deterministic stand-in
-    slices the payload into frame_size chunks and keeps every ``stride``-th --
-    which is exactly the plumbing shape (one input row -> K output rows) a
-    real sampler has."""
+    REAL for MJPEG-in-AVI (``avic.extract_frames`` walks the RIFF container;
+    each emitted frame is a standalone baseline JPEG decodable downstream by
+    ``DecodeImage``).  Other containers need ffmpeg (absent): ``strict=True``
+    raises, otherwise the deterministic stand-in slices the payload into
+    ``frame_size`` chunks -- same plumbing shape, clearly fake content."""
 
-    def __init__(self, frame_size: int = 256, stride: int = 4):
-        self.frame_size, self.stride = frame_size, stride
+    def __init__(self, frame_size: int = 256, stride: int = 4,
+                 strict: bool = False):
+        self.frame_size, self.stride, self.strict = frame_size, stride, strict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames, indices = [], [], []
@@ -457,6 +479,18 @@ class SampleFrames:
         mids = batch.column("media_id").to_numpy(zero_copy_only=False)
         for i in range(batch.num_rows):
             data = payloads[i].as_py() or b""
+            if avic.is_avi(data):
+                for f, frame in enumerate(avic.extract_frames(data)):
+                    if f % self.stride == 0:
+                        ids.append(mids[i])
+                        indices.append(f)
+                        frames.append(frame)
+                continue
+            if self.strict:
+                raise NotImplementedError(
+                    "frame sampling of non-AVI containers needs ffmpeg, "
+                    "absent from this container"
+                )
             n_frames = max(len(data) // self.frame_size, 1)
             for f in range(0, n_frames, self.stride):
                 ids.append(mids[i])

@@ -1,0 +1,167 @@
+"""Baseline JPEG codec tests (stages/jpegc.py): spec math pinned, encoder
+round trips across sampling/restart variants, real-libjpeg cross-validation
+when CPython's test images are present, and strict-mode decode through the
+actor-pool stage."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from fluent_plugin_geoip_ray.stages import jpegc
+from fluent_plugin_geoip_ray.stages.jpegc import (
+    AC_LUM_BITS,
+    AC_LUM_VALS,
+    ZIGZAG,
+    _canonical_codes,
+    _dct_matrix,
+    decode_jpeg,
+    encode_jpeg,
+)
+from fluent_plugin_geoip_ray.stages.multimodal import (
+    DecodeImage,
+    decode_png,
+    synthesize_binary_table,
+)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(yy * 4) % 256, (xx * 3) % 256, ((yy + xx) * 2) % 256], -1
+    ).astype(np.uint8)
+
+
+def test_dct_matrix_orthonormal():
+    a = _dct_matrix()
+    assert np.allclose(a @ a.T, np.eye(8), atol=1e-12)
+    # forward then inverse is identity on an arbitrary block
+    rng = np.random.default_rng(7)
+    f = rng.standard_normal((8, 8))
+    assert np.allclose(a.T @ (a @ f @ a.T) @ a, f, atol=1e-10)
+
+
+def test_zigzag_is_permutation():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # first few entries of the T.81 scan
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+
+
+def test_canonical_codes_prefix_free():
+    codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    assert len(codes) == 162
+    as_bits = {format(c, f"0{l}b") for c, l in codes.values()}
+    assert len(as_bits) == 162
+    for b1 in as_bits:
+        for b2 in as_bits:
+            if b1 is not b2 and len(b1) < len(b2):
+                assert not b2.startswith(b1)
+
+
+@pytest.mark.parametrize("subsample,restart", [(False, 0), (True, 0),
+                                               (False, 3), (True, 2)])
+def test_roundtrip_gradient(subsample, restart):
+    img = _gradient(40, 56)
+    data = encode_jpeg(img, quality=95, subsample=subsample,
+                       restart_interval=restart)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    dec = decode_jpeg(data)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    err = np.abs(dec.astype(int) - img.astype(int))
+    # smooth gradients survive q95 almost exactly; 4:2:0 averages chroma
+    assert err.max() <= (8 if subsample else 3)
+
+
+def test_roundtrip_odd_dimensions():
+    # sizes not multiples of 8 (nor of 16 for 4:2:0) exercise MCU padding+crop
+    for h, w, sub in [(9, 13, False), (17, 23, True), (8, 8, True)]:
+        img = _gradient(h, w)
+        dec = decode_jpeg(encode_jpeg(img, quality=95, subsample=sub))
+        assert dec.shape == (h, w, 3)
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 12
+
+
+def test_roundtrip_grayscale():
+    yy, xx = np.mgrid[0:24, 0:40]
+    g = ((yy * 5 + xx * 2) % 256).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dec.shape == (24, 40, 3)
+    assert np.abs(dec[..., 0].astype(int) - g.astype(int)).max() <= 6
+    # grayscale replicates into all three channels
+    assert np.array_equal(dec[..., 0], dec[..., 1])
+
+
+def test_roundtrip_noise_rmse():
+    # worst case for a DCT codec; bound RMSE rather than max error
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    rmse = np.sqrt(((dec.astype(float) - img.astype(float)) ** 2).mean())
+    assert rmse < 12.0
+
+
+def test_quality_monotone():
+    img = _gradient(48, 48)
+    sizes = [len(encode_jpeg(img, quality=q)) for q in (30, 60, 90)]
+    assert sizes[0] < sizes[1] < sizes[2]
+    err_lo = np.abs(decode_jpeg(encode_jpeg(img, quality=30)).astype(int)
+                    - img.astype(int)).mean()
+    err_hi = np.abs(decode_jpeg(encode_jpeg(img, quality=95)).astype(int)
+                    - img.astype(int)).mean()
+    assert err_hi < err_lo
+
+
+def test_progressive_raises_not_implemented():
+    data = bytearray(encode_jpeg(_gradient(16, 16)))
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+
+
+def test_truncated_raises_value_error():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x11garbage")
+
+
+CPY_IMG = ("/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+           "python3.11/test/imghdrdata")
+
+
+@pytest.mark.skipif(not os.path.isdir(CPY_IMG),
+                    reason="CPython test images not on this host")
+def test_decodes_real_libjpeg_output():
+    """Cross-validate against a REAL libjpeg-produced file: CPython ships the
+    same image as python.png and python.jpg; our independent PNG and JPEG
+    decoders must agree up to JPEG compression artifacts."""
+    with open(os.path.join(CPY_IMG, "python.jpg"), "rb") as f:
+        jpg = decode_jpeg(f.read())
+    with open(os.path.join(CPY_IMG, "python.png"), "rb") as f:
+        png = decode_png(f.read())[..., :3]
+    assert jpg.shape == png.shape == (16, 16, 3)
+    rmse = np.sqrt(((jpg.astype(float) - png.astype(float)) ** 2).mean())
+    assert rmse < 25.0  # sharp-edged logo; JPEG artifacts live at the edges
+
+
+def test_decode_image_stage_strict_jpeg():
+    t = synthesize_binary_table(n=6, real=True, formats=("jpeg",))
+    out = DecodeImage(out_hw=(8, 8), strict=True)(t)
+    assert out.column("pixels").type == pa.list_(pa.uint8(), 192)
+    # decode is deterministic
+    out2 = DecodeImage(out_hw=(8, 8), strict=True)(t)
+    assert out.column("pixels").equals(out2.column("pixels"))
+    # and actually tracks the encoded gradient (not a hash-seeded fake):
+    # re-decode payload 0 directly and compare the resized tensor
+    from fluent_plugin_geoip_ray.stages.multimodal import resize_nearest
+    raw = t.column("payload")[0].as_py()
+    ref = resize_nearest(decode_jpeg(raw), (8, 8)).ravel()
+    got = np.asarray(out.column("pixels")[0].as_py(), dtype=np.uint8)
+    assert np.array_equal(got, ref)
+
+
+def test_restart_interval_markers_present():
+    data = encode_jpeg(_gradient(40, 40), restart_interval=2)
+    assert b"\xff\xdd" in data  # DRI
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
