@@ -283,6 +283,19 @@ def q_dedup_minhash(sf_dir: str):
     return dedup_minhash(ds).select_columns(["doc_id", "lang", "source"])
 
 
+def q_dedup_ngram(sf_dir: str):
+    """EXACT word-3-gram Jaccard dedup (prefix-filtered All-Pairs similarity
+    join) -- independently SQL-oracle-backed, unlike the sketch-based
+    near-dup family: drop a doc iff some earlier doc has J >= 0.5."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_ngram
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    return dedup_ngram(ds, threshold=0.5).select_columns(
+        ["doc_id", "lang", "source"])
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup (rows-only)."""
     import ray.data as rd
@@ -996,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": q_bpe_tokens,
         "lang_id": q_lang_id,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_ngram": q_dedup_ngram,
         "dedup_simhash": q_dedup_simhash,
         "knn": q_knn,
         "knn_ivf": q_knn_ivf,
@@ -1236,6 +1250,45 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)""",
+        # exact n-gram Jaccard: same tokenization (\s+ split of lowered
+        # text), word-3-grams (whole doc if < 3 tokens), drop iff an
+        # EARLIER doc has |intersect| >= t * |union| -- the engine computes
+        # the identical predicate over hashed gram sets
+        "dedup_ngram": r"""
+            WITH tok AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents
+            ),
+            tokexp AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos, len(toks) AS n
+              FROM tok
+            ),
+            grams AS (
+              SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+              FROM tokexp a
+              JOIN tokexp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN tokexp c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+              UNION ALL
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos)
+              FROM tokexp WHERE n < 3 GROUP BY doc_id
+            ),
+            gset AS (SELECT DISTINCT doc_id, gram FROM grams),
+            sz AS (SELECT doc_id, count(*) AS s FROM gset GROUP BY doc_id),
+            inter AS (
+              SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS i
+              FROM gset g1
+              JOIN gset g2 ON g2.gram = g1.gram AND g2.doc_id < g1.doc_id
+              GROUP BY 1, 2
+            ),
+            dups AS (
+              SELECT DISTINCT i.a AS doc_id
+              FROM inter i JOIN sz s1 ON s1.doc_id = i.a
+                           JOIN sz s2 ON s2.doc_id = i.b
+              WHERE i.i >= 0.5 * (s1.s + s2.s - i.i)
+            )
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dups)""",
         "token_count": r"""
             SELECT doc_id,
                    CASE WHEN length(text) = 0 THEN 0

@@ -1170,6 +1170,274 @@ def dedup_simhash(ds, key_col: str = "doc_id", text_col: str = "text",
 
 
 # --------------------------------------------------------------------------
+# n-gram Jaccard: EXACT similarity-join dedup (prefix-filtered All-Pairs)
+# --------------------------------------------------------------------------
+
+def _gram_sets(batch: pa.Table, text_col: str, k: int = 3):
+    """Per-doc sorted-unique word-k-gram hashes: (values uint64, offsets).
+
+    Fully vectorized: one global lexsort by (doc, gram) then a first-
+    occurrence mask -- no per-doc ``np.unique`` calls."""
+    hashes, offsets = _token_hashes(batch, text_col)
+    sh, sh_off = _shingle_hashes(hashes, offsets, k)
+    n_docs = len(sh_off) - 1
+    d = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(sh_off))
+    order = np.lexsort((sh, d))
+    dd, ss = d[order], sh[order]
+    keep = np.ones(len(ss), dtype=bool)
+    keep[1:] = (dd[1:] != dd[:-1]) | (ss[1:] != ss[:-1])
+    gd, gs = dd[keep], ss[keep]
+    sizes = np.bincount(gd, minlength=n_docs).astype(np.int64)
+    out_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(sizes, out=out_off[1:])
+    return gs, out_off
+
+
+def gram_set_sketch(batch: pa.Table, key_col: str = "doc_id",
+                    text_col: str = "text", shingle_k: int = 3) -> pa.Table:
+    """Sketch stage for exact n-gram Jaccard: (key, grams list<int64> sorted
+    ascending in uint64 order, sz).  One row per doc; text goes no further."""
+    gs, off = _gram_sets(batch, text_col, shingle_k)
+    keys = batch.column(key_col)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    grams = pa.ListArray.from_arrays(
+        pa.array(off, type=pa.int32()), pa.array(gs.view(np.int64))
+    )
+    return pa.table({
+        key_col: keys.cast(pa.int64()),
+        "grams": grams,
+        "sz": pa.array(np.diff(off).astype(np.int32)),
+    })
+
+
+def _list_col_parts(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    return vals, off
+
+
+def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
+                threshold: float = 0.5, shingle_k: int = 3,
+                num_buckets: int = 32, max_group_pairs: int = 5_000_000,
+                loser_broadcast_limit: int = 5_000_000):
+    """EXACT word-k-gram Jaccard dedup -- no sketching approximation.
+
+    Semantics (SQL-matchable, unlike the LSH/CC family): drop row X iff
+    some row Y with ``key(Y) < key(X)`` has exact k-gram Jaccard >= t.
+    "Pairwise-earlier" rather than connected-components: each doc is judged
+    against real neighbors only, so a long similarity chain keeps its
+    locally-novel members.
+
+    Algorithm (all public: the prefix-filtering candidate scheme of the
+    All-Pairs/PPJoin exact similarity-join literature):
+
+    1. sketch: per-doc sorted-unique gram-hash sets (one vectorized pass).
+    2. prefix explode: under a global total order on grams (numeric hash
+       order), any pair with J >= t shares its SMALLEST common gram within
+       both docs' first ``sz - ceil(t*sz) + 1`` grams -- so only prefixes
+       are exploded (~(1-t) of gram volume), exactly, with no recall loss.
+    3. candidates: hash-exchange prefix rows on gram; all pairs within an
+       identical-gram run (``max_group_pairs`` guards quadratic blowup on
+       pathological skew -- the honest failure is an error advising
+       ``dedup_minhash``, not a silent cap).
+    4. pair dedupe: grouped count via the bucketed exchange.
+    5. verify: two hash exchanges attach both endpoints' gram arrays, then
+       exact ``intersect1d`` per candidate pair (Python loop is per-PAIR,
+       post-prefix-filter, each step vectorized over the gram arrays).
+    6. drop: losers (the larger key of each verified pair) leave via the
+       broadcast anti-filter under ``loser_broadcast_limit``, else the
+       bucketed anti-join -- corpus text moves at most once, end to end.
+    """
+    import pandas as pd
+    import ray
+
+    from .aggregate import groupby_agg
+
+    sketches = ds.map_batches(
+        lambda t: gram_set_sketch(t, key_col=key_col, text_col=text_col,
+                                  shingle_k=shingle_k),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    grams_type = sketches.schema().base_schema.field("grams").type
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        vals, off = _list_col_parts(t.column("grams"))
+        sz = np.diff(off)
+        p = (sz - np.ceil(threshold * sz).astype(np.int64) + 1).clip(0, sz)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(np.arange(len(sz)), p)
+        cum = np.zeros(len(sz), dtype=np.int64)
+        np.cumsum(p[:-1], out=cum[1:])
+        within = np.arange(p.sum(), dtype=np.int64) - cum[doc_rep]
+        gat = off[:-1][doc_rep] + within
+        return pa.table({
+            "gram": pa.array(vals[gat]),
+            key_col: pa.array(keys[doc_rep].astype(np.int64)),
+        })
+
+    exploded = sketches.map_batches(prefix_rows, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    def hash_bucket(t: pa.Table, col: str) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("__xb", pa.array(
+            (pd.util.hash_array(v) % num_buckets).astype(np.int32)
+        ))
+
+    def emit_pairs(g: pa.Table) -> pa.Table:
+        gr = g.column("gram").to_numpy(zero_copy_only=False)
+        ky = g.column(key_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ky, gr))
+        gr, ky = gr[order], ky[order]
+        starts = np.flatnonzero(np.r_[True, gr[1:] != gr[:-1]])
+        bounds = np.append(starts, len(gr))
+        lens = np.diff(bounds)
+        hot = np.flatnonzero(lens > 1)
+        n_pairs = int((lens[hot] * (lens[hot] - 1) // 2).sum())
+        if n_pairs > max_group_pairs:
+            raise ValueError(
+                f"n-gram Jaccard candidate blowup: {n_pairs} pairs in one "
+                f"exchange bucket (> max_group_pairs={max_group_pairs}); "
+                "raise the threshold or use dedup_minhash for this corpus"
+            )
+        out_a = np.empty(n_pairs, dtype=np.int64)
+        out_b = np.empty(n_pairs, dtype=np.int64)
+        w = 0
+        for i in hot:  # per identical-gram run; each run expands vectorized
+            run = ky[bounds[i]:bounds[i + 1]]
+            m = len(run)
+            ii, jj = np.triu_indices(m, k=1)
+            out_a[w:w + len(ii)] = run[jj]  # larger key (run is sorted)
+            out_b[w:w + len(ii)] = run[ii]
+            w += len(ii)
+        return pa.table({"a": pa.array(out_a), "b": pa.array(out_b)})
+
+    pairs_raw = exploded.map_batches(
+        lambda t: hash_bucket(t, "gram"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).groupby("__xb").map_groups(
+        lambda g: emit_pairs(g.drop_columns(["__xb"])), batch_format="pyarrow"
+    )
+    pairs = groupby_agg(pairs_raw, ["a", "b"], [("a", "count", "__c")],
+                        merge="bucketed")
+
+    # ---- exchange 1: attach both endpoints' gram arrays ------------------
+    def edge_rows(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "__jk": t.column("a" if side == 0 else "b").cast(pa.int64()),
+                "a": t.column("a").cast(pa.int64()),
+                "b": t.column("b").cast(pa.int64()),
+                "__role": pa.array(np.full(n, side + 1, np.int8)),
+                "grams": pa.nulls(n, type=grams_type),
+            })
+
+        return fn
+
+    def sketch_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "__jk": t.column(key_col).cast(pa.int64()),
+            "a": pa.nulls(n, pa.int64()),
+            "b": pa.nulls(n, pa.int64()),
+            "__role": pa.array(np.zeros(n, np.int8)),
+            "grams": t.column("grams"),
+        })
+
+    unioned = (
+        pairs.map_batches(edge_rows(0), batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .union(pairs.map_batches(edge_rows(1), batch_format="pyarrow",
+                                 zero_copy_batch=True))
+        .union(sketches.map_batches(sketch_rows, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    )
+
+    def attach(g: pa.Table) -> pa.Table:
+        role = g.column("__role").to_numpy(zero_copy_only=False)
+        if not (role != 0).any():
+            return pa.table({
+                "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                "__side": pa.array([], pa.int8()),
+                "grams": pa.nulls(0, type=grams_type),
+            })
+        sk = g.filter(pa.array(role == 0))
+        ed = g.filter(pa.array(role != 0))
+        skk = sk.column("__jk").to_numpy(zero_copy_only=False)
+        order = np.argsort(skk)
+        pos = np.searchsorted(
+            skk[order], ed.column("__jk").to_numpy(zero_copy_only=False)
+        )
+        gcol = sk.column("grams")
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        erole = ed.column("__role").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": ed.column("a"), "b": ed.column("b"),
+            "__side": pa.array((erole - 1).astype(np.int8)),
+            "grams": gcol.take(pa.array(order[pos])),
+        })
+
+    attached = unioned.map_batches(
+        lambda t: hash_bucket(t, "__jk"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).groupby("__xb").map_groups(
+        lambda g: attach(g.drop_columns(["__xb"])), batch_format="pyarrow"
+    )
+
+    # ---- exchange 2: pair up + exact Jaccard verify ----------------------
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (pd.util.hash_array(a) ^ pd.util.hash_array(b)) % num_buckets
+        return t.append_column("__xb", pa.array(h.astype(np.int32)))
+
+    def verify_bucket(g: pa.Table) -> pa.Table:
+        a = g.column("a").to_numpy(zero_copy_only=False)
+        b = g.column("b").to_numpy(zero_copy_only=False)
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        vals, off = _list_col_parts(g.column("grams"))
+        order = np.lexsort((side, b, a))
+        a, b = a[order], b[order]
+        pa_idx, pb_idx = order[0::2], order[1::2]
+        n_pairs = len(pa_idx)
+        ok = np.empty(n_pairs, dtype=bool)
+        uv = vals.view(np.uint64)
+        for i in range(n_pairs):
+            ga = uv[off[pa_idx[i]]:off[pa_idx[i] + 1]]
+            gb = uv[off[pb_idx[i]]:off[pb_idx[i] + 1]]
+            inter = len(np.intersect1d(ga, gb, assume_unique=True))
+            union = len(ga) + len(gb) - inter
+            ok[i] = inter >= threshold * union
+        return pa.table({"a": pa.array(a[0::2]), "ok": pa.array(ok)})
+
+    judged = attached.map_batches(
+        pair_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__xb").map_groups(
+        lambda g: verify_bucket(g.drop_columns(["__xb"])),
+        batch_format="pyarrow",
+    )
+    losers_ds = judged.map_batches(
+        lambda t: pa.table({"node": t.filter(t.column("ok")).column("a")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    n_losers = losers_ds.count()
+    if n_losers == 0:
+        return ds
+    if n_losers <= loser_broadcast_limit:
+        tables = [t for t in ray.get(losers_ds.to_arrow_refs()) if t.num_rows]
+        losers = set(
+            pa.concat_tables(tables).column("node").to_pylist()
+        )
+        return _drop_losers(ds, losers, key_col)
+    return _drop_losers_ds(ds, losers_ds, key_col)
+
+
+# --------------------------------------------------------------------------
 # n-gram Jaccard (exact pairwise, for verification / small candidate sets)
 # --------------------------------------------------------------------------
 

@@ -316,3 +316,98 @@ def test_persisted_sketch_index_resume(tmp_path, docs_ds):
     assert via_idx == direct
     import glob
     assert glob.glob(idx + "/*.parquet")   # persisted layout on disk
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard dedup (prefix-filtered All-Pairs)
+# --------------------------------------------------------------------------
+
+def _ngram_ref_kept(ids, texts, t=0.5, k=3):
+    """Brute-force reference for dedup_ngram's pairwise-earlier semantics."""
+    kept = []
+    for di, ti in zip(ids, texts):
+        if not any(dj < di and ngram_jaccard(ti, tj, k) >= t
+                   for dj, tj in zip(ids, texts)):
+            kept.append(di)
+    return sorted(kept)
+
+
+def _ngram_corpus(seed=0, n_base=40):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(50)]
+    texts, ids, did = [], [], 0
+    for _ in range(n_base):
+        b = " ".join(rng.choice(vocab, size=rng.integers(5, 30)).tolist())
+        texts.append(b); ids.append(did); did += 1
+        if rng.random() < 0.5:
+            toks = b.split()
+            for _ in range(max(1, len(toks) // 10)):
+                toks[rng.integers(len(toks))] = rng.choice(vocab)
+            texts.append(" ".join(toks)); ids.append(did); did += 1
+    # short docs, exact dups, empty text
+    texts += ["a b", "a b", "solo", ""]
+    ids += [did, did + 1, did + 2, did + 3]
+    return ids, texts
+
+
+def _kept_ids(out_ds):
+    import ray
+    t = pa.concat_tables(ray.get(out_ds.to_arrow_refs()))
+    return sorted(t.column("doc_id").to_pylist())
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dedup_ngram_matches_bruteforce(seed):
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_ngram
+
+    ids, texts = _ngram_corpus(seed)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    out = dedup_ngram(rd.from_arrow(t), threshold=0.5)
+    assert _kept_ids(out) == _ngram_ref_kept(ids, texts)
+
+
+def test_dedup_ngram_partition_invariant():
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_ngram
+
+    ids, texts = _ngram_corpus(2)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    one = _kept_ids(dedup_ngram(rd.from_arrow(t), threshold=0.5))
+    many = _kept_ids(dedup_ngram(
+        rd.from_arrow(t).repartition(7), threshold=0.5))
+    assert one == many
+
+
+def test_dedup_ngram_no_dups_is_identity():
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_ngram
+
+    # pairwise-disjoint vocabularies: zero shared grams anywhere
+    texts = [" ".join(f"u{i}_{j}" for j in range(20)) for i in range(12)]
+    t = pa.table({"doc_id": pa.array(range(12), pa.int64()),
+                  "text": pa.array(texts)})
+    assert _kept_ids(dedup_ngram(rd.from_arrow(t), threshold=0.5)) == list(range(12))
+
+
+def test_dedup_ngram_threshold_one_keeps_near_dups():
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_ngram
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([BASE, BASE, BASE + " almost the same tail"]),
+    })
+    # t=1.0: only the EXACT duplicate (gram-set-identical) doc 1 drops
+    assert _kept_ids(dedup_ngram(rd.from_arrow(t), threshold=1.0)) == [0, 2]
+
+
+def test_dedup_ngram_group_pair_guard():
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_ngram
+
+    # 30 identical docs -> one gram run of 30 members -> 435 pairs > guard
+    t = pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "text": pa.array([BASE] * 30),
+    })
+    with pytest.raises(Exception, match="max_group_pairs"):
+        _kept_ids(dedup_ngram(rd.from_arrow(t), threshold=0.5,
+                              max_group_pairs=100))
