@@ -296,6 +296,30 @@ def q_dedup_ngram(sf_dir: str):
         ["doc_id", "lang", "source"])
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3-style n-gram overlap filter): treat
+    every 20th doc as the held-out eval set, drop any remaining doc sharing
+    a word-4-gram with it.  Independently SQL-oracle-backed."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.dedup import decontaminate
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def split(t: pa.Table, want_eval: bool) -> pa.Table:
+        m = t.column("doc_id").to_numpy(zero_copy_only=False) % 20 == 0
+        return t.filter(pa.array(m if want_eval else ~m))
+
+    train = ds.map_batches(lambda t: split(t, False),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    evals = ds.map_batches(lambda t: split(t, True),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    return decontaminate(train, evals, n=4).select_columns(
+        ["doc_id", "lang", "source"])
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup (rows-only)."""
     import ray.data as rd
@@ -1010,6 +1034,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram": q_dedup_ngram,
+        "decontaminate": q_decontaminate,
         "dedup_simhash": q_dedup_simhash,
         "knn": q_knn,
         "knn_ivf": q_knn_ivf,
@@ -1289,6 +1314,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM dups)""",
+        # GPT-3-style n-gram decontamination: eval set = every 20th doc;
+        # drop a train doc iff it shares any word-4-gram with the eval set.
+        # Short docs (< 4 tokens) contribute their whole-doc gram -- the
+        # slice clamp (toks[p:p+3] with p=1) reproduces the engine's
+        # whole-doc fold convention.
+        "decontaminate": r"""
+            WITH tok AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks) - 2, 2))) AS p
+              FROM tok
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(toks[p:p+3], ' ') AS gram
+              FROM pos
+            ),
+            egrams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+            bad AS (
+              SELECT DISTINCT g.doc_id
+              FROM grams g JOIN egrams e USING (gram)
+              WHERE g.doc_id % 20 <> 0
+            )
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id % 20 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM bad)""",
         "token_count": r"""
             SELECT doc_id,
                    CASE WHEN length(text) = 0 THEN 0

@@ -1453,3 +1453,239 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     if not ga and not gb:
         return 1.0
     return len(ga & gb) / len(ga | gb)
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination: drop/flag corpus docs sharing any word-n-gram
+# with an evaluation set (the GPT-3-style n-gram overlap filter)
+# --------------------------------------------------------------------------
+
+def _doc_gram_hits(batch: pa.Table, text_col: str, n: int, probe):
+    """Per-doc bool: does any of the doc's word-n-gram hashes satisfy
+    ``probe`` (a vectorized uint64[] -> bool[] membership test)?
+
+    Docs shorter than ``n`` tokens contribute their whole-doc fold hash
+    (same convention as ``_shingle_hashes``), so a short doc is flagged only
+    when the eval set contains an identical short doc."""
+    hashes, offsets = _token_hashes(batch, text_col)
+    sh, sh_off = _shingle_hashes(hashes, offsets, n)
+    hits = probe(sh)
+    n_docs = len(sh_off) - 1
+    out = np.zeros(n_docs, dtype=bool)
+    nonempty = np.flatnonzero(np.diff(sh_off) > 0)
+    if len(nonempty):
+        out[nonempty] = np.maximum.reduceat(hits, sh_off[nonempty])
+    return out
+
+
+def _bloom_params(n_grams: int, bits_per_gram: int = 12):
+    n_words = max(1, int(np.ceil(n_grams * bits_per_gram / 64)))
+    # power-of-two word count -> mask instead of modulo
+    n_words = 1 << int(np.ceil(np.log2(n_words)))
+    return n_words
+
+
+def _bloom_positions(h: np.ndarray, n_words: int, k: int = 4):
+    """k (word_idx, bit_idx) pairs per hash via double hashing -- vectorized."""
+    h = h.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h2 = h * np.uint64(0x9E3779B97F4A7C15) ^ (h >> np.uint64(31))
+    idx = np.empty((k, len(h)), dtype=np.int64)
+    bit = np.empty((k, len(h)), dtype=np.uint64)
+    mask = np.uint64(n_words * 64 - 1)
+    for i in range(k):
+        with np.errstate(over="ignore"):
+            pos = (h + np.uint64(i) * h2) & mask
+        idx[i] = (pos >> np.uint64(6)).astype(np.int64)
+        bit[i] = np.uint64(1) << (pos & np.uint64(63))
+    return idx, bit
+
+
+def _bloom_build(hashes: np.ndarray, n_words: int) -> np.ndarray:
+    bm = np.zeros(n_words, dtype=np.uint64)
+    idx, bit = _bloom_positions(hashes, n_words)
+    for i in range(idx.shape[0]):
+        np.bitwise_or.at(bm, idx[i], bit[i])
+    return bm
+
+
+def _bloom_test(hashes: np.ndarray, bm: np.ndarray) -> np.ndarray:
+    idx, bit = _bloom_positions(hashes, len(bm))
+    ok = np.ones(len(hashes), dtype=bool)
+    for i in range(idx.shape[0]):
+        ok &= (bm[idx[i]] & bit[i]) != 0
+    return ok
+
+
+def eval_gram_hashes(eval_ds, text_col: str = "text", n: int = 8):
+    """Dataset of per-block-unique word-n-gram hashes of the eval set
+    (one int64 ``gram`` column; global dedupe happens at the consumer)."""
+    def grams(t: pa.Table) -> pa.Table:
+        hashes, offsets = _token_hashes(t, text_col)
+        sh, _ = _shingle_hashes(hashes, offsets, n)
+        return pa.table({"gram": pa.array(np.unique(sh).view(np.int64))})
+
+    return eval_ds.map_batches(grams, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def decontaminate(ds, eval_ds, key_col: str = "doc_id",
+                  text_col: str = "text", n: int = 8, mode: str = "drop",
+                  eval_broadcast_limit: int = 20_000_000,
+                  loser_broadcast_limit: int = 5_000_000,
+                  num_buckets: int = 32):
+    """Drop (or flag) corpus docs sharing ANY word-n-gram with ``eval_ds``.
+
+    The n-gram-overlap decontamination filter of the public LLM literature
+    (GPT-3 appendix C uses 13-grams): a training doc is contaminated iff at
+    least one of its word-n-grams appears anywhere in the evaluation set.
+    Tokenization matches the dedup family (``\\s+`` split of lowered text);
+    docs shorter than ``n`` tokens match only an identical short eval doc.
+
+    Scale shape: the eval set is the SMALL side by construction (benchmark
+    suites are ~1e5-1e7 grams).  Under ``eval_broadcast_limit`` grams the
+    sorted unique hash array is ``ray.put`` ONCE and every corpus batch
+    probes it with searchsorted -- one streaming pass, zero shuffles of
+    corpus text.  Above the limit: a fixed-size Bloom bitmap (union of
+    per-block bitmaps; no false negatives) is broadcast instead, corpus
+    gram->key rows that pass it (near-hits only) are hash-exchanged against
+    the exact eval grams for verification, and confirmed keys leave via the
+    broadcast anti-filter or the bucketed anti-join -- corpus text still
+    moves at most once.
+
+    mode="drop" filters; mode="flag" appends a bool ``contaminated`` column.
+    """
+    import pandas as pd
+    import ray
+
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+
+    egrams = eval_gram_hashes(eval_ds, text_col=text_col, n=n).materialize()
+    n_eval = egrams.count()
+
+    if n_eval <= eval_broadcast_limit:
+        tables = [t for t in ray.get(egrams.to_arrow_refs()) if t.num_rows]
+        flat = (pa.concat_tables(tables).column("gram")
+                .to_numpy(zero_copy_only=False).view(np.uint64)
+                if tables else np.empty(0, np.uint64))
+        eval_sorted = ray.put(np.unique(flat))
+
+        def probe_batch(t: pa.Table) -> pa.Table:
+            ev = ray.get(eval_sorted)
+
+            def probe(sh):
+                if not len(ev):
+                    return np.zeros(len(sh), dtype=bool)
+                pos = np.searchsorted(ev, sh)
+                pos[pos == len(ev)] = 0
+                return ev[pos] == sh
+
+            bad = _doc_gram_hits(t, text_col, n, probe)
+            if mode == "flag":
+                return t.append_column("contaminated", pa.array(bad))
+            return t.filter(pa.array(~bad))
+
+        return ds.map_batches(probe_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # ---- Bloom-prefiltered exact semi-join (huge eval sets) --------------
+    n_words = _bloom_params(n_eval)
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        h = t.column("gram").to_numpy(zero_copy_only=False).view(np.uint64)
+        bm = _bloom_build(h, n_words)
+        return pa.table({"bm": pa.array([bm.view(np.int64)])})
+
+    bloom = np.zeros(n_words, dtype=np.uint64)
+    for ref in egrams.map_batches(block_bloom, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_arrow_refs():
+        t = ray.get(ref)
+        for row in range(t.num_rows):
+            bloom |= np.asarray(t.column("bm")[row].as_py(),
+                                dtype=np.int64).view(np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def candidate_rows(t: pa.Table) -> pa.Table:
+        bm = ray.get(bloom_ref)
+        hashes, offsets = _token_hashes(t, text_col)
+        sh, sh_off = _shingle_hashes(hashes, offsets, n)
+        hit = _bloom_test(sh, bm)
+        doc = np.repeat(np.arange(len(sh_off) - 1), np.diff(sh_off))[hit]
+        keys = t.column(key_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        g = sh[hit]
+        # per-(doc,gram) dedupe before the exchange
+        o = np.lexsort((g, doc))
+        doc, g = doc[o], g[o]
+        keep = np.ones(len(g), dtype=bool)
+        keep[1:] = (doc[1:] != doc[:-1]) | (g[1:] != g[:-1])
+        return pa.table({
+            "gram": pa.array(g[keep].view(np.int64)),
+            "key": pa.array(keys[doc[keep]]),
+        })
+
+    cands = ds.map_batches(candidate_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        v = t.column("gram").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("__xb", pa.array(
+            (pd.util.hash_array(v) % num_buckets).astype(np.int32)))
+
+    eval_side = egrams.map_batches(
+        lambda t: pa.table({"gram": t.column("gram"),
+                            "key": pa.nulls(t.num_rows, pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(g: pa.Table) -> pa.Table:
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        grams = g.column("gram").to_numpy(zero_copy_only=False)
+        is_eval = pa.compute.is_null(g.column("key")).to_numpy(
+            zero_copy_only=False)
+        ev = np.unique(grams[is_eval])
+        ck = keys[~is_eval]
+        cg = grams[~is_eval]
+        if not len(ev) or not len(ck):
+            return pa.table({"node": pa.array([], pa.int64())})
+        pos = np.searchsorted(ev, cg)
+        pos[pos == len(ev)] = 0
+        bad = ev[pos] == cg
+        return pa.table({"node": pa.array(np.unique(ck[bad]).astype(np.int64))})
+
+    contaminated = cands.union(eval_side).map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__xb").map_groups(
+        lambda g: verify(g.drop_columns(["__xb"])), batch_format="pyarrow"
+    ).materialize()
+
+    n_bad = contaminated.count()
+    if mode == "flag":
+        if n_bad == 0:
+            return ds.map_batches(
+                lambda t: t.append_column(
+                    "contaminated", pa.array(np.zeros(t.num_rows, bool))),
+                batch_format="pyarrow", zero_copy_batch=True)
+        tables = [t for t in ray.get(contaminated.to_arrow_refs())
+                  if t.num_rows]
+        bad_ref = ray.put(np.sort(pa.concat_tables(tables).column("node")
+                                  .to_numpy(zero_copy_only=False)))
+
+        def flag(t: pa.Table) -> pa.Table:
+            bad = ray.get(bad_ref)
+            keys = t.column(key_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            pos = np.searchsorted(bad, keys)
+            pos[pos == len(bad)] = 0
+            return t.append_column("contaminated", pa.array(bad[pos] == keys))
+
+        return ds.map_batches(flag, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    if n_bad == 0:
+        return ds
+    if n_bad <= loser_broadcast_limit:
+        tables = [t for t in ray.get(contaminated.to_arrow_refs())
+                  if t.num_rows]
+        losers = set(pa.concat_tables(tables).column("node").to_pylist())
+        return _drop_losers(ds, losers, key_col)
+    return _drop_losers_ds(ds, contaminated, key_col)

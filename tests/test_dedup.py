@@ -411,3 +411,120 @@ def test_dedup_ngram_group_pair_guard():
     with pytest.raises(Exception, match="max_group_pairs"):
         _kept_ids(dedup_ngram(rd.from_arrow(t), threshold=0.5,
                               max_group_pairs=100))
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs an eval set)
+# --------------------------------------------------------------------------
+
+def _contam_corpus(seed=0, n=8):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(200)]
+    evals = [" ".join(rng.choice(vocab, size=rng.integers(10, 40)).tolist())
+             for _ in range(10)] + ["a b"]          # one short eval doc
+    train = [" ".join(rng.choice(vocab, size=rng.integers(10, 40)).tolist())
+             for _ in range(30)]
+    for i in range(5):                               # planted contamination
+        e = evals[i].split()
+        s = rng.integers(0, len(e) - n)
+        base = " ".join(rng.choice(vocab, size=12).tolist())
+        train.append(base + " " + " ".join(e[s:s + n]) + " tail tail")
+    train += ["a b", "a c", ""]                      # short docs + empty
+    return list(range(len(train))), train, evals
+
+
+def _contam_ref(ids, train, evals, n=8):
+    def grams(x):
+        toks = x.lower().split()
+        if len(toks) < n:
+            return {tuple(toks)}
+        return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    eg = set().union(*[grams(e) for e in evals])
+    return sorted(i for i, x in zip(ids, train) if grams(x) & eg)
+
+
+def _contam_tables(ids, train, evals):
+    tt = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                   "text": pa.array(train)})
+    et = pa.table({"doc_id": pa.array(range(len(evals)), pa.int64()),
+                   "text": pa.array(evals)})
+    return tt, et
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_decontaminate_matches_bruteforce(seed):
+    from fluent_plugin_geoip_ray.stages.dedup import decontaminate
+
+    ids, train, evals = _contam_corpus(seed)
+    bad = _contam_ref(ids, train, evals)
+    assert bad, "corpus must contain planted contamination"
+    tt, et = _contam_tables(ids, train, evals)
+    out = decontaminate(rd.from_arrow(tt), rd.from_arrow(et))
+    assert _kept_ids(out) == sorted(set(ids) - set(bad))
+
+
+def test_decontaminate_bucketed_path_matches_broadcast():
+    from fluent_plugin_geoip_ray.stages.dedup import decontaminate
+
+    ids, train, evals = _contam_corpus(1)
+    tt, et = _contam_tables(ids, train, evals)
+    # eval_broadcast_limit=0 forces the bloom + exact-semi-join path
+    broad = _kept_ids(decontaminate(rd.from_arrow(tt), rd.from_arrow(et)))
+    buck = _kept_ids(decontaminate(
+        rd.from_arrow(tt).repartition(5), rd.from_arrow(et).repartition(3),
+        eval_broadcast_limit=0))
+    assert broad == buck == sorted(set(ids) - set(_contam_ref(ids, train, evals)))
+
+
+@pytest.mark.parametrize("limit", [20_000_000, 0])
+def test_decontaminate_flag_mode(limit):
+    import ray
+
+    from fluent_plugin_geoip_ray.stages.dedup import decontaminate
+
+    ids, train, evals = _contam_corpus(2)
+    bad = _contam_ref(ids, train, evals)
+    tt, et = _contam_tables(ids, train, evals)
+    out = decontaminate(rd.from_arrow(tt), rd.from_arrow(et), mode="flag",
+                        eval_broadcast_limit=limit)
+    t = pa.concat_tables(ray.get(out.to_arrow_refs()))
+    assert sorted(t.column("doc_id").to_pylist()) == ids   # nothing dropped
+    flagged = sorted(
+        t.filter(t.column("contaminated")).column("doc_id").to_pylist())
+    assert flagged == bad
+
+
+def test_decontaminate_short_doc_exact_semantics():
+    from fluent_plugin_geoip_ray.stages.dedup import decontaminate
+
+    # short train docs match only an IDENTICAL short eval doc, never a
+    # substring of a long eval doc
+    et = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                   "text": pa.array(["a b", " ".join(f"t{i}" for i in range(20))])})
+    tt = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                   "text": pa.array(["a b", "t0 t1", "x y"])})
+    out = decontaminate(rd.from_arrow(tt), rd.from_arrow(et))
+    assert _kept_ids(out) == [1, 2]   # only the identical "a b" drops
+
+
+def test_decontaminate_clean_corpus_is_identity():
+    from fluent_plugin_geoip_ray.stages.dedup import decontaminate
+
+    tt = pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                   "text": pa.array(
+                       [" ".join(f"c{i}_{j}" for j in range(15))
+                        for i in range(8)])})
+    et = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array([" ".join(f"e{j}" for j in range(15))])})
+    assert _kept_ids(decontaminate(rd.from_arrow(tt), rd.from_arrow(et))) == \
+        list(range(8))
+
+
+def test_decontaminate_rejects_bad_mode():
+    from fluent_plugin_geoip_ray.stages.dedup import decontaminate
+
+    tt = pa.table({"doc_id": pa.array([0], pa.int64()),
+                   "text": pa.array(["x"])})
+    with pytest.raises(ValueError, match="mode"):
+        decontaminate(rd.from_arrow(tt), rd.from_arrow(tt), mode="nope")
