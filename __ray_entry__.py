@@ -320,6 +320,33 @@ def q_decontaminate(sf_dir: str):
         ["doc_id", "lang", "source"])
 
 
+def q_chunk_docs(sf_dir: str):
+    """Context-window chunking: split docs into overlapping 32-token
+    windows with stride 24 (one row per chunk) -- SQL-oracle-backed."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import chunk_tokens
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: chunk_tokens(t, window=32, stride=24),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic global epoch shuffle: every row's exact rank under the
+    seeded Knuth hash, verified by the SQL oracle's ROW_NUMBER."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.sample import epoch_shuffle
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return epoch_shuffle(ds, "doc_id", seed=7).select_columns(
+        ["doc_id", "lang", "shuffle_pos"])
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup (rows-only)."""
     import ray.data as rd
@@ -1035,6 +1062,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram": q_dedup_ngram,
         "decontaminate": q_decontaminate,
+        "chunk_docs": q_chunk_docs,
+        "epoch_shuffle": q_epoch_shuffle,
         "dedup_simhash": q_dedup_simhash,
         "knn": q_knn,
         "knn_ivf": q_knn_ivf,
@@ -1342,6 +1371,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id % 20 <> 0
               AND doc_id NOT IN (SELECT doc_id FROM bad)""",
+        # context-window chunking: chunk i covers tokens [i*24, i*24+32)
+        # while i*24 < n_tokens; 1-based DuckDB list slices clamp like the
+        # engine's length = min(window, n - start)
+        "chunk_docs": r"""
+            WITH tok AS (
+              SELECT doc_id, string_split_regex(text, '\s+') AS toks
+              FROM documents
+            ),
+            starts AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, len(toks) + 1, 24)) AS p
+              FROM tok
+            )
+            SELECT doc_id,
+                   CAST((p - 1) / 24 AS BIGINT) AS chunk_idx,
+                   array_to_string(toks[p:p+31], ' ') AS chunk_text,
+                   least(32, len(toks) - p + 1) AS n_tokens
+            FROM starts""",
+        # deterministic epoch shuffle: rank under the identical Knuth hash
+        # (bijective on uint64 -> no ties), 0-based like the engine
+        "epoch_shuffle": """
+            SELECT doc_id, lang,
+                   CAST(ROW_NUMBER() OVER (ORDER BY
+                     CAST((CAST(doc_id AS HUGEINT) * 11400714819323198485
+                           + CAST(7 AS HUGEINT) * 14029467366897019727)
+                          % 18446744073709551616 AS UBIGINT)
+                   ) - 1 AS BIGINT) AS shuffle_pos
+            FROM documents""",
         "token_count": r"""
             SELECT doc_id,
                    CASE WHEN length(text) = 0 THEN 0

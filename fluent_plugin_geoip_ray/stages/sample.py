@@ -179,3 +179,82 @@ def weighted_mix(ds, key_col: str, category_col: str,
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+def epoch_shuffle(ds, key_col: str, seed: int = 0,
+                  pos_col: str = "shuffle_pos"):
+    """Deterministic global training-order shuffle: append ``pos_col`` =
+    the row's rank under the seeded Knuth key hash (ties impossible for
+    unique keys: the odd-multiplier hash is a bijection on uint64).
+
+    Epoch shuffling at 100 TB must be deterministic and resumable --
+    ``random_shuffle`` gives a different order every run and materializes an
+    arbitrary permutation.  Here the permutation is a pure function of
+    (key, seed): a new seed per epoch gives a fresh order, a re-run
+    reproduces it exactly, and the SQL oracle can verify the EXACT rank of
+    every row (``ROW_NUMBER() OVER (ORDER BY <hash>, key)``).
+
+    Shape: one range-partitioned sort on the hash (Ray Data's distributed
+    sort -- the unavoidable exchange any global permutation needs), then the
+    ``pack_bins`` scan trick: one (min_hash, n_rows) summary row per block
+    -> driver cumsum over O(blocks) scalars -> per-block rank offsets; rows
+    never move again.  Output is ORDERED by ``pos_col`` block-to-block, so
+    a downstream ``write_parquet`` lays files out in epoch order.
+    """
+    import ray
+
+    # sign-bit flip: Ray sorts int64 SIGNED; (h ^ 2^63) viewed as int64
+    # sorts in exactly unsigned-h order, so the SQL oracle is a plain
+    # ``ORDER BY <unsigned hash>``
+    FLIP = np.uint64(1 << 63)
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = key_hash(t.column(key_col).to_numpy(zero_copy_only=False), seed)
+        return t.append_column("__eh", pa.array((h ^ FLIP).view(np.int64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    sorted_ds = hashed.sort(["__eh", key_col]).materialize()
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"min_h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "min_h": pa.array([batch.column("__eh")[0].as_py()], pa.int64()),
+            "n": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    tables = [
+        t for t in ray.get(
+            sorted_ds.map_batches(block_summary, batch_format="pyarrow",
+                                  zero_copy_batch=True,
+                                  batch_size=None).to_arrow_refs())
+        if t.num_rows
+    ]
+    if not tables:
+        return sorted_ds.drop_columns(["__eh"])
+    summ = pa.concat_tables(tables).to_pandas().sort_values("min_h")
+    min_h = summ["min_h"].to_numpy()
+    if len(min_h) != len(np.unique(min_h)):
+        raise ValueError(
+            "epoch_shuffle requires unique keys: duplicate block min-hashes"
+        )
+    offsets = np.concatenate([[0], np.cumsum(summ["n"].to_numpy())[:-1]])
+    state = ray.put((min_h, offsets))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.drop_columns(["__eh"]).append_column(
+                pos_col, pa.array([], pa.int64()))
+        mh, off = ray.get(state)
+        # locate this block by its first hash (blocks are the sort output;
+        # same physical blocks as the summary pass -- batch_size=None)
+        first = batch.column("__eh")[0].as_py()
+        block = int(np.searchsorted(mh, first, side="right")) - 1
+        pos = off[block] + np.arange(batch.num_rows, dtype=np.int64)
+        return batch.drop_columns(["__eh"]).append_column(
+            pos_col, pa.array(pos))
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)

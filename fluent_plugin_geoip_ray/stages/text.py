@@ -189,3 +189,62 @@ def redact(batch: pa.Table, text_col: str = "text",
     if name in batch.column_names:
         return batch.set_column(batch.column_names.index(name), name, arr)
     return batch.append_column(name, arr)
+
+
+def chunk_tokens(batch: pa.Table, key_col: str = "doc_id",
+                 text_col: str = "text", window: int = 64,
+                 stride: int = 48) -> pa.Table:
+    """Context-window chunking: split each doc into overlapping token
+    windows (one output row per chunk) -- the standard sequence-prep step
+    before packing/tokenization in a training pipeline.
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + window)``; chunks are
+    emitted while ``i*stride < n_tokens``, so tails may be short and
+    consecutive chunks overlap by ``window - stride`` tokens.  Chunk text
+    is the tokens re-joined with single spaces (whitespace runs normalize,
+    matching the SQL oracle's ``array_to_string``).  Output: ``(key,
+    chunk_idx, chunk_text, n_tokens)``.
+
+    Pure per-batch flat-map: fully vectorized (one regex split, one gather,
+    one ``binary_join_element_wise``-equivalent list join), no shuffle, no
+    state -- scales embarrassingly.
+    """
+    if stride < 1 or window < 1:
+        raise ValueError("window and stride must be >= 1")
+    text = batch.column(text_col)
+    toks = pc.split_pattern_regex(text, _WS_SPLIT)
+    flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    doc_off = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = flat.values
+    n = np.diff(doc_off)                       # tokens per doc (>= 1: ''->[''])
+    n_chunks = (n + stride - 1) // stride      # ceil(n / stride)
+
+    doc_rep = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    cum = np.zeros(len(n), dtype=np.int64)
+    np.cumsum(n_chunks[:-1], out=cum[1:])
+    chunk_idx = np.arange(int(n_chunks.sum()), dtype=np.int64) - cum[doc_rep]
+    start = chunk_idx * stride
+    length = np.minimum(window, n[doc_rep] - start)
+
+    # gather indices for every chunk's tokens in one flat array
+    ccum = np.zeros(len(length), dtype=np.int64)
+    np.cumsum(length[:-1], out=ccum[1:])
+    total = int(length.sum())
+    within = np.arange(total, dtype=np.int64) - np.repeat(ccum, length)
+    gather = np.repeat(doc_off[:-1][doc_rep] + start, length) + within
+
+    chunk_lists = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(length)]), type=pa.int32()),
+        values.take(pa.array(gather)),
+    )
+    chunk_text = pc.binary_join(chunk_lists, " ")
+
+    keys = batch.column(key_col)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return pa.table({
+        key_col: keys.take(pa.array(doc_rep)),
+        "chunk_idx": pa.array(chunk_idx),
+        "chunk_text": chunk_text,
+        "n_tokens": pa.array(length),
+    })

@@ -97,3 +97,55 @@ def test_sample_per_group_bucketed_equals_driver():
                           merge="bucketed")
          .to_pandas().sort_values(["g", "id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+# --------------------------------------------------------------------------
+# deterministic epoch shuffle (global rank under the seeded key hash)
+# --------------------------------------------------------------------------
+
+def _shuffle_df(ds, seed):
+    import ray
+
+    from fluent_plugin_geoip_ray.stages.sample import epoch_shuffle
+
+    out = epoch_shuffle(ds, "id", seed=seed)
+    return pa.concat_tables(
+        ray.get(out.to_arrow_refs())).to_pandas().sort_values("id")
+
+
+def test_epoch_shuffle_matches_reference_rank():
+    n = 3000
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64)),
+                  "x": pa.array(np.arange(n) * 2)})
+    df = _shuffle_df(rd.from_arrow(t).repartition(7), seed=3)
+    h = key_hash(np.arange(n, dtype=np.int64), 3)
+    ref = np.empty(n, dtype=np.int64)
+    ref[np.argsort(h, kind="stable")] = np.arange(n)
+    assert (df["shuffle_pos"].to_numpy() == ref).all()
+    assert sorted(df["shuffle_pos"]) == list(range(n))   # true permutation
+
+
+def test_epoch_shuffle_partition_invariant_and_seeded():
+    n = 2000
+    t = pa.table({"id": pa.array(np.arange(n, dtype=np.int64))})
+    a = _shuffle_df(rd.from_arrow(t).repartition(3), seed=1)
+    b = _shuffle_df(rd.from_arrow(t).repartition(11), seed=1)
+    assert (a["shuffle_pos"].to_numpy() == b["shuffle_pos"].to_numpy()).all()
+    c = _shuffle_df(rd.from_arrow(t), seed=2)
+    assert (c["shuffle_pos"].to_numpy() != a["shuffle_pos"].to_numpy()).any()
+
+
+def test_epoch_shuffle_output_is_block_ordered():
+    """Blocks come back in rank order: writing the dataset as-is lays the
+    epoch out sequentially."""
+    import ray
+
+    from fluent_plugin_geoip_ray.stages.sample import epoch_shuffle
+
+    t = pa.table({"id": pa.array(np.arange(1000, dtype=np.int64))})
+    out = epoch_shuffle(rd.from_arrow(t).repartition(5), "id", seed=9)
+    pos = np.concatenate([
+        tb.column("shuffle_pos").to_numpy(zero_copy_only=False)
+        for tb in ray.get(out.to_arrow_refs()) if tb.num_rows
+    ])
+    assert (np.diff(pos) == 1).all() and pos[0] == 0

@@ -78,3 +78,45 @@ def test_redact_patterns():
     assert out[1] == "card <CARD> leaked"
     assert out[2] == "from <IP> to <IP>"
     assert out[3] == "clean line"
+
+
+def test_chunk_tokens_windows_and_tails():
+    import re
+
+    from fluent_plugin_geoip_ray.stages.text import chunk_tokens
+
+    texts = ["one two three four five six seven", "a  b   c", "", "solo",
+             " ".join(f"t{i}" for i in range(10))]
+    out = chunk_tokens(tbl(texts), window=4, stride=3).to_pandas()
+
+    rows = []
+    for i, x in enumerate(texts):
+        toks = re.split(r"\s+", x)
+        p = ci = 0
+        while p < len(toks):
+            c = toks[p:p + 4]
+            rows.append((i, ci, " ".join(c), len(c)))
+            p += 3
+            ci += 1
+    assert list(out.itertuples(index=False, name=None)) == rows
+
+
+def test_chunk_tokens_no_overlap_covers_exactly():
+    from fluent_plugin_geoip_ray.stages.text import chunk_tokens
+
+    text = " ".join(f"t{i}" for i in range(100))
+    out = chunk_tokens(tbl([text]), window=10, stride=10).to_pandas()
+    assert len(out) == 10
+    assert out["n_tokens"].sum() == 100
+    assert " ".join(out["chunk_text"]) == text
+
+
+def test_chunk_tokens_rejects_bad_params():
+    import pytest
+
+    from fluent_plugin_geoip_ray.stages.text import chunk_tokens
+
+    with pytest.raises(ValueError):
+        chunk_tokens(tbl(["x"]), window=0, stride=1)
+    with pytest.raises(ValueError):
+        chunk_tokens(tbl(["x"]), window=4, stride=0)
