@@ -347,6 +347,19 @@ def q_epoch_shuffle(sf_dir: str):
         ["doc_id", "lang", "shuffle_pos"])
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style intra-doc repetition signals (top/duplicated word-2-gram
+    char fractions) -- SQL-oracle-backed."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import repetition_signals
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(repetition_signals, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup (rows-only)."""
     import ray.data as rd
@@ -1064,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "chunk_docs": q_chunk_docs,
         "epoch_shuffle": q_epoch_shuffle,
+        "repetition": q_repetition,
         "dedup_simhash": q_dedup_simhash,
         "knn": q_knn,
         "knn_ivf": q_knn_ivf,
@@ -1399,6 +1413,47 @@ def oracle_sql() -> dict[str, str]:
                           % 18446744073709551616 AS UBIGINT)
                    ) - 1 AS BIGINT) AS shuffle_pos
             FROM documents""",
+        # Gopher-style repetition: per doc, weight(gram) = occurrences *
+        # gram token chars; top = max over 2-grams, dup = sum where
+        # occurrences >= 2, both / total token chars (0 when no grams)
+        "repetition": r"""
+            WITH tok AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents
+            ),
+            tokexp AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos
+              FROM tok
+            ),
+            grams AS (
+              SELECT a.doc_id, a.tok || ' ' || b.tok AS gram,
+                     length(a.tok) + length(b.tok) AS gchars
+              FROM tokexp a
+              JOIN tokexp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+            ),
+            gcnt AS (
+              SELECT doc_id, gram, gchars, count(*) AS c
+              FROM grams GROUP BY 1, 2, 3
+            ),
+            tot AS (
+              SELECT doc_id, sum(length(tok)) AS tchars
+              FROM tokexp GROUP BY 1
+            ),
+            agg AS (
+              SELECT doc_id, max(c * gchars) AS topchars,
+                     sum(CASE WHEN c >= 2 THEN c * gchars ELSE 0 END)
+                       AS dupchars
+              FROM gcnt GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.topchars * 1.0 / nullif(t.tchars, 0), 0.0)
+                     AS top_ngram_char_frac,
+                   coalesce(a.dupchars * 1.0 / nullif(t.tchars, 0), 0.0)
+                     AS dup_ngram_char_frac
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN tot t USING (doc_id)""",
         "token_count": r"""
             SELECT doc_id,
                    CASE WHEN length(text) = 0 THEN 0

@@ -248,3 +248,94 @@ def chunk_tokens(batch: pa.Table, key_col: str = "doc_id",
         "chunk_text": chunk_text,
         "n_tokens": pa.array(length),
     })
+
+
+def repetition_signals(batch: pa.Table, key_col: str = "doc_id",
+                       text_col: str = "text", n: int = 2) -> pa.Table:
+    """Intra-doc repetition quality signals (the Gopher-rules family):
+    per doc, over lowered whitespace tokens,
+
+    * ``top_ngram_char_frac``  = max over word-n-grams of
+      ``occurrences * gram_token_chars`` / total token chars -- a
+      deterministic (tie-free) variant of Gopher's "fraction of characters
+      in the most frequent n-gram";
+    * ``dup_ngram_char_frac`` = the same numerator summed over every
+      n-gram occurring >= 2 times.
+
+    Occurrences overlap (every token position starts a gram); docs with
+    fewer than ``n`` tokens (or no characters) score 0.0 on both.  Fully
+    vectorized: one split, one rolling hash + rolling char sum, one
+    lexsort, run-length counting with ``reduceat`` -- no per-row Python.
+    Gram identity is the 64-bit rolling token-hash (collision odds are
+    negligible within a doc; the SQL oracle uses the literal strings and
+    matches exactly on the test corpora).
+    """
+    import pandas as pd
+
+    if n < 2:
+        raise ValueError("repetition_signals needs n >= 2")
+    text = batch.column(text_col)
+    toks = pc.split_pattern_regex(pc.utf8_lower(text), _WS_SPLIT)
+    flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    doc_off = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = flat.values
+    lens = pc.utf8_length(values).to_numpy(zero_copy_only=False).astype(np.int64)
+    vals_np = values.to_pandas().to_numpy(dtype=object)
+    hashes = (pd.util.hash_array(vals_np).astype(np.uint64)
+              if len(vals_np) else np.empty(0, np.uint64))
+
+    nt = np.diff(doc_off)                       # tokens per doc
+    n_docs = len(nt)
+    total_chars = np.add.reduceat(lens, doc_off[:-1]) if len(lens) else \
+        np.zeros(n_docs, np.int64)
+    total_chars[nt == 0] = 0
+
+    # rolling n-gram hash + char sum over the flat arrays (windows that
+    # cross doc boundaries are dropped below)
+    m = len(hashes) - n + 1
+    if m > 0:
+        with np.errstate(over="ignore"):
+            gh = np.zeros(m, dtype=np.uint64)
+            for j in range(n):
+                gh = gh * np.uint64(1099511628211) + hashes[j:m + j]
+        csum = np.cumsum(np.concatenate([[0], lens]))
+        gchars = csum[n:] - csum[:-n]           # chars of tokens in window
+    else:
+        gh = np.empty(0, np.uint64)
+        gchars = np.empty(0, np.int64)
+
+    # per-doc gram windows: doc i owns flat positions
+    # [doc_off[i], doc_off[i+1] - n] when nt[i] >= n
+    g_per_doc = np.maximum(nt - n + 1, 0)
+    doc_rep = np.repeat(np.arange(n_docs, dtype=np.int64), g_per_doc)
+    cum = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(g_per_doc[:-1], out=cum[1:])
+    within = np.arange(int(g_per_doc.sum()), dtype=np.int64) - cum[doc_rep]
+    gpos = doc_off[:-1][doc_rep] + within
+    dgh, dgc = gh[gpos], gchars[gpos]
+
+    top = np.zeros(n_docs, dtype=np.int64)
+    dup = np.zeros(n_docs, dtype=np.int64)
+    if len(dgh):
+        order = np.lexsort((dgh, doc_rep))
+        sd, sh, sc = doc_rep[order], dgh[order], dgc[order]
+        starts = np.flatnonzero(np.r_[True, (sd[1:] != sd[:-1]) |
+                                      (sh[1:] != sh[:-1])])
+        counts = np.diff(np.append(starts, len(sh)))
+        rd_ = sd[starts]
+        weight = counts * sc[starts]            # occurrences x gram chars
+        dstart = np.flatnonzero(np.r_[True, rd_[1:] != rd_[:-1]])
+        docs_present = rd_[dstart]
+        top[docs_present] = np.maximum.reduceat(weight, dstart)
+        dupw = np.where(counts >= 2, weight, 0)
+        dup[docs_present] = np.add.reduceat(dupw, dstart)
+
+    denom = np.where(total_chars > 0, total_chars, 1).astype(np.float64)
+    keys = batch.column(key_col)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return pa.table({
+        key_col: keys,
+        "top_ngram_char_frac": pa.array(top / denom),
+        "dup_ngram_char_frac": pa.array(dup / denom),
+    })

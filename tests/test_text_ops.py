@@ -120,3 +120,49 @@ def test_chunk_tokens_rejects_bad_params():
         chunk_tokens(tbl(["x"]), window=0, stride=1)
     with pytest.raises(ValueError):
         chunk_tokens(tbl(["x"]), window=4, stride=0)
+
+
+def test_repetition_signals_matches_bruteforce():
+    import re
+    from collections import Counter
+
+    from fluent_plugin_geoip_ray.stages.text import repetition_signals
+
+    texts = [
+        "the cat sat on the cat sat again",
+        "a b c d e",
+        "x x x x x x",
+        "one",
+        "",
+        "Go go GO go",
+    ]
+    out = repetition_signals(tbl(texts)).to_pandas()
+
+    def ref(x, n=2):
+        toks = re.split(r"\s+", x.lower())
+        total = sum(len(tk) for tk in toks)
+        grams = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        if not grams or total == 0:
+            return 0.0, 0.0
+        c = Counter(grams)
+        w = {g: cnt * sum(len(tk) for tk in g) for g, cnt in c.items()}
+        return (max(w.values()) / total,
+                sum(v for g, v in w.items() if c[g] >= 2) / total)
+
+    for i, x in enumerate(texts):
+        rt, rdp = ref(x)
+        assert abs(out.loc[i, "top_ngram_char_frac"] - rt) < 1e-12, (i, x)
+        assert abs(out.loc[i, "dup_ngram_char_frac"] - rdp) < 1e-12, (i, x)
+
+
+def test_repetition_signals_trigram_and_validation():
+    import pytest
+
+    from fluent_plugin_geoip_ray.stages.text import repetition_signals
+
+    # "a b c" appears twice as a 3-gram: weight 2*3=6, total chars 7
+    out = repetition_signals(tbl(["a b c a b c d"]), n=3).to_pandas()
+    assert abs(out.loc[0, "top_ngram_char_frac"] - 6 / 7) < 1e-12
+    assert abs(out.loc[0, "dup_ngram_char_frac"] - 6 / 7) < 1e-12
+    with pytest.raises(ValueError):
+        repetition_signals(tbl(["x"]), n=1)
