@@ -196,6 +196,10 @@ def run_bench() -> dict:
 
             timed("curation_docs",
                   lambda: entrymod.q_curation(sf_dir).count())
+            timed("dedup_ngram_docs",
+                  lambda: entrymod.q_dedup_ngram(sf_dir).count())
+            timed("decontaminate_docs",
+                  lambda: entrymod.q_decontaminate(sf_dir).count())
 
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         if os.path.exists(emb_path):
