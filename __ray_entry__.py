@@ -360,6 +360,37 @@ def q_repetition(sf_dir: str):
                           zero_copy_batch=True)
 
 
+_LINE_SEP_WORDS = ("join", "hash", "row", "batch",
+                   "scan", "column", "customer", "filter")
+
+
+def q_dedup_lines(sf_dir: str):
+    """CCNet-style line-level boilerplate removal: derive a multi-line text
+    deterministically (replace 8 common words with newlines -- identical
+    replace chain in the SQL oracle), then remove every line whose
+    normalized form appears in >= 3 distinct docs.  Independently
+    SQL-oracle-backed (explode + distinct-doc count + string_agg rebuild)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_lines
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        for w in _LINE_SEP_WORDS:
+            txt = pc.replace_substring(txt, pattern=w, replacement="\n")
+        return t.set_column(t.column_names.index("text"), "text", txt)
+
+    multiline = ds.map_batches(to_lines, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return dedup_lines(multiline, min_docs=3).select_columns(
+        ["doc_id", "text", "lines_removed"])
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup (rows-only)."""
     import ray.data as rd
@@ -1078,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "epoch_shuffle": q_epoch_shuffle,
         "repetition": q_repetition,
+        "dedup_lines": q_dedup_lines,
         "dedup_simhash": q_dedup_simhash,
         "knn": q_knn,
         "knn_ivf": q_knn_ivf,
@@ -1403,6 +1435,46 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[p:p+31], ' ') AS chunk_text,
                    least(32, len(toks) - p + 1) AS n_tokens
             FROM starts""",
+        # line-level boilerplate removal: multi-line text derived by the
+        # identical replace chain; a line is removed iff trim(lower(line))
+        # is non-empty and appears in >= 3 distinct docs; kept lines
+        # re-join in original order (docs losing every line rebuild as '')
+        "dedup_lines": """
+            WITH docs AS (
+              SELECT doc_id,
+                     replace(replace(replace(replace(replace(replace(
+                       replace(replace(text,
+                       'join', chr(10)), 'hash', chr(10)), 'row', chr(10)),
+                       'batch', chr(10)), 'scan', chr(10)),
+                       'column', chr(10)), 'customer', chr(10)),
+                       'filter', chr(10)) AS t
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id,
+                     unnest(string_split(t, chr(10))) AS line,
+                     unnest(range(1, len(string_split(t, chr(10))) + 1))
+                       AS pos
+              FROM docs
+            ),
+            keys AS (
+              SELECT doc_id, pos, line, trim(lower(line)) AS k FROM lines
+            ),
+            hot AS (
+              SELECT k FROM keys WHERE k <> ''
+              GROUP BY k HAVING count(DISTINCT doc_id) >= 3
+            ),
+            marked AS (
+              SELECT doc_id, pos, line,
+                     (k = '' OR k NOT IN (SELECT k FROM hot)) AS keep
+              FROM keys
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE keep), '') AS text,
+                   CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+                     AS lines_removed
+            FROM marked GROUP BY doc_id""",
         # deterministic epoch shuffle: rank under the identical Knuth hash
         # (bijective on uint64 -> no ties), 0-based like the engine
         "epoch_shuffle": """

@@ -1689,3 +1689,299 @@ def decontaminate(ds, eval_ds, key_col: str = "doc_id",
         losers = set(pa.concat_tables(tables).column("node").to_pylist())
         return _drop_losers(ds, losers, key_col)
     return _drop_losers_ds(ds, contaminated, key_col)
+
+
+# --------------------------------------------------------------------------
+# line-level exact dedup (boilerplate removal)
+# --------------------------------------------------------------------------
+
+def _split_line_batch(batch: pa.Table, text_col: str, sep: str):
+    """Explode ``text_col`` into lines on the literal ``sep``.
+
+    Returns ``(values, offsets, hashes, nonempty)``: the flat line
+    StringArray, int64 doc offsets into it, the uint64 hash of each line's
+    normalized form (``trim(lower(line))`` -- the CCNet/RefinedWeb line
+    key), and a bool mask of lines whose normalized form is non-empty.
+    All vectorized (Arrow split + pandas hash_array); no per-row Python.
+    """
+    import pandas as pd
+
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lines = pc.split_pattern(text, pattern=sep)
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    offsets = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]  # slice-safe
+    values = lines.flatten()
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    norm = pc.utf8_trim_whitespace(pc.utf8_lower(values))
+    nonempty = pc.greater(pc.utf8_length(norm), 0).to_numpy(
+        zero_copy_only=False)
+    npv = norm.to_pandas().to_numpy(dtype=object)
+    hashes = (pd.util.hash_array(npv).astype(np.uint64)
+              if len(npv) else np.empty(0, np.uint64))
+    return values, offsets, hashes, nonempty
+
+
+def line_doc_counts(ds, text_col: str = "text", sep: str = "\n",
+                    batch_size: int = 65536):
+    """Lazy Dataset of ``(line, nd)``: per normalized-line hash, the number
+    of docs containing it at least once.
+
+    Partial+final shape: each batch dedupes its own (doc, line) pairs with
+    one lexsort (a doc is one row, so a doc never spans batches and partial
+    counts sum exactly), then the partials merge through ``groupby_agg``'s
+    bucketed hash exchange -- no driver state, O(distinct lines) rows move.
+    """
+    from .aggregate import groupby_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, offsets, hashes, nonempty = _split_line_batch(t, text_col, sep)
+        n_docs = len(offsets) - 1
+        doc = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offsets))
+        h, d = hashes[nonempty], doc[nonempty]
+        if not len(h):
+            return pa.table({"line": pa.array([], pa.int64()),
+                             "nd": pa.array([], pa.int64())})
+        o = np.lexsort((h, d))
+        h, d = h[o], d[o]
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        uniq, counts = np.unique(h[first], return_counts=True)
+        return pa.table({"line": pa.array(uniq.view(np.int64)),
+                         "nd": pa.array(counts.astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+    return groupby_agg(partials, ["line"], [("nd", "sum", "nd")],
+                       merge="bucketed")
+
+
+def _rebuild_texts(batch: pa.Table, text_col: str, sep: str,
+                   values, offsets: np.ndarray,
+                   drop: np.ndarray) -> pa.Table:
+    """Replace ``text_col`` with the kept lines re-joined by ``sep`` and
+    append a ``lines_removed`` int64 column -- all Arrow-kernel work
+    (filter + ListArray rebuild + binary_join)."""
+    n_docs = len(offsets) - 1
+    counts = np.diff(offsets)
+    doc = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    removed = np.bincount(doc[drop], minlength=n_docs).astype(np.int64)
+    kept_vals = values.filter(pa.array(~drop))
+    if isinstance(kept_vals, pa.ChunkedArray):
+        kept_vals = kept_vals.combine_chunks()
+    new_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts - removed, out=new_off[1:])
+    lst = pa.ListArray.from_arrays(pa.array(new_off, type=pa.int32()),
+                                   kept_vals)
+    joined = pc.binary_join(lst, sep)
+    idx = batch.column_names.index(text_col)
+    out = batch.set_column(idx, text_col, joined)
+    return out.append_column("lines_removed", pa.array(removed))
+
+
+def dedup_lines(ds, key_col: str = "doc_id", text_col: str = "text",
+                min_docs: int = 5, sep: str = "\n",
+                hot_broadcast_limit: int = 5_000_000,
+                num_buckets: int = 32, batch_size: int = 65536):
+    """Corpus-level line (paragraph) dedup -- the CCNet / RefinedWeb
+    boilerplate-removal pass: remove every occurrence of any line whose
+    normalized form (``trim(lower(line))``) appears in at least
+    ``min_docs`` distinct docs (nav bars, cookie banners, license
+    headers).  Lines that normalize to the empty string are always kept
+    (they carry document structure).  Output = every input column with
+    ``text_col`` rebuilt from the kept lines (joined by ``sep``) plus a
+    ``lines_removed`` int64 column.  Null text passes through as a
+    zero-line doc (rebuilt as ``""``).
+
+    Scale shape: pass 1 streams line-hash partial counts through the
+    bucketed ``groupby_agg`` exchange (O(distinct lines) 16-byte rows; text
+    never shuffles), and the hot filter runs DISTRIBUTED on the aggregate.
+    The hot set is small by construction (every hot line repeats >=
+    ``min_docs`` times, so |hot| <= total_lines / min_docs): under
+    ``hot_broadcast_limit`` it broadcasts once as a sorted hash array and
+    pass 2 is one streaming searchsorted probe + rebuild.  Above the limit
+    no broadcast of the full set ever happens: a fixed-size Bloom bitmap
+    (union of per-block bitmaps, no false negatives) prefilters candidate
+    line occurrences, the near-hits hash-exchange against the exact hot
+    hashes for confirmation, and confirmed (key, pos) removals co-locate
+    with their docs via ONE bucketed exchange on the doc key -- corpus
+    text moves at most once, driver holds O(1).
+
+    Line hashes are 64-bit (same collision stance as the rest of the dedup
+    family); ``key_col`` must be integer-castable and unique per row.
+    """
+    import pandas as pd
+    import ray
+
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+
+    counts = line_doc_counts(ds, text_col=text_col, sep=sep,
+                             batch_size=batch_size)
+    hot = counts.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("nd"), min_docs)).select(["line"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    n_hot = hot.count()
+
+    if n_hot == 0:
+        def untouched(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "lines_removed", pa.array(np.zeros(t.num_rows, np.int64)))
+        return ds.map_batches(untouched, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    if n_hot <= hot_broadcast_limit:
+        tables = [t for t in ray.get(hot.to_arrow_refs()) if t.num_rows]
+        arr = np.sort(np.concatenate([
+            t.column("line").to_numpy(zero_copy_only=False).view(np.uint64)
+            for t in tables]))
+        hot_ref = ray.put(arr)
+
+        def clean(t: pa.Table) -> pa.Table:
+            hv = ray.get(hot_ref)
+            values, offsets, hashes, nonempty = _split_line_batch(
+                t, text_col, sep)
+            pos = np.searchsorted(hv, hashes)
+            pos[pos == len(hv)] = 0
+            drop = (hv[pos] == hashes) & nonempty
+            return _rebuild_texts(t, text_col, sep, values, offsets, drop)
+
+        return ds.map_batches(clean, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+
+    # ---- huge hot set: Bloom prefilter + bucketed confirm + key-bucketed
+    # rebuild (decontaminate's above-limit shape at line granularity) ------
+    n_words = _bloom_params(n_hot)
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        h = t.column("line").to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table({"bm": pa.array([_bloom_build(h, n_words)
+                                         .view(np.int64)])})
+
+    bloom = np.zeros(n_words, dtype=np.uint64)
+    for ref in hot.map_batches(block_bloom, batch_format="pyarrow",
+                               zero_copy_batch=True).to_arrow_refs():
+        t = ray.get(ref)
+        for row in range(t.num_rows):
+            bloom |= np.asarray(t.column("bm")[row].as_py(),
+                                dtype=np.int64).view(np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def candidates(t: pa.Table) -> pa.Table:
+        bm = ray.get(bloom_ref)
+        _, offsets, hashes, nonempty = _split_line_batch(t, text_col, sep)
+        n_docs = len(offsets) - 1
+        cnt = np.diff(offsets)
+        doc = np.repeat(np.arange(n_docs, dtype=np.int64), cnt)
+        pos_in_doc = np.arange(len(hashes), dtype=np.int64) - np.repeat(
+            offsets[:-1], cnt)
+        hit = _bloom_test(hashes, bm) & nonempty
+        keys = t.column(key_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "key": pa.array(keys[doc[hit]]),
+            "pos": pa.array(pos_in_doc[hit]),
+            "line": pa.array(hashes[hit].view(np.int64)),
+        })
+
+    cands = ds.map_batches(candidates, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=batch_size)
+    hot_side = hot.map_batches(
+        lambda t: pa.table({"key": pa.nulls(t.num_rows, pa.int64()),
+                            "pos": pa.nulls(t.num_rows, pa.int64()),
+                            "line": t.column("line")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def line_bucket(t: pa.Table) -> pa.Table:
+        v = t.column("line").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("__xb", pa.array(
+            (pd.util.hash_array(v) % num_buckets).astype(np.int32)))
+
+    def confirm(g: pa.Table) -> pa.Table:
+        is_hot = pc.is_null(g.column("key")).to_numpy(zero_copy_only=False)
+        grams = g.column("line").to_numpy(zero_copy_only=False)
+        hv = np.unique(grams[is_hot])
+        ck = g.column("key").to_numpy(zero_copy_only=False)[~is_hot]
+        cp = g.column("pos").to_numpy(zero_copy_only=False)[~is_hot]
+        cg = grams[~is_hot]
+        if not len(hv) or not len(ck):
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        pos = np.searchsorted(hv, cg)
+        pos[pos == len(hv)] = 0
+        bad = hv[pos] == cg
+        return pa.table({"key": pa.array(ck[bad].astype(np.int64)),
+                         "pos": pa.array(cp[bad].astype(np.int64))})
+
+    confirmed = cands.union(hot_side).map_batches(
+        line_bucket, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("__xb").map_groups(
+        lambda g: confirm(g.drop_columns(["__xb"])), batch_format="pyarrow")
+
+    # co-locate confirmed removals with their docs: ONE exchange on key hash
+    schema = ds.schema().base_schema
+    out_cols = list(schema.names)
+
+    def key_bucket(keys_np: np.ndarray) -> pa.Array:
+        return pa.array((pd.util.hash_array(keys_np.astype(np.uint64))
+                         % num_buckets).astype(np.int32))
+
+    def corpus_side(t: pa.Table) -> pa.Table:
+        t = t.select(out_cols)
+        keys = t.column(key_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return t.append_column("__pos", pa.nulls(t.num_rows, pa.int64())) \
+                .append_column("__side", pa.array(np.zeros(t.num_rows, np.int8))) \
+                .append_column("__bucket", key_bucket(keys))
+
+    def removal_side(t: pa.Table) -> pa.Table:
+        keys = t.column("key").to_numpy(zero_copy_only=False)
+        cols = {
+            c: (t.column("key").cast(schema.field(c).type)
+                if c == key_col else pa.nulls(t.num_rows, schema.field(c).type))
+            for c in out_cols
+        }
+        out = pa.table(cols)
+        return out.append_column("__pos", t.column("pos")) \
+                  .append_column("__side", pa.array(np.ones(t.num_rows, np.int8))) \
+                  .append_column("__bucket", key_bucket(keys))
+
+    both = ds.map_batches(
+        corpus_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(confirmed.map_batches(
+        removal_side, batch_format="pyarrow", zero_copy_batch=True))
+
+    def rebuild_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        docs_t = g.filter(pa.array(side == 0)).select(out_cols)
+        rk = g.column(key_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[side == 1]
+        rp = g.column("__pos").to_numpy(zero_copy_only=False)[side == 1]
+        values, offsets, _, _ = _split_line_batch(docs_t, text_col, sep)
+        n_docs = len(offsets) - 1
+        cnt = np.diff(offsets)
+        doc = np.repeat(np.arange(n_docs, dtype=np.int64), cnt)
+        lk = docs_t.column(key_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[doc]
+        lp = np.arange(len(lk), dtype=np.int64) - np.repeat(offsets[:-1], cnt)
+        if len(rk):
+            # composite (dense key rank, pos) -> one searchsorted probe
+            uk = np.unique(np.concatenate([lk, rk]))
+            m = np.int64(max(lp.max(initial=0), rp.max(initial=0)) + 2)
+            lcomp = np.searchsorted(uk, lk).astype(np.int64) * m + lp
+            rcomp = np.sort(np.searchsorted(uk, rk).astype(np.int64) * m + rp)
+            pos = np.searchsorted(rcomp, lcomp)
+            pos[pos == len(rcomp)] = 0
+            drop = rcomp[pos] == lcomp
+        else:
+            drop = np.zeros(len(lk), dtype=bool)
+        return _rebuild_texts(docs_t, text_col, sep, values, offsets, drop)
+
+    return both.groupby("__bucket").map_groups(rebuild_bucket,
+                                               batch_format="pyarrow")

@@ -528,3 +528,101 @@ def test_decontaminate_rejects_bad_mode():
                    "text": pa.array(["x"])})
     with pytest.raises(ValueError, match="mode"):
         decontaminate(rd.from_arrow(tt), rd.from_arrow(tt), mode="nope")
+
+
+# --------------------------------------------------------------------------
+# dedup_lines (CCNet-style boilerplate line removal)
+# --------------------------------------------------------------------------
+
+def _lines_bruteforce(docs, min_docs, sep="\n"):
+    """Per-row (doc_id -> (cleaned text, lines_removed)) reference."""
+    from collections import defaultdict
+
+    containing = defaultdict(set)
+    for did, text in docs:
+        for ln in text.split(sep):
+            k = ln.lower().strip()
+            if k:
+                containing[k].add(did)
+    hot = {k for k, s in containing.items() if len(s) >= min_docs}
+    out = {}
+    for did, text in docs:
+        kept = [ln for ln in text.split(sep) if ln.lower().strip() not in hot]
+        out[did] = (sep.join(kept), len(text.split(sep)) - len(kept))
+    return out
+
+
+def _make_line_docs(n_docs=40, seed=3):
+    rng = np.random.default_rng(seed)
+    boiler = ["Cookie Policy | Accept All", "  © 2024 Example Corp  ",
+              "home | about | contact"]
+    uniq_words = "red green blue cyan teal plum gray pink gold".split()
+    docs = []
+    for i in range(n_docs):
+        lines = []
+        for b in boiler:
+            if rng.random() < 0.5:
+                lines.append(b if rng.random() < 0.5 else b.upper())
+        for _ in range(rng.integers(1, 5)):
+            lines.append(" ".join(rng.choice(uniq_words, size=6)))
+        if rng.random() < 0.3:
+            lines.append("")           # empty lines always survive
+        rng.shuffle(lines)
+        docs.append((i, "\n".join(lines)))
+    docs.append((n_docs, ""))          # empty doc
+    docs.append((n_docs + 1, "Cookie Policy | Accept All"))  # fully boiler
+    return docs
+
+
+@pytest.mark.parametrize("limit", [5_000_000, 0])   # broadcast vs bucketed
+def test_dedup_lines_matches_bruteforce(limit):
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_lines
+
+    docs = _make_line_docs()
+    ref = _lines_bruteforce(docs, min_docs=5)
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([x for _, x in docs])})
+    ds = rd.from_arrow(t).repartition(4)
+    out = dedup_lines(ds, min_docs=5, hot_broadcast_limit=limit,
+                      num_buckets=4).to_pandas().set_index("doc_id")
+    assert len(out) == len(docs)
+    for did, (text, removed) in ref.items():
+        assert out.loc[did, "text"] == text, did
+        assert out.loc[did, "lines_removed"] == removed, did
+
+
+def test_dedup_lines_no_hot_is_identity():
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_lines
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["a\nb", "c\nd"])})
+    out = dedup_lines(rd.from_arrow(t), min_docs=2).to_pandas()
+    assert list(out["text"]) == ["a\nb", "c\nd"]
+    assert list(out["lines_removed"]) == [0, 0]
+
+
+def test_dedup_lines_normalization_and_empty_lines():
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_lines
+
+    # same line modulo case/whitespace counts as one key; empty lines kept
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["  HELLO  \nkeep0\n\nx",
+                          "hello\nkeep1",
+                          "Hello \nkeep2\n"]),
+    })
+    out = dedup_lines(rd.from_arrow(t), min_docs=3).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[0, "text"] == "keep0\n\nx"
+    assert out.loc[1, "text"] == "keep1"
+    # trailing sep produced a trailing empty line -- kept
+    assert out.loc[2, "text"] == "keep2\n"
+    assert list(out["lines_removed"]) == [1, 1, 1]
+
+
+def test_dedup_lines_rejects_min_docs_below_two():
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_lines
+
+    with pytest.raises(ValueError):
+        dedup_lines(rd.from_arrow(pa.table({"doc_id": [0], "text": ["x"]})),
+                    min_docs=1)
