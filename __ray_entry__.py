@@ -1018,6 +1018,37 @@ def q_events_range_join(sf_dir: str):
     return range_join(ds, tiers, "value", out_cols={"tier": "tier"})
 
 
+def q_events_range_big(sf_dir: str):
+    """Large-large keyed interval join: label each non-purchase event with
+    the start of the user's purchase window ([purchase_ts, +30min), latest
+    start supersedes) active at its timestamp.  The interval side is ~20%
+    of the whole events table -- not broadcastable at scale -- so both
+    sides hash-bucket on user_id (range_join_big).  Output is tie-proof
+    (window start only).  Oracle = DuckDB ASOF JOIN + containment check."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.join import range_join_big
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type", "ts"])
+
+    def to_intervals(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+        hi = pc.add(t.column("ts"),
+                    pa.scalar(1_800_000_000, type=pa.duration("us")))
+        return pa.table({"user_id": t.column("user_id"),
+                         "lo": t.column("ts"), "hi": hi})
+
+    intervals = ds.map_batches(to_intervals, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    probes = ds.filter(expr="event_type != 'purchase'")
+    out = range_join_big(probes, intervals, value_col="ts", by="user_id",
+                         out_cols={"lo": "purchase_ts"})
+    return out.select_columns(["event_id", "purchase_ts"])
+
+
 def q_events_tumbling(sf_dir: str):
     """Tumbling 1h event-time windows per event_type (count + sum(value))."""
     import pyarrow.compute as pc
@@ -1141,6 +1172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": q_events_asof,
         "events_asof_big": q_events_asof_big,
         "events_range_join": q_events_range_join,
+        "events_range_big": q_events_range_big,
         "events_tumbling": q_events_tumbling,
         "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
@@ -1689,6 +1721,17 @@ def oracle_sql() -> dict[str, str]:
                 VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'),
                        (200.0, 1e308, 'high')) t(lo, hi, tier)
               ON e.value >= t.lo AND e.value < t.hi""",
+        # large-large keyed interval join, supersession semantics: the most
+        # recently started 30-min purchase window wins; null if it ended
+        "events_range_big": """
+            SELECT p.event_id,
+                   CASE WHEN p.ts < i.hi THEN i.lo END AS purchase_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type <> 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts AS lo, ts + INTERVAL 30 MINUTE AS hi
+                  FROM events WHERE event_type = 'purchase') i
+              ON p.user_id = i.user_id AND p.ts >= i.lo""",
         "events_sessions": """
             WITH x AS (
                 SELECT user_id, event_id, ts,

