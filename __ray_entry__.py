@@ -401,6 +401,50 @@ def q_dedup_simhash(sf_dir: str):
     return dedup_simhash(ds).select_columns(["doc_id", "lang", "source"])
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup (k-means clusters + exact within-cluster cosine): corpus =
+    embeddings UNION exact duplicates (vec_id+10000 for vec_id%3==0) UNION
+    scaled duplicates (x2.0, vec_id+20000 for vec_id%5==0; cosine is
+    scale-invariant so cos=1.0).  Survivors are provably the original 500
+    rows: every duplicate's group contains its lower original id, and no
+    original pair reaches 0.95 (max pairwise cos in the table is 0.51) --
+    so the SQL oracle is the known answer ``SELECT vec_id, label FROM
+    embeddings``, independent of the engine."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.similarity import semantic_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    def dup(t: pa.Table, mod: int, offset: int, scale: float) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % mod == 0))
+        emb = sub.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False) * scale
+        off = emb.offsets
+        scaled = pa.ListArray.from_arrays(
+            off, pa.array(flat.astype(np.float32), pa.float32()))
+        return pa.table({
+            "vec_id": pa.array(sub.column("vec_id").to_numpy(
+                zero_copy_only=False) + offset),
+            "embedding": scaled.cast(pa.list_(pa.float32())),
+            "label": sub.column("label"),
+        })
+
+    exact = ds.map_batches(lambda t: dup(t, 3, 10_000, 1.0),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    scaled = ds.map_batches(lambda t: dup(t, 5, 20_000, 2.0),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    corpus = ds.union(exact).union(scaled)
+    out = semantic_dedup(corpus, threshold=0.95, n_clusters=16)
+    return out.select_columns(["vec_id", "label"])
+
+
 def q_knn(sf_dir: str):
     """Brute-force cosine top-10 for the first 3 vectors as queries."""
     import numpy as np
@@ -1145,6 +1189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn": q_knn,
         "knn_ivf": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "semantic_dedup": q_semantic_dedup,
         "events_topk": q_events_topk,
         "events_join": q_events_join,
         "pricing_summary": q_pricing_summary,
@@ -1345,6 +1390,9 @@ def oracle_sql() -> dict[str, str]:
                    f" read_parquet('{_GOLDEN_DIR}/knn_ivf_sf001.parquet')",
         "embedding_near_dup": f"SELECT vec_id, label FROM"
                               f" read_parquet('{_GOLDEN_DIR}/embedding_near_dup_sf001.parquet')",
+        # known-answer oracle: the constructed duplicates provably all lose
+        # to their lower original ids (see q_semantic_dedup docstring)
+        "semantic_dedup": "SELECT vec_id, label FROM embeddings",
 
         "enrich": f"SELECT conv_id, turn_idx, ip, city, country_code, country_name,"
                   f" region, latitude, longitude FROM ({_ENRICHED})",

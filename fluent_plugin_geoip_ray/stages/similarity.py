@@ -281,3 +281,87 @@ def embedding_near_dup(ds, threshold: float = 0.95, id_col: str = "vec_id",
                                hot_bucket_limit=hot_bucket_limit)
     return _resolve_clusters_and_drop(ds, edges, id_col, mode=mode,
                                       edge_driver_limit=edge_driver_limit)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (semantic dedup via k-means clusters + exact within-cluster cosine)
+# --------------------------------------------------------------------------
+
+def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 64,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   sample_n: int = 4096, seed: int = 42, mode: str = "auto",
+                   max_cluster_rows: int = 65536, chunk_rows: int = 512,
+                   edge_driver_limit: int = 20_000_000):
+    """SemDeDup-style semantic dedup (public method of Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings with the IVF coarse
+    quantizer, compute EXACT pairwise cosine only WITHIN each cluster, and
+    drop all but one representative of every connected >=threshold group.
+
+    Deviation from the paper, documented: the survivor is the min-id member
+    (the whole dedup family's convention, shared with
+    :func:`embedding_near_dup`), not the lowest-centroid-similarity
+    exemplar.
+
+    Scale shape: clustering reduces the O(N^2) global problem to
+    sum(n_c^2) within-cluster work (the paper's core trick).  Centroids
+    train on a driver-side sample and broadcast; the cluster exchange is
+    ONE groupby over (id, embedding) rows; per-cluster similarity runs in
+    row chunks (``chunk_rows`` x cluster_size float32 matmul, bounded
+    memory) and emits only >=threshold edges.  A cluster larger than
+    ``max_cluster_rows`` raises with a remediation hint (raise
+    ``n_clusters``) instead of quadratically blowing up a worker -- the
+    explicit-skew-guard convention of ``dedup_ngram``.  Edge resolution
+    reuses :func:`dedup._resolve_clusters_and_drop`: driver union-find
+    below ``edge_driver_limit``, Dataset-native distributed components +
+    bucketed anti-join above it (or always with ``mode="distributed"``).
+    """
+    import ray
+
+    from .dedup import _resolve_clusters_and_drop
+
+    sample_rows = ds.limit(sample_n).to_pandas()
+    sample = np.stack(sample_rows[emb_col].to_numpy())
+    cents = train_centroids(sample, min(n_clusters, len(sample)), seed=seed)
+    slim = ds.select_columns([id_col, emb_col])
+    bucketed = assign_buckets(slim, ray.put(cents), id_col=id_col,
+                              emb_col=emb_col)
+
+    def cluster_edges(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if n < 2:
+            return empty
+        if n > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup cluster has {n} rows >"
+                f" max_cluster_rows={max_cluster_rows}; raise n_clusters"
+                f" (or max_cluster_rows) to bound the quadratic work")
+        m = _normalize(_embedding_matrix(g, emb_col)).astype(np.float32)
+        ids = g.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        out_a, out_b = [], []
+        for s in range(0, n, chunk_rows):
+            e = min(s + chunk_rows, n)
+            # float64 accumulation for threshold stability at ~1.0
+            sims = m[s:e].astype(np.float64) @ m.T.astype(np.float64)
+            ii, jj = np.nonzero(sims >= threshold)
+            keep = (ii + s) < jj          # strict upper triangle only
+            gi, gj = ii[keep] + s, jj[keep]
+            out_a.append(np.minimum(ids[gi], ids[gj]))
+            out_b.append(np.maximum(ids[gi], ids[gj]))
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        if not len(a):
+            return empty
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    edges = bucketed.groupby("ivf_bucket").map_groups(
+        cluster_edges, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if mode != "distributed" and n_edges <= edge_driver_limit:
+        edges = edges.to_pandas()
+    return _resolve_clusters_and_drop(ds, edges, id_col, mode=mode,
+                                      edge_driver_limit=edge_driver_limit)

@@ -3,6 +3,7 @@ embedding near-dup clustering."""
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from fluent_plugin_geoip_ray.stages.similarity import (
@@ -127,3 +128,67 @@ def test_persisted_ivf_index_roundtrip(tmp_path):
     a = via_index.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = via_mem.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert (a["vec_id"] == b["vec_id"]).all()
+
+
+# --------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+# --------------------------------------------------------------------------
+
+def _semdedup_fixture(n_groups=6, dim=24, seed=11):
+    """Known near-dup groups: members of a group are tiny perturbations of
+    one direction (cos > 0.999); distinct groups are near-orthogonal."""
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_groups, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, gids = [], []
+    vid = 0
+    expected_survivors = set()
+    for g in range(n_groups):
+        size = 1 + (g % 3)          # groups of 1, 2, 3 members
+        expected_survivors.add(vid)  # min id of the group
+        for _ in range(size):
+            rows.append(base[g] + 0.001 * rng.standard_normal(dim))
+            gids.append(vid)
+            vid += 1
+    t = pa.table({
+        "vec_id": pa.array(gids, pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in rows],
+                              pa.list_(pa.float32())),
+    })
+    return t, expected_survivors
+
+
+@pytest.mark.parametrize("mode", ["auto", "distributed"])
+def test_semantic_dedup_known_groups(mode):
+    from fluent_plugin_geoip_ray.stages.similarity import semantic_dedup
+
+    t, expected = _semdedup_fixture()
+    ds = rd.from_arrow(t).repartition(3)
+    out = semantic_dedup(ds, threshold=0.99, n_clusters=4, sample_n=100,
+                         mode=mode)
+    got = set(out.to_pandas()["vec_id"])
+    assert got == expected
+
+
+def test_semantic_dedup_orthogonal_identity():
+    from fluent_plugin_geoip_ray.stages.similarity import semantic_dedup
+
+    dim = 16
+    eye = np.eye(dim)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(dim, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in eye],
+                              pa.list_(pa.float32())),
+    })
+    out = semantic_dedup(rd.from_arrow(t), threshold=0.95, n_clusters=4,
+                         sample_n=dim)
+    assert len(out.to_pandas()) == dim    # nothing dropped
+
+
+def test_semantic_dedup_cluster_guard():
+    from fluent_plugin_geoip_ray.stages.similarity import semantic_dedup
+
+    t, _ = _semdedup_fixture()
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        semantic_dedup(rd.from_arrow(t), threshold=0.99, n_clusters=1,
+                       sample_n=100, max_cluster_rows=3).to_pandas()
