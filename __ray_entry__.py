@@ -391,6 +391,17 @@ def q_dedup_lines(sf_dir: str):
         ["doc_id", "text", "lines_removed"])
 
 
+def q_vocab(sf_dir: str):
+    """Corpus token vocabulary: top-20 whitespace tokens by count with
+    deterministic tie-break (count desc, token asc) -- SQL-oracle-backed."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import build_vocab
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return build_vocab(ds, top=20)
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup (rows-only)."""
     import ray.data as rd
@@ -1185,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": q_epoch_shuffle,
         "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
+        "vocab": q_vocab,
         "dedup_simhash": q_dedup_simhash,
         "knn": q_knn,
         "knn_ivf": q_knn_ivf,
@@ -1555,6 +1567,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
                      AS lines_removed
             FROM marked GROUP BY doc_id""",
+        # token vocabulary: whitespace-split lowered tokens, empty tokens
+        # dropped; top-20 by count with token-ascending tie-break
+        "vocab": r"""
+            WITH tok AS (
+              SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+              FROM documents
+            )
+            SELECT token, count(*) AS count FROM tok WHERE token <> ''
+            GROUP BY token ORDER BY count DESC, token LIMIT 20""",
         # deterministic epoch shuffle: rank under the identical Knuth hash
         # (bijective on uint64 -> no ties), 0-based like the engine
         "epoch_shuffle": """

@@ -200,6 +200,10 @@ def run_bench() -> dict:
                   lambda: entrymod.q_dedup_ngram(sf_dir).count())
             timed("decontaminate_docs",
                   lambda: entrymod.q_decontaminate(sf_dir).count())
+            timed("dedup_lines_docs",
+                  lambda: entrymod.q_dedup_lines(sf_dir).count())
+            timed("range_join_big_events",
+                  lambda: entrymod.q_events_range_big(sf_dir).count())
 
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         if os.path.exists(emb_path):
@@ -215,6 +219,11 @@ def run_bench() -> dict:
                 )
 
             timed("knn_embeddings", knn_once)
+
+            from fluent_plugin_geoip_ray.stages.similarity import semantic_dedup
+
+            timed("semantic_dedup_embeddings", lambda: semantic_dedup(
+                rd.read_parquet(emb_path), n_clusters=64).count())
     except _FlagshipOnly:
         pass
     finally:

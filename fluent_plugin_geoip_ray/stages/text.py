@@ -339,3 +339,46 @@ def repetition_signals(batch: pa.Table, key_col: str = "doc_id",
         "top_ngram_char_frac": pa.array(top / denom),
         "dup_ngram_char_frac": pa.array(dup / denom),
     })
+
+
+def build_vocab(ds, text_col: str = "text", min_count: int = 1,
+                top: int | None = None, batch_size: int = 65536):
+    """Distributed token vocabulary (the tokenizer-training precursor):
+    corpus-wide counts of whitespace-split lowered tokens.
+
+    Partial+final: each batch counts its own tokens with one Arrow
+    ``group_by`` (text never shuffles; O(batch vocab) rows leave), partials
+    merge through ``groupby_agg``'s bucketed hash exchange.  ``min_count``
+    filters distributed; ``top`` returns the V most frequent as a pyarrow
+    Table via :func:`aggregate.top_k` (per-block partial top-k, ties broken
+    by token ascending -- deterministic, matches SQL ``ORDER BY count DESC,
+    token``).  Without ``top`` the full vocab stays a lazy Dataset of
+    ``(token, count)``.  Empty tokens (leading/trailing whitespace) drop.
+    """
+    from .aggregate import groupby_agg, top_k
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        g = pa.table({"token": flat}).group_by("token").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["token", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+    vocab = groupby_agg(partials, ["token"], [("n", "sum", "count")],
+                        merge="bucketed")
+    if min_count > 1:
+        vocab = vocab.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t.column("count"), min_count)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    if top is None:
+        return vocab
+    return top_k(vocab, "count", k=top, tie_breakers=["token"])

@@ -2,6 +2,7 @@
 fingerprint)."""
 
 import pyarrow as pa
+import ray.data as rd
 
 from fluent_plugin_geoip_ray.stages.text import (
     LangId,
@@ -166,3 +167,25 @@ def test_repetition_signals_trigram_and_validation():
     assert abs(out.loc[0, "dup_ngram_char_frac"] - 6 / 7) < 1e-12
     with pytest.raises(ValueError):
         repetition_signals(tbl(["x"]), n=1)
+
+
+def test_build_vocab_counts_and_topk():
+    from collections import Counter
+
+    from fluent_plugin_geoip_ray.stages.text import build_vocab
+
+    texts = ["the cat sat on the mat", "  The DOG  ", "cat dog cat", ""]
+    ref = Counter()
+    for s in texts:
+        ref.update(w for w in s.lower().split() if w)
+    t = pa.table({"text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(3)
+    full = build_vocab(ds).to_pandas().set_index("token")["count"].to_dict()
+    assert full == dict(ref)
+    # min_count filter
+    mc = build_vocab(ds, min_count=2).to_pandas()
+    assert set(mc["token"]) == {w for w, c in ref.items() if c >= 2}
+    # top-k with deterministic tie-break (count desc, token asc)
+    topt = build_vocab(ds, top=3).to_pandas()
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert list(map(tuple, topt[["token", "count"]].to_numpy())) == expect

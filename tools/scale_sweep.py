@@ -88,8 +88,50 @@ def main() -> int:
         sliding_window_counts,
     )
 
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_lines
+    from fluent_plugin_geoip_ray.stages.join import range_join_big
+    from fluent_plugin_geoip_ray.stages.similarity import semantic_dedup
+
+    def multiline_docs():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def to_lines(t: pa.Table) -> pa.Table:
+            txt = t.column("text")
+            for w in ("join", "hash", "row", "batch"):
+                txt = pc.replace_substring(txt, pattern=w, replacement="\n")
+            return t.set_column(t.column_names.index("text"), "text", txt)
+
+        return rd.from_arrow(docs).map_batches(
+            to_lines, batch_format="pyarrow", zero_copy_batch=True)
+
+    def purchase_intervals():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def iv(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), "purchase"))
+            hi = pc.add(t.column("ts"),
+                        pa.scalar(1_800_000_000, type=pa.duration("us")))
+            return pa.table({"user_id": t.column("user_id"),
+                             "lo": t.column("ts"), "hi": hi})
+
+        return rd.from_arrow(events).map_batches(
+            iv, batch_format="pyarrow", zero_copy_batch=True)
+
     runs = [
         ("dedup_exact", lambda: dedup_exact(rd.from_arrow(docs)).count()),
+        # replicated copies share every line -> heavy hot set
+        ("dedup_lines", lambda: dedup_lines(
+            multiline_docs(), min_docs=5).count()),
+        ("dedup_lines_bucketed", lambda: dedup_lines(
+            multiline_docs(), min_docs=5, hot_broadcast_limit=0).count()),
+        # k copies of every vector -> every row has k-1 exact semantic dups
+        ("semantic_dedup", lambda: semantic_dedup(
+            rd.from_arrow(embs), n_clusters=64).count()),
+        ("range_join_big", lambda: range_join_big(
+            rd.from_arrow(events), purchase_intervals(), value_col="ts",
+            by="user_id", out_cols={"lo": "purchase_ts"}).count()),
         ("dedup_minhash", lambda: dedup_minhash(rd.from_arrow(docs)).count()),
         ("dedup_simhash", lambda: dedup_simhash(rd.from_arrow(docs)).count()),
         ("embedding_near_dup",
