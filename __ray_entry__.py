@@ -391,6 +391,20 @@ def q_dedup_lines(sf_dir: str):
         ["doc_id", "text", "lines_removed"])
 
 
+def q_profile(sf_dir: str):
+    """One-pass data profiling over the documents table's numeric columns
+    (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
+    keep the float sums exactly representable, so the value-hash compare
+    is exact."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import profile
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return profile(ds)
+
+
 def q_vocab(sf_dir: str):
     """Corpus token vocabulary: top-20 whitespace tokens by count with
     deterministic tie-break (count desc, token asc) -- SQL-oracle-backed."""
@@ -1197,6 +1211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
         "vocab": q_vocab,
+        "profile": q_profile,
         "dedup_simhash": q_dedup_simhash,
         "knn": q_knn,
         "knn_ivf": q_knn_ivf,
@@ -1567,6 +1582,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
                      AS lines_removed
             FROM marked GROUP BY doc_id""",
+        # one-pass numeric profiling: one row per column; mean = exact
+        # integer-valued double sum / count on both engines
+        "profile": """
+            SELECT 'doc_id' AS column, count(*) AS n,
+                   count(*) - count(doc_id) AS nulls,
+                   CAST(min(doc_id) AS DOUBLE) AS min,
+                   CAST(max(doc_id) AS DOUBLE) AS max,
+                   CAST(sum(doc_id) AS DOUBLE) / count(doc_id) AS mean
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*), count(*) - count(n_chars),
+                   CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+                   CAST(sum(n_chars) AS DOUBLE) / count(n_chars)
+            FROM documents""",
         # token vocabulary: whitespace-split lowered tokens, empty tokens
         # dropped; top-20 by count with token-ascending tie-break
         "vocab": r"""

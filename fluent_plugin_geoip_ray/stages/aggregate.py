@@ -630,3 +630,75 @@ def _fixed_uint8_matrix(col, m: int) -> "np.ndarray":
         col = col.combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.uint8)
     return flat.reshape(-1, m)
+
+
+def profile(ds, columns: list[str] | None = None, batch_size: int = 65536):
+    """One-pass data profiling ("describe"): per NUMERIC column --
+    row count, null count, min, max, mean (of non-nulls).
+
+    Partial+final: each batch emits ONE tiny row per column (pyarrow
+    min/max/sum kernels; 40 B/column/block), finals merge on the driver --
+    the result is O(columns), so driver merge is always right here.
+    Non-numeric columns are skipped (profiling strings = count/distinct,
+    which :func:`count_by` / :func:`approx_distinct_by` already cover).
+    Returns a pyarrow Table sorted by column name.
+    """
+    import ray
+
+    schema = ds.schema().base_schema
+    num_cols = [
+        n for n, t in zip(schema.names, schema.types)
+        if (pa.types.is_integer(t) or pa.types.is_floating(t))
+        and (columns is None or n in columns)
+    ]
+    if columns is not None:
+        missing = [c for c in columns if c not in num_cols]
+        if missing:
+            raise ValueError(
+                f"profile: non-numeric or unknown columns {missing}")
+    if not num_cols:
+        raise ValueError("profile: no numeric columns to profile")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rows = {"column": [], "n": [], "nulls": [], "mn": [], "mx": [],
+                "s": []}
+        for c in num_cols:
+            col = t.column(c)
+            n = t.num_rows
+            nulls = col.null_count
+            rows["column"].append(c)
+            rows["n"].append(n)
+            rows["nulls"].append(nulls)
+            if n - nulls:
+                mm = pc.min_max(col).as_py()
+                rows["mn"].append(float(mm["min"]))
+                rows["mx"].append(float(mm["max"]))
+                rows["s"].append(float(pc.sum(col).as_py()))
+            else:
+                rows["mn"].append(None)
+                rows["mx"].append(None)
+                rows["s"].append(None)
+        return pa.table({
+            "column": pa.array(rows["column"]),
+            "n": pa.array(rows["n"], pa.int64()),
+            "nulls": pa.array(rows["nulls"], pa.int64()),
+            "mn": pa.array(rows["mn"], pa.float64()),
+            "mx": pa.array(rows["mx"], pa.float64()),
+            "s": pa.array(rows["s"], pa.float64()),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    merged = pa.concat_tables(tables)
+    g = merged.group_by("column").aggregate(
+        [("n", "sum"), ("nulls", "sum"), ("mn", "min"), ("mx", "max"),
+         ("s", "sum")])
+    g = g.rename_columns(["column", "n", "nulls", "min", "max", "s"])
+    valid = pc.subtract(g.column("n"), g.column("nulls"))
+    mean = pc.if_else(
+        pc.greater(valid, 0),
+        pc.divide(g.column("s"), pc.cast(valid, pa.float64())),
+        pa.nulls(g.num_rows, pa.float64()))
+    out = g.drop_columns(["s"]).append_column("mean", mean)
+    return out.sort_by("column")

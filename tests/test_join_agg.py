@@ -564,3 +564,33 @@ def test_range_join_big_empty_intervals():
                          value_col="v", by="user",
                          out_cols={"label": "label"}).to_pandas()
     assert len(out) == 2 and out["label"].isna().all()
+
+
+def test_profile_stats_and_nulls():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import profile
+
+    t = pa.table({
+        "a": pa.array([1, 2, None, 4], pa.int64()),
+        "b": pa.array([0.5, None, None, -2.0], pa.float64()),
+        "s": pa.array(["x", "y", "z", "w"]),          # skipped (non-numeric)
+    })
+    out = profile(rd.from_arrow(t).repartition(3)).to_pandas() \
+        .set_index("column")
+    assert set(out.index) == {"a", "b"}
+    assert out.loc["a", "n"] == 4 and out.loc["a", "nulls"] == 1
+    assert out.loc["a", "min"] == 1 and out.loc["a", "max"] == 4
+    assert np.isclose(out.loc["a", "mean"], 7 / 3)
+    assert out.loc["b", "nulls"] == 2
+    assert np.isclose(out.loc["b", "mean"], -0.75)
+    # all-null column across some blocks still merges
+    t2 = pa.table({"c": pa.array([None, None], pa.float64())})
+    out2 = profile(rd.from_arrow(t2)).to_pandas()
+    assert out2["nulls"].iloc[0] == 2 and np.isnan(out2["mean"].iloc[0])
+    # validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        profile(rd.from_arrow(t), columns=["s"])
