@@ -180,12 +180,12 @@ def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536,
             add_bucket, batch_format="pyarrow", zero_copy_batch=True
         )
 
-        def merge_bucket(t: pa.Table) -> pa.Table:
-            return finalize(_refit_table(t.drop_columns(["__bucket"])))
+        from .exchange import hash_exchange
 
-        return bucketed.groupby("__bucket").map_groups(
-            merge_bucket, batch_format="pyarrow"
-        )
+        def merge_bucket(t: pa.Table) -> pa.Table:
+            return finalize(_refit_table(t))
+
+        return hash_exchange(bucketed, num_buckets, merge_bucket)
 
     if merge == "driver":
         import ray
@@ -398,7 +398,6 @@ def quantiles_by(ds, key: str, value: str, qs: tuple = (0.5, 0.95, 0.99),
         return t.append_column("__bucket", pa.array(b))
 
     def finalize_bucket(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["__bucket"])
         keys_np = t.column(key).to_pandas().to_numpy(dtype=object)
         b = t.column("bin").to_numpy(zero_copy_only=False).astype(np.int64)
         n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -423,11 +422,11 @@ def quantiles_by(ds, key: str, value: str, qs: tuple = (0.5, 0.95, 0.99),
             out[f"q{int(q * 100)}"] = pa.array(vals, pa.float64())
         return pa.table(out)
 
+    from .exchange import hash_exchange
+
     bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
                                     zero_copy_batch=True)
-    return bucketed.groupby("__bucket").map_groups(
-        finalize_bucket, batch_format="pyarrow"
-    )
+    return hash_exchange(bucketed, num_buckets, finalize_bucket)
 
 
 def top_k_by_group(ds, group_col: str, order_col: str, k: int,
@@ -484,15 +483,11 @@ def top_k_by_group(ds, group_col: str, order_col: str, k: int,
             b = (pd.util.hash_array(gk) % num_buckets).astype(np.int32)
             return t.append_column("__bucket", pa.array(b))
 
+        from .exchange import hash_exchange
+
         bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
                                         zero_copy_batch=True)
-
-        def merge_bucket(t: pa.Table) -> pa.Table:
-            return partial(t.drop_columns(["__bucket"]))
-
-        return bucketed.groupby("__bucket").map_groups(
-            merge_bucket, batch_format="pyarrow"
-        )
+        return hash_exchange(bucketed, num_buckets, partial)
 
     tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
     if not tables:
@@ -615,12 +610,11 @@ def approx_distinct_by(ds, key: str, value: str, p: int = 11,
         b = (pd.util.hash_array(keys_np) % num_buckets).astype(np.int32)
         return t.append_column("__bucket", pa.array(b))
 
+    from .exchange import hash_exchange
+
     bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
                                     zero_copy_batch=True)
-    return bucketed.groupby("__bucket").map_groups(
-        lambda t: merge_table(t.drop_columns(["__bucket"])),
-        batch_format="pyarrow",
-    )
+    return hash_exchange(bucketed, num_buckets, merge_table)
 
 
 def _fixed_uint8_matrix(col, m: int) -> "np.ndarray":

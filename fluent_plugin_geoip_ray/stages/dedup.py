@@ -635,9 +635,9 @@ def _lsh_edges_distributed(sketches, exploded, hot, key_col: str, verify,
             "sig": sig_col.take(pa.array(order[pos])),
         })
 
-    attached = keyed.groupby("__xb").map_groups(
-        lambda g: attach(g.drop_columns(["__xb"])), batch_format="pyarrow"
-    )
+    from .exchange import hash_exchange
+
+    attached = hash_exchange(keyed, num_buckets, attach, bucket_col="__xb")
 
     # ---- exchange 2: bring both endpoints of a pair together + verify ----
     def pair_key(t: pa.Table) -> pa.Table:
@@ -666,11 +666,10 @@ def _lsh_edges_distributed(sketches, exploded, hot, key_col: str, verify,
                                          dtype=sb.dtype).cast(sig_type),
         })
 
-    judged = attached.map_batches(
-        pair_key, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("__xb").map_groups(
-        lambda g: verify_bucket(g.drop_columns(["__xb"])), batch_format="pyarrow"
-    ).materialize()
+    judged = hash_exchange(
+        attached.map_batches(pair_key, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        num_buckets, verify_bucket, bucket_col="__xb").materialize()
 
     verified = judged.map_batches(
         lambda t: t.filter(t.column("ok")).select(["a", "b"]),
@@ -710,12 +709,10 @@ def _lsh_edges_distributed(sketches, exploded, hot, key_col: str, verify,
         return pa.table({"a": pa.array(np.asarray(out_a, np.int64)),
                          "b": pa.array(np.asarray(out_b, np.int64))})
 
-    extra = failed.map_batches(
-        lambda t: hash_col(t, "bucket"), batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).groupby("__xb").map_groups(
-        lambda g: restar(g.drop_columns(["__xb"])), batch_format="pyarrow"
-    )
+    extra = hash_exchange(
+        failed.map_batches(lambda t: hash_col(t, "bucket"),
+                           batch_format="pyarrow", zero_copy_batch=True),
+        num_buckets, restar, bucket_col="__xb")
     return verified.union(extra)
 
 
@@ -975,9 +972,9 @@ def _drop_losers_ds(ds, losers_ds, key_col: str, num_buckets: int = 32):
         keep = ~np.isin(keys, lose) if len(lose) else np.ones(len(keys), bool)
         return rows.filter(pa.array(keep)).select(out_cols)
 
-    return both.groupby("__bucket").map_groups(
-        anti_filter, batch_format="pyarrow"
-    )
+    from .exchange import hash_exchange
+
+    return hash_exchange(both, num_buckets, anti_filter)
 
 
 def _resolve_clusters_and_drop(ds, edges, key_col: str, mode: str = "auto",
@@ -1315,12 +1312,12 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
             w += len(ii)
         return pa.table({"a": pa.array(out_a), "b": pa.array(out_b)})
 
-    pairs_raw = exploded.map_batches(
-        lambda t: hash_bucket(t, "gram"), batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).groupby("__xb").map_groups(
-        lambda g: emit_pairs(g.drop_columns(["__xb"])), batch_format="pyarrow"
-    )
+    from .exchange import hash_exchange
+
+    pairs_raw = hash_exchange(
+        exploded.map_batches(lambda t: hash_bucket(t, "gram"),
+                             batch_format="pyarrow", zero_copy_batch=True),
+        num_buckets, emit_pairs, bucket_col="__xb")
     pairs = groupby_agg(pairs_raw, ["a", "b"], [("a", "count", "__c")],
                         merge="bucketed")
 
@@ -1382,12 +1379,10 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
             "grams": gcol.take(pa.array(order[pos])),
         })
 
-    attached = unioned.map_batches(
-        lambda t: hash_bucket(t, "__jk"), batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).groupby("__xb").map_groups(
-        lambda g: attach(g.drop_columns(["__xb"])), batch_format="pyarrow"
-    )
+    attached = hash_exchange(
+        unioned.map_batches(lambda t: hash_bucket(t, "__jk"),
+                            batch_format="pyarrow", zero_copy_batch=True),
+        num_buckets, attach, bucket_col="__xb")
 
     # ---- exchange 2: pair up + exact Jaccard verify ----------------------
     def pair_bucket(t: pa.Table) -> pa.Table:
@@ -1415,12 +1410,10 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
             ok[i] = inter >= threshold * union
         return pa.table({"a": pa.array(a[0::2]), "ok": pa.array(ok)})
 
-    judged = attached.map_batches(
-        pair_bucket, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("__xb").map_groups(
-        lambda g: verify_bucket(g.drop_columns(["__xb"])),
-        batch_format="pyarrow",
-    )
+    judged = hash_exchange(
+        attached.map_batches(pair_bucket, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        num_buckets, verify_bucket, bucket_col="__xb")
     losers_ds = judged.map_batches(
         lambda t: pa.table({"node": t.filter(t.column("ok")).column("a")}),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -1653,11 +1646,13 @@ def decontaminate(ds, eval_ds, key_col: str = "doc_id",
         bad = ev[pos] == cg
         return pa.table({"node": pa.array(np.unique(ck[bad]).astype(np.int64))})
 
-    contaminated = cands.union(eval_side).map_batches(
-        add_bucket, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("__xb").map_groups(
-        lambda g: verify(g.drop_columns(["__xb"])), batch_format="pyarrow"
-    ).materialize()
+    from .exchange import hash_exchange
+
+    contaminated = hash_exchange(
+        cands.union(eval_side).map_batches(add_bucket,
+                                           batch_format="pyarrow",
+                                           zero_copy_batch=True),
+        num_buckets, verify, bucket_col="__xb").materialize()
 
     n_bad = contaminated.count()
     if mode == "flag":
@@ -1919,10 +1914,13 @@ def dedup_lines(ds, key_col: str = "doc_id", text_col: str = "text",
         return pa.table({"key": pa.array(ck[bad].astype(np.int64)),
                          "pos": pa.array(cp[bad].astype(np.int64))})
 
-    confirmed = cands.union(hot_side).map_batches(
-        line_bucket, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("__xb").map_groups(
-        lambda g: confirm(g.drop_columns(["__xb"])), batch_format="pyarrow")
+    from .exchange import hash_exchange
+
+    confirmed = hash_exchange(
+        cands.union(hot_side).map_batches(line_bucket,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True),
+        num_buckets, confirm, bucket_col="__xb")
 
     # co-locate confirmed removals with their docs: ONE exchange on key hash
     schema = ds.schema().base_schema
@@ -1983,5 +1981,4 @@ def dedup_lines(ds, key_col: str = "doc_id", text_col: str = "text",
             drop = np.zeros(len(lk), dtype=bool)
         return _rebuild_texts(docs_t, text_col, sep, values, offsets, drop)
 
-    return both.groupby("__bucket").map_groups(rebuild_bucket,
-                                               batch_format="pyarrow")
+    return hash_exchange(both, num_buckets, rebuild_bucket)

@@ -163,7 +163,9 @@ def bucketed_join(left_ds, right_ds, on: str, num_buckets: int = 32,
         rt = g.filter(pc.equal(side, 1)).select([on] + rnames)
         return lf.join(rt, keys=on, join_type=arrow_how)
 
-    return both.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+    from .exchange import hash_exchange
+
+    return hash_exchange(both, num_buckets, join_bucket)
 
 
 def _asof_keys_np(col):
@@ -340,8 +342,9 @@ def asof_join_big(left_ds, right_ds, on: str, by: str, right_cols: dict,
             out = out.append_column(name, col.take(idx_arr))
         return out
 
-    return both.groupby("__bucket").map_groups(match_bucket,
-                                               batch_format="pyarrow")
+    from .exchange import hash_exchange
+
+    return hash_exchange(both, num_buckets, match_bucket)
 
 
 def range_join(ds, intervals, value_col: str, out_cols: dict,
@@ -508,5 +511,6 @@ def range_join_big(left_ds, intervals_ds, value_col: str, by: str,
             out = out.append_column(name, col.take(final))
         return out
 
-    return both.groupby("__bucket").map_groups(match_bucket,
-                                               batch_format="pyarrow")
+    from .exchange import hash_exchange
+
+    return hash_exchange(both, num_buckets, match_bucket)

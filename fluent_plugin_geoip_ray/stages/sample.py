@@ -140,12 +140,11 @@ def sample_per_group(ds, group_col: str, key_col: str, k: int, seed: int = 0,
             b = (pd.util.hash_array(gk) % num_buckets).astype(np.int32)
             return t.append_column("__bucket", pa.array(b))
 
+        from .exchange import hash_exchange
+
         bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
                                         zero_copy_batch=True)
-        return bucketed.groupby("__bucket").map_groups(
-            lambda t: partial(t.drop_columns(["__bucket"])),
-            batch_format="pyarrow",
-        )
+        return hash_exchange(bucketed, num_buckets, partial)
 
     tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
     if not tables:

@@ -279,9 +279,8 @@ def _session_windows_scan(ds, key: str, ts_col: str, gap_sec: int,
         b = (pd.util.hash_array(kn) % num_buckets).astype(np.int32)
         return t.append_column("__bucket", pa.array(b))
 
+    from .exchange import hash_exchange
+
     bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
                                     zero_copy_batch=True)
-    return bucketed.groupby("__bucket").map_groups(
-        lambda t: _finalize(t.drop_columns(["__bucket"])),
-        batch_format="pyarrow",
-    )
+    return hash_exchange(bucketed, num_buckets, _finalize)
