@@ -405,6 +405,34 @@ def q_profile(sf_dir: str):
     return profile(ds)
 
 
+def q_lm_score(sf_dir: str):
+    """Count-based bigram LM affinity (the KenLM-perplexity-filter analog
+    in exact integer arithmetic): reference = every 10th doc; score the
+    rest by sum of fixed-point MLE P(w2|w1) over their bigrams.  Integer
+    division keeps the score bit-exact, so the SQL oracle verifies the
+    whole model independently."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import ngram_lm_affinity
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def split(t: pa.Table, want_ref: bool) -> pa.Table:
+        import numpy as np
+
+        m = t.column("doc_id").to_numpy(zero_copy_only=False) % 10 == 0
+        return t.filter(pa.array(m if want_ref else ~m))
+
+    ref = ds.map_batches(lambda t: split(t, True),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    corpus = ds.map_batches(lambda t: split(t, False),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    return ngram_lm_affinity(corpus, ref).select_columns(
+        ["doc_id", "lm_affinity"])
+
+
 def q_vocab(sf_dir: str):
     """Corpus token vocabulary: top-20 whitespace tokens by count with
     deterministic tie-break (count desc, token asc) -- SQL-oracle-backed."""
@@ -1211,6 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
         "vocab": q_vocab,
+        "lm_score": q_lm_score,
         "profile": q_profile,
         "dedup_simhash": q_dedup_simhash,
         "knn": q_knn,
@@ -1596,6 +1625,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
                    CAST(sum(n_chars) AS DOUBLE) / count(n_chars)
             FROM documents""",
+        # bigram LM affinity: integer fixed-point MLE P(w2|w1) summed per
+        # doc -- bit-exact across engines (// is integer division)
+        "lm_score": r"""
+            WITH tok AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents
+            ),
+            tokexp AS (
+              SELECT doc_id, unnest(toks) AS w,
+                     unnest(range(1, len(toks) + 1)) AS p
+              FROM tok
+            ),
+            tokf AS (
+              SELECT doc_id, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY p) AS p
+              FROM tokexp WHERE w <> ''
+            ),
+            uni AS (SELECT w, count(*) AS c FROM tokf
+                    WHERE doc_id % 10 = 0 GROUP BY w),
+            bi AS (
+              SELECT a.w AS w1, b.w AS w2, count(*) AS c
+              FROM tokf a JOIN tokf b
+                ON b.doc_id = a.doc_id AND b.p = a.p + 1
+              WHERE a.doc_id % 10 = 0 GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT a.doc_id, a.w AS w1, b.w AS w2
+              FROM tokf a JOIN tokf b
+                ON b.doc_id = a.doc_id AND b.p = a.p + 1
+              WHERE a.doc_id % 10 <> 0
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(sum(
+                     (coalesce(bi.c, 0) * 1000000) // coalesce(uni.c, 1)
+                   ), 0) AS BIGINT) AS lm_affinity
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+            LEFT JOIN pairs p ON p.doc_id = d.doc_id
+            LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+            LEFT JOIN uni ON uni.w = p.w1
+            GROUP BY d.doc_id""",
         # token vocabulary: whitespace-split lowered tokens, empty tokens
         # dropped; top-20 by count with token-ascending tie-break
         "vocab": r"""

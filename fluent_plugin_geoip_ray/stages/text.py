@@ -382,3 +382,134 @@ def build_vocab(ds, text_col: str = "text", min_count: int = 1,
     if top is None:
         return vocab
     return top_k(vocab, "count", k=top, tie_breakers=["token"])
+
+
+def ngram_lm_affinity(ds, ref_ds, text_col: str = "text",
+                      scale: int = 1_000_000,
+                      broadcast_limit: int = 20_000_000,
+                      batch_size: int = 65536):
+    """Count-based bigram LM affinity scoring -- the exact-arithmetic
+    analog of the CCNet/KenLM perplexity quality filter: score each doc by
+    how well its word bigrams match a REFERENCE corpus's distribution.
+
+    score(doc) = sum over bigram positions of
+    ``(c_ref(w1 w2) * scale) // c_ref(w1)`` -- the MLE ``P(w2|w1)`` in
+    fixed-point, summed as INTEGERS, so the score is reproducible
+    bit-for-bit across engines (no float log, no sum-order sensitivity;
+    that is why this is an independently SQL-verifiable "model" filter).
+    Unseen bigrams contribute 0; docs with < 2 tokens score 0.  Higher =
+    more in-distribution; filter/split on the score downstream.
+
+    Scale shape: reference counts stream through :func:`build_vocab`-style
+    partial+final aggregates (one row per distinct gram; ref text never
+    broadcast).  The count tables broadcast once via ``ray.put`` under
+    ``broadcast_limit`` distinct grams and every corpus batch probes them
+    with ``pc.index_in`` (one C pass per batch); above the limit raise --
+    a reference corpus is a curated sample by construction (CCNet uses
+    Wikipedia), not the 100 TB side.
+    """
+    import ray
+
+    from .aggregate import groupby_agg
+
+    def tokens_flat(t: pa.Table):
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(t.column(text_col)), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        flat = toks.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        # drop empty tokens, repairing offsets
+        kept_per = np.add.reduceat(keep.astype(np.int64), off[:-1]) \
+            if len(off) > 1 and len(keep) else np.zeros(len(off) - 1, np.int64)
+        kept_per[np.diff(off) == 0] = 0
+        new_off = np.zeros(len(off), dtype=np.int64)
+        np.cumsum(kept_per, out=new_off[1:])
+        return flat.filter(pa.array(keep)), new_off
+
+    def gram_tables(t: pa.Table) -> pa.Table:
+        flat, off = tokens_flat(t)
+        n = len(flat)
+        uni = pa.table({"g": flat}).group_by("g").aggregate([([], "count_all")])
+        # bigrams within doc boundaries
+        if n >= 2:
+            valid = np.ones(n - 1, dtype=bool)
+            # kill pairs crossing doc ends; empty docs make boundary
+            # indices fall outside [0, n-2] -- no pair exists there
+            bidx_ = off[1:-1] - 1
+            bidx_ = bidx_[(bidx_ >= 0) & (bidx_ <= n - 2)]
+            valid[bidx_] = False
+            w1 = flat.slice(0, n - 1).filter(pa.array(valid))
+            w2 = flat.slice(1, n - 1).filter(pa.array(valid))
+            bi = pc.binary_join_element_wise(w1, w2, " ")
+            bit = pa.table({"g": bi}).group_by("g").aggregate(
+                [([], "count_all")])
+        else:
+            bit = pa.table({"g": pa.array([], pa.string()),
+                            "count_all": pa.array([], pa.int64())})
+        uni = uni.append_column("k", pa.array(
+            np.zeros(uni.num_rows, np.int8)))
+        bit = bit.append_column("k", pa.array(np.ones(bit.num_rows, np.int8)))
+        out = pa.concat_tables([uni, bit]).rename_columns(["g", "n", "k"])
+        return out
+
+    partials = ref_ds.map_batches(gram_tables, batch_format="pyarrow",
+                                  zero_copy_batch=True, batch_size=batch_size)
+    counts = groupby_agg(partials, ["g", "k"], [("n", "sum", "n")],
+                         merge="bucketed").materialize()
+    n_grams = counts.count()
+    if n_grams > broadcast_limit:
+        raise ValueError(
+            f"ngram_lm_affinity: reference has {n_grams} distinct grams >"
+            f" broadcast_limit={broadcast_limit}; sample the reference"
+            " corpus (it is the small curated side by construction)")
+    tabs = [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
+    allc = pa.concat_tables(tabs).combine_chunks() if tabs else pa.table(
+        {"g": pa.array([], pa.string()), "k": pa.array([], pa.int8()),
+         "n": pa.array([], pa.int64())})
+    kk = allc.column("k").to_numpy(zero_copy_only=False)
+    uni_t = allc.filter(pa.array(kk == 0))
+    bi_t = allc.filter(pa.array(kk == 1))
+    state = ray.put((uni_t.column("g").combine_chunks(),
+                     uni_t.column("n").to_numpy(zero_copy_only=False),
+                     bi_t.column("g").combine_chunks(),
+                     bi_t.column("n").to_numpy(zero_copy_only=False)))
+
+    def score(t: pa.Table) -> pa.Table:
+        ug, uc, bg, bc = ray.get(state)
+        flat, off = tokens_flat(t)
+        n_docs = len(off) - 1
+        n = len(flat)
+        out = np.zeros(n_docs, dtype=np.int64)
+        if n >= 2 and len(bg):
+            valid = np.ones(n - 1, dtype=bool)
+            bidx_ = off[1:-1] - 1
+            bidx_ = bidx_[(bidx_ >= 0) & (bidx_ <= n - 2)]
+            valid[bidx_] = False
+            w1 = flat.slice(0, n - 1).filter(pa.array(valid))
+            bi = pc.binary_join_element_wise(
+                w1, flat.slice(1, n - 1).filter(pa.array(valid)), " ")
+            bidx = pc.index_in(bi, value_set=bg).to_numpy(
+                zero_copy_only=False)
+            uidx = pc.index_in(w1, value_set=ug).to_numpy(
+                zero_copy_only=False)
+            got = ~np.isnan(bidx)
+            cb = np.zeros(len(bidx), dtype=np.int64)
+            cu = np.ones(len(bidx), dtype=np.int64)
+            cb[got] = bc[bidx[got].astype(np.int64)]
+            gotu = ~np.isnan(uidx)
+            cu[gotu] = uc[uidx[gotu].astype(np.int64)]
+            term = (cb * np.int64(scale)) // cu
+            # per-doc sums: map each bigram position to its doc
+            docs = np.repeat(np.arange(n_docs, dtype=np.int64),
+                             np.maximum(np.diff(off) - 1, 0))
+            np.add.at(out, docs, term)
+        return t.append_column("lm_affinity", pa.array(out))
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)

@@ -2,6 +2,7 @@
 fingerprint)."""
 
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from fluent_plugin_geoip_ray.stages.text import (
@@ -189,3 +190,55 @@ def test_build_vocab_counts_and_topk():
     topt = build_vocab(ds, top=3).to_pandas()
     expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert list(map(tuple, topt[["token", "count"]].to_numpy())) == expect
+
+
+def _lm_bruteforce(ref_texts, texts, scale=1_000_000):
+    from collections import Counter
+
+    uni, bi = Counter(), Counter()
+    for s in ref_texts:
+        ws = [w for w in s.lower().split() if w]
+        uni.update(ws)
+        bi.update(zip(ws, ws[1:]))
+    scores = []
+    for s in texts:
+        ws = [w for w in s.lower().split() if w]
+        total = 0
+        for a, b in zip(ws, ws[1:]):
+            cb = bi.get((a, b), 0)
+            cu = uni.get(a, 1)        # cb=0 whenever cu missing
+            total += (cb * scale) // cu
+        scores.append(total)
+    return scores
+
+
+def test_ngram_lm_affinity_matches_bruteforce():
+    import numpy as np
+
+    from fluent_plugin_geoip_ray.stages.text import ngram_lm_affinity
+
+    rng = np.random.default_rng(5)
+    words = "the cat dog sat mat ran big red on a".split()
+    ref_texts = [" ".join(rng.choice(words, size=rng.integers(2, 30)))
+                 for _ in range(30)]
+    texts = ([" ".join(rng.choice(words, size=rng.integers(0, 25)))
+              for _ in range(20)]
+             + ["", "single", "  the   cat  ", "zzz qqq unseen grams"])
+    ref = _lm_bruteforce(ref_texts, texts)
+    rds = rd.from_arrow(pa.table({"text": pa.array(ref_texts)})).repartition(3)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})).repartition(4)
+    out = ngram_lm_affinity(ds, rds).to_pandas().sort_values("doc_id")
+    assert list(out["lm_affinity"]) == ref
+    # in-distribution text scores higher than unseen-gram text
+    assert out["lm_affinity"].iloc[-2] > out["lm_affinity"].iloc[-1] == 0
+
+
+def test_ngram_lm_affinity_ref_limit():
+    from fluent_plugin_geoip_ray.stages.text import ngram_lm_affinity
+
+    t = pa.table({"text": pa.array(["a b c d e f g"])})
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        ngram_lm_affinity(rd.from_arrow(t), rd.from_arrow(t),
+                          broadcast_limit=2)
