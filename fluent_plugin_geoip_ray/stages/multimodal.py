@@ -27,7 +27,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-from . import avic, jpegc
+from . import avic, jpegc, mp4c
 
 IMAGE_META_TYPE = pa.struct(
     [("format", pa.string()), ("width", pa.int32()), ("height", pa.int32())]
@@ -461,11 +461,14 @@ class ExtractImageFeatures:
 class SampleFrames:
     """Video frame sampling: one payload row -> every ``stride``-th frame row.
 
-    REAL for MJPEG-in-AVI (``avic.extract_frames`` walks the RIFF container;
-    each emitted frame is a standalone baseline JPEG decodable downstream by
-    ``DecodeImage``).  Other containers need ffmpeg (absent): ``strict=True``
-    raises, otherwise the deterministic stand-in slices the payload into
-    ``frame_size`` chunks -- same plumbing shape, clearly fake content."""
+    REAL for MJPEG-in-AVI (``avic.extract_frames`` walks the RIFF container)
+    and for MP4 (``mp4c.sample_ranges`` walks the ISO BMFF sample tables);
+    emitted frames are standalone baseline JPEGs decodable downstream by
+    ``DecodeImage`` when the codec is (M)JPEG -- H.264 payloads demux
+    correctly but need an absent codec to decode.  Other containers:
+    ``strict=True`` raises, otherwise the deterministic stand-in slices the
+    payload into ``frame_size`` chunks -- same plumbing shape, clearly fake
+    content."""
 
     def __init__(self, frame_size: int = 256, stride: int = 4,
                  strict: bool = False):
@@ -486,9 +489,18 @@ class SampleFrames:
                         indices.append(f)
                         frames.append(frame)
                 continue
+            if mp4c.is_mp4(data):
+                # real ISO BMFF demux (stsz/stsc/stco walk); payloads are
+                # decodable downstream only for 'jpeg' sample entries
+                for f, frame in enumerate(mp4c.extract_frames(data)):
+                    if f % self.stride == 0:
+                        ids.append(mids[i])
+                        indices.append(f)
+                        frames.append(frame)
+                continue
             if self.strict:
                 raise NotImplementedError(
-                    "frame sampling of non-AVI containers needs ffmpeg, "
+                    "frame sampling of non-AVI/MP4 containers needs ffmpeg, "
                     "absent from this container"
                 )
             n_frames = max(len(data) // self.frame_size, 1)
