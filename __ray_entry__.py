@@ -347,6 +347,23 @@ def q_epoch_shuffle(sf_dir: str):
         ["doc_id", "lang", "shuffle_pos"])
 
 
+def q_select_top(sf_dir: str):
+    """Exact global top-fraction curation: keep the top 25% of docs by
+    whitespace token count, deterministic doc_id tie-break.  Only a
+    (doc_id, n_tokens) projection is sorted; text never shuffles."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.sample import select_top_fraction
+    from fluent_plugin_geoip_ray.stages.text import token_count
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    scored = ds.map_batches(token_count, batch_format="pyarrow",
+                            zero_copy_batch=True).select_columns(
+        ["doc_id", "n_tokens"])
+    return select_top_fraction(scored, "n_tokens", "doc_id", 0.25)
+
+
 def q_repetition(sf_dir: str):
     """Gopher-style intra-doc repetition signals (top/duplicated word-2-gram
     char fractions) -- SQL-oracle-backed."""
@@ -1236,6 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "chunk_docs": q_chunk_docs,
         "epoch_shuffle": q_epoch_shuffle,
+        "select_top": q_select_top,
         "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
         "vocab": q_vocab,
@@ -1684,6 +1702,24 @@ def oracle_sql() -> dict[str, str]:
                           % 18446744073709551616 AS UBIGINT)
                    ) - 1 AS BIGINT) AS shuffle_pos
             FROM documents""",
+        # exact top-fraction: same token count as the token_count oracle,
+        # ROW_NUMBER over (score DESC, doc_id) vs the engine's threshold-row
+        # selection -- membership must match EXACTLY, ties included
+        "select_top": r"""
+            WITH sc AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(text, '\s+')) END
+                       AS n_tokens
+              FROM documents
+            ),
+            ranked AS (
+              SELECT doc_id, n_tokens,
+                     ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn,
+                     COUNT(*) OVER () AS n
+              FROM sc
+            )
+            SELECT doc_id, n_tokens FROM ranked WHERE rn <= floor(n * 0.25)""",
         # Gopher-style repetition: per doc, weight(gram) = occurrences *
         # gram token chars; top = max over 2-grams, dup = sum where
         # occurrences >= 2, both / total token chars (0 when no grams)

@@ -257,3 +257,77 @@ def epoch_shuffle(ds, key_col: str, seed: int = 0,
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow",
                                  zero_copy_batch=True, batch_size=None)
+
+
+def select_top_fraction(ds, score_col: str, key_col: str, fraction: float,
+                        descending: bool = True):
+    """Exact global top-``fraction`` selection by ``score_col`` -- the
+    quality-percentile curation primitive ("keep the best 25% of the corpus
+    by score"), with deterministic ``key_col`` tie-breaking so the kept set
+    is EXACT and auditable, not approximate.
+
+    100 TB shape: the full rows never shuffle.  Only a (key, score)
+    PROJECTION (~16 B/row) goes through the one unavoidable all-to-all (a
+    distributed sort); the global K-th threshold row is then located from
+    O(blocks) per-block summaries -- the driver holds O(blocks) scalars plus
+    ONE projection block -- and selection is a single streaming broadcast-
+    threshold filter over the original dataset.  Equivalent SQL:
+    ``ROW_NUMBER() OVER (ORDER BY score DESC, key) <= floor(n * fraction)``.
+
+    ``descending=True`` keeps the LARGEST scores.  Keys must be unique
+    (same contract as :func:`epoch_shuffle`); scores may tie arbitrarily.
+    """
+    import ray
+
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+
+    proj = ds.select_columns([key_col, score_col])
+
+    def add_sort_key(t: pa.Table) -> pa.Table:
+        s = t.column(score_col)
+        if descending:
+            s = pc.negate_checked(s)
+        return t.append_column("__s", s)
+
+    sorted_proj = (proj.map_batches(add_sort_key, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                   .sort(["__s", key_col]).materialize())
+    refs = sorted_proj.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def block_summary(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        return (t.column("__s")[0].as_py(), t.column(key_col)[0].as_py(),
+                t.num_rows)
+
+    summaries = ray.get([block_summary.remote(r) for r in refs])
+    live = [(s, i) for i, s in enumerate(summaries) if s is not None]
+    total = sum(s[2] for s, _ in live)
+    k = int(np.floor(total * fraction))
+    if k <= 0:
+        return ds.map_batches(lambda t: t.slice(0, 0),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    if k >= total:
+        return ds
+
+    # blocks are contiguous ranges of the total order; (first __s, first key)
+    # is unique per block (unique keys), so sorting summaries recovers order
+    live.sort(key=lambda e: (e[0][0], e[0][1]))
+    counts = np.array([s[2] for s, _ in live], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    j = int(np.searchsorted(offsets, k - 1, side="right")) - 1
+    thr_block = ray.get(refs[live[j][1]])
+    row = (k - 1) - int(offsets[j])
+    s_thr = thr_block.column(score_col)[row].as_py()
+    key_thr = thr_block.column(key_col)[row].as_py()
+
+    def keep(t: pa.Table) -> pa.Table:
+        s = t.column(score_col)
+        strictly = pc.greater(s, s_thr) if descending else pc.less(s, s_thr)
+        at_thr = pc.and_(pc.equal(s, s_thr),
+                         pc.less_equal(t.column(key_col), key_thr))
+        return t.filter(pc.fill_null(pc.or_(strictly, at_thr), False))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -149,3 +149,62 @@ def test_epoch_shuffle_output_is_block_ordered():
         for tb in ray.get(out.to_arrow_refs()) if tb.num_rows
     ])
     assert (np.diff(pos) == 1).all() and pos[0] == 0
+
+
+def _top_frac_ref(df, score, key, frac, descending=True):
+    n = len(df)
+    k = int(np.floor(n * frac))
+    asc = [not descending, True]
+    return set(df.sort_values([score, key], ascending=asc).head(k)[key])
+
+
+def test_select_top_fraction_exact_with_ties():
+    from fluent_plugin_geoip_ray.stages.sample import select_top_fraction
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        # heavy ties: scores drawn from just 12 values, so the threshold
+        # row is inside a long tie run and key tie-breaking is load-bearing
+        "score": pa.array(rng.integers(0, 12, n).astype(np.int64)),
+    })
+    df = t.to_pandas()
+    for frac in (0.25, 0.5, 0.9):
+        ds = rd.from_arrow(t).repartition(13)
+        out = select_top_fraction(ds, "score", "id", frac).to_pandas()
+        assert set(out["id"]) == _top_frac_ref(df, "score", "id", frac)
+
+
+def test_select_top_fraction_ascending_floats_and_edges():
+    from fluent_plugin_geoip_ray.stages.sample import select_top_fraction
+
+    rng = np.random.default_rng(3)
+    n = 999
+    t = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "score": pa.array(rng.normal(size=n)),
+    })
+    ds = rd.from_arrow(t).repartition(7)
+    out = select_top_fraction(ds, "score", "id", 0.1,
+                              descending=False).to_pandas()
+    assert set(out["id"]) == _top_frac_ref(t.to_pandas(), "score", "id",
+                                           0.1, descending=False)
+    assert select_top_fraction(rd.from_arrow(t), "score", "id", 0.0).count() == 0
+    assert select_top_fraction(rd.from_arrow(t), "score", "id", 1.0).count() == n
+
+
+def test_select_top_fraction_string_keys_partition_invariant():
+    from fluent_plugin_geoip_ray.stages.sample import select_top_fraction
+
+    n = 800
+    t = pa.table({
+        "id": pa.array([f"doc-{i:05d}" for i in range(n)]),
+        "score": pa.array((np.arange(n, dtype=np.int64) * 7) % 5),
+    })
+    expect = _top_frac_ref(t.to_pandas(), "score", "id", 0.33)
+    for parts in (1, 4, 17):
+        ds = rd.from_arrow(t).repartition(parts)
+        got = set(select_top_fraction(ds, "score", "id", 0.33)
+                  .to_pandas()["id"])
+        assert got == expect
