@@ -347,6 +347,25 @@ def q_epoch_shuffle(sf_dir: str):
         ["doc_id", "lang", "shuffle_pos"])
 
 
+def q_dsir(sf_dir: str):
+    """DSIR-style contrastive importance scoring in exact integer
+    arithmetic: target = English docs; every doc scored by the fixed-point
+    probability difference of its unigram+bigram distribution vs target
+    and raw corpora.  The ENTIRE model (counts, weights, scores) is
+    replicated in SQL, so this is independently oracle-verified."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import dsir_importance
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    tgt = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang"), "en")),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return dsir_importance(ds, tgt).select_columns(["doc_id", "dsir_score"])
+
+
 def q_select_top(sf_dir: str):
     """Exact global top-fraction curation: keep the top 25% of docs by
     whitespace token count, deterministic doc_id tie-break.  Only a
@@ -1254,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": q_chunk_docs,
         "epoch_shuffle": q_epoch_shuffle,
         "select_top": q_select_top,
+        "dsir": q_dsir,
         "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
         "vocab": q_vocab,
@@ -1702,6 +1722,51 @@ def oracle_sql() -> dict[str, str]:
                           % 18446744073709551616 AS UBIGINT)
                    ) - 1 AS BIGINT) AS shuffle_pos
             FROM documents""",
+        # DSIR contrastive importance: unigram+bigram occurrences, weight =
+        # scale*p_target - scale*p_raw in floor-rounded fixed point, score =
+        # sum over the doc's gram occurrences -- all integer, bit-exact
+        "dsir": r"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     string_split_regex(lower(text), '\s+') AS toks
+              FROM documents
+            ),
+            tokexp AS (
+              SELECT doc_id, lang, unnest(toks) AS w,
+                     unnest(range(1, len(toks) + 1)) AS p
+              FROM tok
+            ),
+            tokf AS (
+              SELECT doc_id, lang, w,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY p) AS p
+              FROM tokexp WHERE w <> ''
+            ),
+            grams AS (
+              SELECT doc_id, lang, w AS g FROM tokf
+              UNION ALL
+              SELECT a.doc_id, a.lang, a.w || ' ' || b.w
+              FROM tokf a JOIN tokf b
+                ON b.doc_id = a.doc_id AND b.p = a.p + 1
+            ),
+            tc AS (SELECT g, count(*) AS c FROM grams
+                   WHERE lang = 'en' GROUP BY g),
+            rc AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+            nt AS (SELECT count(*) AS n FROM grams WHERE lang = 'en'),
+            nr AS (SELECT count(*) AS n FROM grams),
+            wt AS (
+              SELECT rc.g,
+                     (coalesce(tc.c, 0) * 1000000000)
+                       // greatest((SELECT n FROM nt), 1)
+                     - (rc.c * 1000000000)
+                       // greatest((SELECT n FROM nr), 1) AS w
+              FROM rc LEFT JOIN tc ON tc.g = rc.g
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(sum(wt.w), 0) AS BIGINT) AS dsir_score
+            FROM documents d
+            LEFT JOIN grams gr ON gr.doc_id = d.doc_id
+            LEFT JOIN wt ON wt.g = gr.g
+            GROUP BY d.doc_id""",
         # exact top-fraction: same token count as the token_count oracle,
         # ROW_NUMBER over (score DESC, doc_id) vs the engine's threshold-row
         # selection -- membership must match EXACTLY, ties included

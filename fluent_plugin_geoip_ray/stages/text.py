@@ -384,6 +384,30 @@ def build_vocab(ds, text_col: str = "text", min_count: int = 1,
     return top_k(vocab, "count", k=top, tie_breakers=["token"])
 
 
+def _text_tokens_flat(t: pa.Table, text_col: str):
+    """Lowered whitespace tokens of a batch as (flat token array, per-row
+    offsets), empty tokens dropped with offsets repaired -- the shared
+    tokenization of the LM-affinity and DSIR scorers."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(t.column(text_col)), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    flat = toks.flatten()
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+        zero_copy_only=False)
+    # drop empty tokens, repairing offsets
+    kept_per = np.add.reduceat(keep.astype(np.int64), off[:-1]) \
+        if len(off) > 1 and len(keep) else np.zeros(len(off) - 1, np.int64)
+    kept_per[np.diff(off) == 0] = 0
+    new_off = np.zeros(len(off), dtype=np.int64)
+    np.cumsum(kept_per, out=new_off[1:])
+    return flat.filter(pa.array(keep)), new_off
+
+
 def ngram_lm_affinity(ds, ref_ds, text_col: str = "text",
                       scale: int = 1_000_000,
                       broadcast_limit: int = 20_000_000,
@@ -413,24 +437,7 @@ def ngram_lm_affinity(ds, ref_ds, text_col: str = "text",
     from .aggregate import groupby_agg
 
     def tokens_flat(t: pa.Table):
-        toks = pc.split_pattern_regex(
-            pc.utf8_lower(t.column(text_col)), r"\s+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        off = off - off[0]
-        flat = toks.flatten()
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
-            zero_copy_only=False)
-        # drop empty tokens, repairing offsets
-        kept_per = np.add.reduceat(keep.astype(np.int64), off[:-1]) \
-            if len(off) > 1 and len(keep) else np.zeros(len(off) - 1, np.int64)
-        kept_per[np.diff(off) == 0] = 0
-        new_off = np.zeros(len(off), dtype=np.int64)
-        np.cumsum(kept_per, out=new_off[1:])
-        return flat.filter(pa.array(keep)), new_off
+        return _text_tokens_flat(t, text_col)
 
     def gram_tables(t: pa.Table) -> pa.Table:
         flat, off = tokens_flat(t)
@@ -510,6 +517,221 @@ def ngram_lm_affinity(ds, ref_ds, text_col: str = "text",
                              np.maximum(np.diff(off) - 1, 0))
             np.add.at(out, docs, term)
         return t.append_column("lm_affinity", pa.array(out))
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=batch_size)
+
+
+# --------------------------------------------------------------------------
+# DSIR-style contrastive importance scoring
+# --------------------------------------------------------------------------
+
+_FNV_PRIME = np.uint64(1099511628211)
+_FNV_BASIS = np.uint64(14695981039346656037)
+
+
+def _hash_strings(arr: pa.Array) -> np.ndarray:
+    """Vectorized polynomial byte hash of a pyarrow string array ->
+    uint64 per string (h = h * FNV_PRIME + byte, mod 2^64).  No per-row
+    Python: one pass over the flat UTF-8 buffer with reduceat-style
+    position arithmetic."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                        count=n + 1, offset=arr.offset * 4).astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[off[0]:off[-1]]
+    off = off - off[0]
+    lens = np.diff(off)
+    total = int(off[-1])
+    with np.errstate(over="ignore"):
+        if total == 0:
+            return np.full(n, _FNV_BASIS, dtype=np.uint64)
+        # byte position within its string; exponent = len - 1 - pos
+        pos = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], lens)
+        maxlen = int(lens.max())
+        powers = np.empty(maxlen, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for i in range(1, maxlen):        # O(max string length), not O(rows)
+            powers[i] = powers[i - 1] * _FNV_PRIME
+        expo = np.repeat(lens, lens) - 1 - pos
+        terms = data.astype(np.uint64) * powers[expo]
+        out = np.full(n, _FNV_BASIS, dtype=np.uint64)
+        nz = lens > 0
+        # basis * P^len + poly(bytes)
+        sums = np.add.reduceat(terms, off[:-1][nz]) if nz.any() else None
+        if sums is not None:
+            out[nz] = _FNV_BASIS * powers_at(powers, lens[nz]) + sums
+    return out
+
+
+def powers_at(powers: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """P^len for each length, extending the table on demand (mod 2^64)."""
+    with np.errstate(over="ignore"):
+        maxl = int(lens.max())
+        if maxl < len(powers):
+            return powers[lens]
+        ext = np.empty(maxl + 1, dtype=np.uint64)
+        ext[:len(powers)] = powers
+        for i in range(len(powers), maxl + 1):
+            ext[i] = ext[i - 1] * _FNV_PRIME
+        return ext[lens]
+
+
+def _gram_occurrences(t: pa.Table, text_col: str):
+    """(grams, doc_idx, n_docs): one row per unigram AND bigram OCCURRENCE
+    (the DSIR feature space), with each occurrence's local doc index."""
+    flat, off = _text_tokens_flat(t, text_col)
+    n = len(flat)
+    n_docs = len(off) - 1
+    per_doc = np.diff(off)
+    uni_docs = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    if n >= 2:
+        valid = np.ones(n - 1, dtype=bool)
+        bidx = off[1:-1] - 1
+        bidx = bidx[(bidx >= 0) & (bidx <= n - 2)]
+        valid[bidx] = False
+        w1 = flat.slice(0, n - 1).filter(pa.array(valid))
+        w2 = flat.slice(1, n - 1).filter(pa.array(valid))
+        bi = pc.binary_join_element_wise(w1, w2, " ")
+        bi_docs = np.repeat(np.arange(n_docs, dtype=np.int64),
+                            np.maximum(per_doc - 1, 0))
+    else:
+        bi = pa.array([], pa.string())
+        bi_docs = np.zeros(0, dtype=np.int64)
+    grams = pa.concat_arrays([
+        flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat,
+        bi.combine_chunks() if isinstance(bi, pa.ChunkedArray) else bi])
+    return grams, np.concatenate([uni_docs, bi_docs]), n_docs
+
+
+def dsir_importance(ds, target_ds, text_col: str = "text",
+                    score_col: str = "dsir_score",
+                    num_buckets: int | None = None,
+                    scale: int = 1_000_000_000,
+                    broadcast_limit: int = 20_000_000,
+                    batch_size: int = 65536):
+    """DSIR-style data selection scoring (Xie et al., arXiv:2302.03169) in
+    exact integer arithmetic: score every doc by how much its word
+    unigram+bigram distribution looks like a small TARGET corpus vs the raw
+    corpus itself.
+
+    Fixed-point analog of DSIR's log-likelihood-ratio: per gram ``g``,
+    ``weight(g) = (c_target(g)*scale)//N_target - (c_raw(g)*scale)//N_raw``
+    (``scale``-scaled probability difference, floor-rounded -- INTEGER, so
+    scores are bit-reproducible and the exact mode is independently
+    SQL-verifiable).  ``score(doc) = sum of weight(g) over the doc's gram
+    OCCURRENCES``; weights are bounded by ``scale`` so scores stay in int64
+    regardless of corpus size.  Select downstream with
+    :func:`~.sample.select_top_fraction` (DSIR's resampling step).
+
+    Two modes:
+
+    * exact (``num_buckets=None``): weights keyed by gram string.  Both
+      count tables stream through ``groupby_agg``'s bucketed exchange (one
+      row per DISTINCT gram leaves a node); the raw-corpus table broadcasts
+      once under ``broadcast_limit`` distinct grams, else raises pointing
+      at hashed mode.
+    * hashed (``num_buckets=B``, the 100 TB path -- DSIR's own design):
+      grams hash into ``B`` buckets via a vectorized FNV-style polynomial
+      byte hash; per-batch partials are nonzero ``(bucket, n)`` rows
+      (bincount -- gram strings NEVER leave the node), the merged table is
+      at most ``B`` rows, and the weight vector is one dense broadcast
+      int64 array.  No string exchange anywhere; collisions merge features
+      exactly as in the paper.
+
+    ``ds`` is read twice (count pass + scoring pass): pass a re-readable
+    Dataset (e.g. a parquet read), not an exhausted iterator.
+    """
+    import ray
+
+    from .aggregate import groupby_agg
+
+    hashed = num_buckets is not None
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        grams, _, _ = _gram_occurrences(t, text_col)
+        if hashed:
+            b = (_hash_strings(grams) % np.uint64(num_buckets)).astype(
+                np.int64)
+            cnt = np.bincount(b, minlength=0)
+            nz = np.nonzero(cnt)[0]
+            return pa.table({"g": pa.array(nz.astype(np.int64)),
+                             "n": pa.array(cnt[nz].astype(np.int64))})
+        g = pa.table({"g": grams}).group_by("g").aggregate([([], "count_all")])
+        return g.rename_columns(["g", "n"])
+
+    def counts_of(d):
+        partials = d.map_batches(count_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=batch_size)
+        return groupby_agg(partials, ["g"], [("n", "sum", "n")],
+                           merge="bucketed").materialize()
+
+    raw_counts = counts_of(ds)
+    tgt_counts = counts_of(target_ds)
+
+    def collect(d) -> pa.Table:
+        tabs = [t for t in ray.get(d.to_arrow_refs()) if t.num_rows]
+        gtype = pa.int64() if hashed else pa.string()
+        if not tabs:
+            return pa.table({"g": pa.array([], gtype),
+                             "n": pa.array([], pa.int64())})
+        return pa.concat_tables(tabs).combine_chunks()
+
+    if not hashed:
+        n_distinct = raw_counts.count()
+        if n_distinct > broadcast_limit:
+            raise ValueError(
+                f"dsir_importance exact mode: {n_distinct} distinct grams >"
+                f" broadcast_limit={broadcast_limit}; use num_buckets="
+                "(hashed mode, the scale path)")
+    raw_t, tgt_t = collect(raw_counts), collect(tgt_counts)
+    n_raw = int(pc.sum(raw_t.column("n")).as_py() or 0)
+    n_tgt = int(pc.sum(tgt_t.column("n")).as_py() or 0)
+
+    if hashed:
+        wv = np.zeros(num_buckets, dtype=np.int64)
+        rb = raw_t.column("g").to_numpy(zero_copy_only=False)
+        rn = raw_t.column("n").to_numpy(zero_copy_only=False)
+        if n_raw:
+            wv[rb] -= (rn * np.int64(scale)) // np.int64(n_raw)
+        tb = tgt_t.column("g").to_numpy(zero_copy_only=False)
+        tn = tgt_t.column("n").to_numpy(zero_copy_only=False)
+        if n_tgt:
+            np.add.at(wv, tb, (tn * np.int64(scale)) // np.int64(n_tgt))
+        state = ray.put((True, wv, None))
+    else:
+        gset = raw_t.column("g").combine_chunks()
+        rn = raw_t.column("n").to_numpy(zero_copy_only=False)
+        wts = -((rn * np.int64(scale)) // np.int64(max(n_raw, 1)))
+        tidx = pc.index_in(tgt_t.column("g"), value_set=gset).to_numpy(
+            zero_copy_only=False)
+        tn = tgt_t.column("n").to_numpy(zero_copy_only=False)
+        got = ~np.isnan(tidx)
+        if got.any() and n_tgt:
+            np.add.at(wts, tidx[got].astype(np.int64),
+                      (tn[got] * np.int64(scale)) // np.int64(n_tgt))
+        state = ray.put((False, wts, gset))
+
+    def score(t: pa.Table) -> pa.Table:
+        is_hashed, weights, value_set = ray.get(state)
+        grams, doc_idx, n_docs = _gram_occurrences(t, text_col)
+        out = np.zeros(n_docs, dtype=np.int64)
+        if len(grams):
+            if is_hashed:
+                b = (_hash_strings(grams)
+                     % np.uint64(len(weights))).astype(np.int64)
+                w = weights[b]
+            else:
+                idx = pc.index_in(grams, value_set=value_set).to_numpy(
+                    zero_copy_only=False)
+                w = np.zeros(len(grams), dtype=np.int64)
+                got_ = ~np.isnan(idx)
+                w[got_] = weights[idx[got_].astype(np.int64)]
+            np.add.at(out, doc_idx, w)
+        return t.append_column(score_col, pa.array(out))
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size)

@@ -1,6 +1,7 @@
 """Text-analysis operator tests (token counting, quality, lang-id,
 fingerprint)."""
 
+import numpy as np
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -242,3 +243,83 @@ def test_ngram_lm_affinity_ref_limit():
     with pytest.raises(ValueError, match="broadcast_limit"):
         ngram_lm_affinity(rd.from_arrow(t), rd.from_arrow(t),
                           broadcast_limit=2)
+
+
+def _dsir_ref(texts, target_mask, scale=1_000_000_000):
+    """Per-doc reference score via plain Python dicts and // arithmetic."""
+    def grams(s):
+        toks = [t for t in s.lower().split() if t]
+        return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    raw, tgt = {}, {}
+    for s, is_t in zip(texts, target_mask):
+        for g in grams(s):
+            raw[g] = raw.get(g, 0) + 1
+            if is_t:
+                tgt[g] = tgt.get(g, 0) + 1
+    n_raw, n_tgt = sum(raw.values()), sum(tgt.values())
+    w = {g: (tgt.get(g, 0) * scale) // max(n_tgt, 1)
+         - (raw[g] * scale) // max(n_raw, 1) for g in raw}
+    return [sum(w.get(g, 0) for g in grams(s)) for s in texts]
+
+
+def test_dsir_importance_matches_bruteforce():
+    from fluent_plugin_geoip_ray.stages.text import dsir_importance
+
+    rng = np.random.default_rng(17)
+    vocab_a = ["alpha", "beta", "gamma", "delta"]
+    vocab_b = ["omega", "sigma", "theta"]
+    texts, is_tgt = [], []
+    for i in range(120):
+        t = i % 3 == 0
+        words = rng.choice(vocab_a if t else vocab_b, size=rng.integers(0, 9))
+        texts.append(" ".join(words))
+        is_tgt.append(t)
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                  "text": pa.array(texts),
+                  "is_tgt": pa.array(is_tgt)})
+    ds = rd.from_arrow(t).repartition(7)
+    tgt = rd.from_arrow(t.filter(t.column("is_tgt"))).repartition(3)
+    got = (dsir_importance(ds, tgt).to_pandas()
+           .sort_values("doc_id")["dsir_score"].to_list())
+    assert got == _dsir_ref(texts, is_tgt)
+
+
+def test_dsir_hashed_equals_exact_without_collisions_and_is_invariant():
+    from fluent_plugin_geoip_ray.stages.text import (_hash_strings,
+                                                     dsir_importance)
+
+    texts = ["the cat sat", "the dog ran far", "cat dog", "", "the the the"]
+    t = pa.table({"doc_id": pa.array(np.arange(5, dtype=np.int64)),
+                  "text": pa.array(texts)})
+    tgt = rd.from_arrow(t.slice(0, 2))
+    B = 1 << 22
+    # confirm the fixture really is collision-free at B
+    all_grams = set()
+    for s in texts:
+        toks = s.lower().split()
+        all_grams.update(toks)
+        all_grams.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    hs = _hash_strings(pa.array(sorted(all_grams))) % np.uint64(B)
+    assert len(set(hs.tolist())) == len(all_grams)
+
+    base = None
+    for parts in (1, 2, 5):
+        ds = rd.from_arrow(t).repartition(parts)
+        ex = (dsir_importance(ds, tgt).to_pandas()
+              .sort_values("doc_id")["dsir_score"].to_list())
+        hsh = (dsir_importance(ds, tgt, num_buckets=B).to_pandas()
+               .sort_values("doc_id")["dsir_score"].to_list())
+        assert ex == hsh
+        base = base or ex
+        assert ex == base          # partition invariance
+
+
+def test_dsir_exact_mode_broadcast_limit():
+    from fluent_plugin_geoip_ray.stages.text import dsir_importance
+
+    t = pa.table({"doc_id": pa.array(np.arange(4, dtype=np.int64)),
+                  "text": pa.array(["a b c", "d e f", "g h", "i"])})
+    ds = rd.from_arrow(t)
+    with pytest.raises(ValueError, match="num_buckets"):
+        dsir_importance(ds, ds, broadcast_limit=3).to_pandas()
