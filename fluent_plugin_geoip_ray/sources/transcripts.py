@@ -70,6 +70,13 @@ def transcripts_path(sf: float) -> str:
 ROWS_PER_FILE = 65536
 
 
+def _rows_per_file(n: int) -> int:
+    """Cap so every fixture has >=4 part files: resume/lineage semantics (and
+    their tests) are about multi-partition tables, and a real 100 TB table is
+    never one file. Large sf keeps the 64k-row layout."""
+    return min(ROWS_PER_FILE, max(1, -(-n // 4)))
+
+
 def geo_fixture_path() -> str:
     return os.path.join(DATA_ROOT, "geo_fixture.parquet")
 
@@ -161,8 +168,9 @@ def ensure_transcripts(sf: float, row_group_size: int = 16384) -> str:
     tmp = path + f".tmp{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
     n = table.num_rows
-    for i, start in enumerate(range(0, n, ROWS_PER_FILE)):
-        part = table.slice(start, ROWS_PER_FILE)
+    per_file = _rows_per_file(n)
+    for i, start in enumerate(range(0, n, per_file)):
+        part = table.slice(start, per_file)
         pq.write_table(
             part, os.path.join(tmp, f"part-{i:05d}.parquet"),
             row_group_size=row_group_size,

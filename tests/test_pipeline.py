@@ -112,7 +112,8 @@ def test_partition_crash_recovery(sf_path, tmp_path):
     mpath = os.path.join(out_dir, "_manifests", "part-000000.json")
     os.remove(mpath)
     r2 = run_partitioned(transcript_files(0.001), out_dir)
-    assert r2["ran"] == r1["ran"]
+    assert r2["ran"] == [0]  # only the crashed partition re-runs
+    assert sorted(r2["ran"] + r2["skipped"]) == sorted(r1["ran"])
     sink = read_sink(out_dir, "raw")
     assert sink.num_rows == total_rows(sf_path)
 
