@@ -1219,7 +1219,8 @@ def _list_col_parts(col):
 def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
                 threshold: float = 0.5, shingle_k: int = 3,
                 num_buckets: int = 32, max_group_pairs: int = 5_000_000,
-                loser_broadcast_limit: int = 5_000_000):
+                loser_broadcast_limit: int = 5_000_000,
+                size_broadcast_limit: int = 5_000_000):
     """EXACT word-k-gram Jaccard dedup -- no sketching approximation.
 
     Semantics (SQL-matchable, unlike the LSH/CC family): drop row X iff
@@ -1228,55 +1229,57 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
     against real neighbors only, so a long similarity chain keeps its
     locally-novel members.
 
-    Algorithm (all public: the prefix-filtering candidate scheme of the
-    All-Pairs/PPJoin exact similarity-join literature):
+    Algorithm (exact intersection COUNTING -- the inverted-index family of
+    the All-Pairs exact similarity-join literature):
 
-    1. sketch: per-doc sorted-unique gram-hash sets (one vectorized pass).
-    2. prefix explode: under a global total order on grams (numeric hash
-       order), any pair with J >= t shares its SMALLEST common gram within
-       both docs' first ``sz - ceil(t*sz) + 1`` grams -- so only prefixes
-       are exploded (~(1-t) of gram volume), exactly, with no recall loss.
-    3. candidates: hash-exchange prefix rows on gram; all pairs within an
-       identical-gram run (``max_group_pairs`` guards quadratic blowup on
-       pathological skew -- the honest failure is an error advising
-       ``dedup_minhash``, not a silent cap).
-    4. pair dedupe: grouped count via the bucketed exchange.
-    5. verify: two hash exchanges attach both endpoints' gram arrays, then
-       exact ``intersect1d`` per candidate pair (Python loop is per-PAIR,
-       post-prefix-filter, each step vectorized over the gram arrays).
-    6. drop: losers (the larger key of each verified pair) leave via the
+    1. sketch: per-doc sorted-unique gram-hash sets (one vectorized pass);
+       text goes no further.
+    2. invert: explode (gram, key) rows and hash-exchange them on gram;
+       inside each identical-gram run of m docs emit all C(m,2)
+       (larger_key, smaller_key) pairs -- one 16-byte row per SHARED gram
+       per pair, never a gram array (``max_group_pairs`` guards quadratic
+       blowup on pathological skew -- the honest failure is an error
+       advising ``dedup_minhash``, not a silent cap).
+    3. count: grouped COUNT per (a, b) via the bucketed exchange == the
+       EXACT intersection |Ga & Gb| (grams are unique within a doc).
+    4. verify: J = c / (sz_a + sz_b - c) >= t, one vectorized pass.  The
+       (key, sz) table is 16 B/doc: broadcast as sorted arrays under
+       ``size_broadcast_limit`` docs, else attached by two bucketed joins
+       (24 B/pair per hop).  Any pair with J >= t shares >= 1 gram, so
+       counting misses nothing; zero-overlap pairs have J = 0 and are
+       correctly absent (both facts hold for every t, since t = 0 still
+       requires a shared gram to produce J >= 0 via a candidate -- the
+       prior prefix scheme had the identical candidate domain).
+    5. drop: losers (the larger key of each verified pair) leave via the
        broadcast anti-filter under ``loser_broadcast_limit``, else the
        bucketed anti-join -- corpus text moves at most once, end to end.
+
+    Replaces the earlier prefix-filter + gram-array verify: that design
+    shipped each doc's gram array once per candidate pair-endpoint (~1 GB
+    for 5k docs / 567k candidates at t=0.5) and verified in a per-pair
+    Python ``intersect1d`` loop; counting ships 16 B per shared gram
+    (1.3M rows on the same corpus) and verifies in one vectorized pass.
     """
     import pandas as pd
     import ray
 
     from .aggregate import groupby_agg
+    from .exchange import hash_exchange
 
     sketches = ds.map_batches(
         lambda t: gram_set_sketch(t, key_col=key_col, text_col=text_col,
                                   shingle_k=shingle_k),
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
-    grams_type = sketches.schema().base_schema.field("grams").type
 
-    def prefix_rows(t: pa.Table) -> pa.Table:
+    def explode_all(t: pa.Table) -> pa.Table:
         vals, off = _list_col_parts(t.column("grams"))
-        sz = np.diff(off)
-        p = (sz - np.ceil(threshold * sz).astype(np.int64) + 1).clip(0, sz)
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
-        doc_rep = np.repeat(np.arange(len(sz)), p)
-        cum = np.zeros(len(sz), dtype=np.int64)
-        np.cumsum(p[:-1], out=cum[1:])
-        within = np.arange(p.sum(), dtype=np.int64) - cum[doc_rep]
-        gat = off[:-1][doc_rep] + within
+        doc_rep = np.repeat(np.arange(len(off) - 1), np.diff(off))
         return pa.table({
-            "gram": pa.array(vals[gat]),
+            "gram": pa.array(vals),
             key_col: pa.array(keys[doc_rep].astype(np.int64)),
         })
-
-    exploded = sketches.map_batches(prefix_rows, batch_format="pyarrow",
-                                    zero_copy_batch=True)
 
     def hash_bucket(t: pa.Table, col: str) -> pa.Table:
         v = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -1290,30 +1293,29 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
         order = np.lexsort((ky, gr))
         gr, ky = gr[order], ky[order]
         starts = np.flatnonzero(np.r_[True, gr[1:] != gr[:-1]])
-        bounds = np.append(starts, len(gr))
-        lens = np.diff(bounds)
-        hot = np.flatnonzero(lens > 1)
-        n_pairs = int((lens[hot] * (lens[hot] - 1) // 2).sum())
+        lens = np.diff(np.append(starts, len(gr)))
+        # within-run position: element e pairs with every EARLIER member of
+        # its identical-gram run (keys are distinct and ascend within a run)
+        w = np.arange(len(gr), dtype=np.int64) - np.repeat(starts, lens)
+        n_pairs = int(w.sum())
         if n_pairs > max_group_pairs:
             raise ValueError(
                 f"n-gram Jaccard candidate blowup: {n_pairs} pairs in one "
                 f"exchange bucket (> max_group_pairs={max_group_pairs}); "
                 "raise the threshold or use dedup_minhash for this corpus"
             )
-        out_a = np.empty(n_pairs, dtype=np.int64)
-        out_b = np.empty(n_pairs, dtype=np.int64)
-        w = 0
-        for i in hot:  # per identical-gram run; each run expands vectorized
-            run = ky[bounds[i]:bounds[i + 1]]
-            m = len(run)
-            ii, jj = np.triu_indices(m, k=1)
-            out_a[w:w + len(ii)] = run[jj]  # larger key (run is sorted)
-            out_b[w:w + len(ii)] = run[ii]
-            w += len(ii)
-        return pa.table({"a": pa.array(out_a), "b": pa.array(out_b)})
+        if n_pairs == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        jidx = np.repeat(np.arange(len(gr), dtype=np.int64), w)
+        cum = np.zeros(len(gr), dtype=np.int64)
+        np.cumsum(w[:-1], out=cum[1:])
+        within_j = np.arange(n_pairs, dtype=np.int64) - cum[jidx]
+        iidx = jidx - w[jidx] + within_j
+        return pa.table({"a": pa.array(ky[jidx]), "b": pa.array(ky[iidx])})
 
-    from .exchange import hash_exchange
-
+    exploded = sketches.map_batches(explode_all, batch_format="pyarrow",
+                                    zero_copy_batch=True)
     pairs_raw = hash_exchange(
         exploded.map_batches(lambda t: hash_bucket(t, "gram"),
                              batch_format="pyarrow", zero_copy_batch=True),
@@ -1321,103 +1323,66 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
     pairs = groupby_agg(pairs_raw, ["a", "b"], [("a", "count", "__c")],
                         merge="bucketed")
 
-    # ---- exchange 1: attach both endpoints' gram arrays ------------------
-    def edge_rows(side: int):
+    def size_rows(a_name: str, sz_name: str):
         def fn(t: pa.Table) -> pa.Table:
-            n = t.num_rows
             return pa.table({
-                "__jk": t.column("a" if side == 0 else "b").cast(pa.int64()),
-                "a": t.column("a").cast(pa.int64()),
-                "b": t.column("b").cast(pa.int64()),
-                "__role": pa.array(np.full(n, side + 1, np.int8)),
-                "grams": pa.nulls(n, type=grams_type),
+                a_name: t.column(key_col).cast(pa.int64()),
+                sz_name: t.column("sz").cast(pa.int64()),
             })
 
         return fn
 
-    def sketch_rows(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({
-            "__jk": t.column(key_col).cast(pa.int64()),
-            "a": pa.nulls(n, pa.int64()),
-            "b": pa.nulls(n, pa.int64()),
-            "__role": pa.array(np.zeros(n, np.int8)),
-            "grams": t.column("grams"),
-        })
+    n_docs = sketches.count()
+    if n_docs <= size_broadcast_limit:
+        st = pa.concat_tables(
+            [t for t in ray.get(
+                sketches.map_batches(
+                    size_rows(key_col, "sz"), batch_format="pyarrow",
+                    zero_copy_batch=True).to_arrow_refs())
+             if t.num_rows])
+        sk = st.column(key_col).to_numpy(zero_copy_only=False)
+        sv = st.column("sz").to_numpy(zero_copy_only=False)
+        order = np.argsort(sk)
+        sizes_ref = ray.put((sk[order], sv[order]))
 
-    unioned = (
-        pairs.map_batches(edge_rows(0), batch_format="pyarrow",
-                          zero_copy_batch=True)
-        .union(pairs.map_batches(edge_rows(1), batch_format="pyarrow",
-                                 zero_copy_batch=True))
-        .union(sketches.map_batches(sketch_rows, batch_format="pyarrow",
-                                    zero_copy_batch=True))
-    )
+        def judge(t: pa.Table) -> pa.Table:
+            keys_sorted, szs = ray.get(sizes_ref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            c = t.column("__c").to_numpy(zero_copy_only=False)
+            sa = szs[np.searchsorted(keys_sorted, a)]
+            sb = szs[np.searchsorted(keys_sorted, b)]
+            ok = c >= threshold * (sa + sb - c)
+            return pa.table({"node": pa.array(a[ok])})
 
-    def attach(g: pa.Table) -> pa.Table:
-        role = g.column("__role").to_numpy(zero_copy_only=False)
-        if not (role != 0).any():
-            return pa.table({
-                "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                "__side": pa.array([], pa.int8()),
-                "grams": pa.nulls(0, type=grams_type),
-            })
-        sk = g.filter(pa.array(role == 0))
-        ed = g.filter(pa.array(role != 0))
-        skk = sk.column("__jk").to_numpy(zero_copy_only=False)
-        order = np.argsort(skk)
-        pos = np.searchsorted(
-            skk[order], ed.column("__jk").to_numpy(zero_copy_only=False)
-        )
-        gcol = sk.column("grams")
-        if isinstance(gcol, pa.ChunkedArray):
-            gcol = gcol.combine_chunks()
-        erole = ed.column("__role").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "a": ed.column("a"), "b": ed.column("b"),
-            "__side": pa.array((erole - 1).astype(np.int8)),
-            "grams": gcol.take(pa.array(order[pos])),
-        })
+        losers_ds = pairs.map_batches(
+            judge, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    else:
+        from .join import bucketed_join
 
-    attached = hash_exchange(
-        unioned.map_batches(lambda t: hash_bucket(t, "__jk"),
-                            batch_format="pyarrow", zero_copy_batch=True),
-        num_buckets, attach, bucket_col="__xb")
+        sz_a = sketches.map_batches(size_rows("a", "sz_a"),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        sz_b = sketches.map_batches(size_rows("b", "sz_b"),
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        joined = bucketed_join(
+            bucketed_join(pairs, sz_a, "a", num_buckets=num_buckets),
+            sz_b, "b", num_buckets=num_buckets)
 
-    # ---- exchange 2: pair up + exact Jaccard verify ----------------------
-    def pair_bucket(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
-        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (pd.util.hash_array(a) ^ pd.util.hash_array(b)) % num_buckets
-        return t.append_column("__xb", pa.array(h.astype(np.int32)))
+        def judge_joined(t: pa.Table) -> pa.Table:
+            c = t.column("__c").to_numpy(zero_copy_only=False)
+            sa = t.column("sz_a").to_numpy(zero_copy_only=False)
+            sb = t.column("sz_b").to_numpy(zero_copy_only=False)
+            ok = c >= threshold * (sa + sb - c)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            return pa.table({"node": pa.array(a[ok])})
 
-    def verify_bucket(g: pa.Table) -> pa.Table:
-        a = g.column("a").to_numpy(zero_copy_only=False)
-        b = g.column("b").to_numpy(zero_copy_only=False)
-        side = g.column("__side").to_numpy(zero_copy_only=False)
-        vals, off = _list_col_parts(g.column("grams"))
-        order = np.lexsort((side, b, a))
-        a, b = a[order], b[order]
-        pa_idx, pb_idx = order[0::2], order[1::2]
-        n_pairs = len(pa_idx)
-        ok = np.empty(n_pairs, dtype=bool)
-        uv = vals.view(np.uint64)
-        for i in range(n_pairs):
-            ga = uv[off[pa_idx[i]]:off[pa_idx[i] + 1]]
-            gb = uv[off[pb_idx[i]]:off[pb_idx[i] + 1]]
-            inter = len(np.intersect1d(ga, gb, assume_unique=True))
-            union = len(ga) + len(gb) - inter
-            ok[i] = inter >= threshold * union
-        return pa.table({"a": pa.array(a[0::2]), "ok": pa.array(ok)})
+        losers_ds = joined.map_batches(
+            judge_joined, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
 
-    judged = hash_exchange(
-        attached.map_batches(pair_bucket, batch_format="pyarrow",
-                             zero_copy_batch=True),
-        num_buckets, verify_bucket, bucket_col="__xb")
-    losers_ds = judged.map_batches(
-        lambda t: pa.table({"node": t.filter(t.column("ok")).column("a")}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    ).materialize()
     n_losers = losers_ds.count()
     if n_losers == 0:
         return ds

@@ -400,6 +400,19 @@ def test_dedup_ngram_threshold_one_keeps_near_dups():
     assert _kept_ids(dedup_ngram(rd.from_arrow(t), threshold=1.0)) == [0, 2]
 
 
+def test_dedup_ngram_size_join_parity():
+    """Forcing the bucketed size-attach (scale) path == broadcast path."""
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_ngram
+
+    ids, texts = _ngram_corpus(3)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    broadcast = _kept_ids(dedup_ngram(rd.from_arrow(t), threshold=0.5))
+    bucketed = _kept_ids(dedup_ngram(rd.from_arrow(t), threshold=0.5,
+                                     size_broadcast_limit=0))
+    assert broadcast == bucketed == _ngram_ref_kept(ids, texts)
+
+
 def test_dedup_ngram_group_pair_guard():
     from fluent_plugin_geoip_ray.stages.dedup import dedup_ngram
 
