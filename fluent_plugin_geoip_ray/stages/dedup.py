@@ -1234,6 +1234,12 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
 
     1. sketch: per-doc sorted-unique gram-hash sets (one vectorized pass);
        text goes no further.
+    1b. identity collapse: docs whose gram SETS are identical (J = 1) form
+       groups via one 16-byte-row exchange on a set hash; every non-min
+       member drops immediately and only group representatives enter pair
+       counting -- exact duplicates (the dominant web-corpus duplicate
+       class) cost O(docs) instead of O(dup_pairs), provably without
+       changing pairwise-earlier semantics (see inline proof).
     2. invert: explode (gram, key) rows and hash-exchange them on gram;
        inside each identical-gram run of m docs emit all C(m,2)
        (larger_key, smaller_key) pairs -- one 16-byte row per SHARED gram
@@ -1272,6 +1278,63 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
 
+    def hash_bucket(t: pa.Table, col: str) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("__xb", pa.array(
+            (pd.util.hash_array(v) % num_buckets).astype(np.int32)
+        ))
+
+    # ---- identity collapse: docs with IDENTICAL gram sets ----------------
+    # k exact copies of a doc would otherwise emit C(k,2) counting pairs per
+    # shared gram (the k=10 scale sweep measured 97 s from exactly this);
+    # collapsing identity groups first makes the exact-duplicate class --
+    # the dominant one in web corpora -- cost O(docs).  Pairwise-earlier
+    # semantics survive the collapse EXACTLY: a non-min member always has an
+    # earlier identical doc (J = 1 >= t), and group A's min member is
+    # dropped by some member of group B iff min(B) < min(A) and
+    # J(rep_A, rep_B) >= t, so rep-only counting decides the reps.
+    def ident_rows(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.int64())})
+        vals, off = _list_col_parts(t.column("grams"))
+        # order-free combine is exact here: gram sets are sorted + unique,
+        # so equal sets sum equal rehashes (every doc has >= 1 gram)
+        rehash = pd.util.hash_array(vals.view(np.uint64).copy())
+        with np.errstate(over="ignore"):
+            sh = np.add.reduceat(rehash, off[:-1])
+            sh = sh * np.uint64(0x9E3779B97F4A7C15) + np.diff(off).astype(
+                np.uint64)
+        return pa.table({
+            "key": t.column(key_col).cast(pa.int64()),
+            "sh": pa.array(sh.view(np.int64)),
+        })
+
+    def ident_losers_fn(g: pa.Table) -> pa.Table:
+        k = g.column("key").to_numpy(zero_copy_only=False)
+        s = g.column("sh").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, s))
+        s2, k2 = s[order], k[order]
+        first = np.r_[True, s2[1:] != s2[:-1]]
+        return pa.table({"node": pa.array(k2[~first])})
+
+    id_losers = hash_exchange(
+        sketches.map_batches(ident_rows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .map_batches(lambda t: hash_bucket(t, "sh"),
+                     batch_format="pyarrow", zero_copy_batch=True),
+        num_buckets, ident_losers_fn, bucket_col="__xb").materialize()
+    n_id = id_losers.count()
+    if n_id:
+        if n_id <= loser_broadcast_limit:
+            id_set = set(pa.concat_tables(
+                [t for t in ray.get(id_losers.to_arrow_refs()) if t.num_rows]
+            ).column("node").to_pylist())
+            sketches = _drop_losers(sketches, id_set, key_col).materialize()
+        else:
+            sketches = _drop_losers_ds(
+                sketches, id_losers, key_col).materialize()
+
     def explode_all(t: pa.Table) -> pa.Table:
         vals, off = _list_col_parts(t.column("grams"))
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
@@ -1280,12 +1343,6 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
             "gram": pa.array(vals),
             key_col: pa.array(keys[doc_rep].astype(np.int64)),
         })
-
-    def hash_bucket(t: pa.Table, col: str) -> pa.Table:
-        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        return t.append_column("__xb", pa.array(
-            (pd.util.hash_array(v) % num_buckets).astype(np.int32)
-        ))
 
     def emit_pairs(g: pa.Table) -> pa.Table:
         gr = g.column("gram").to_numpy(zero_copy_only=False)
@@ -1383,6 +1440,8 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
             judge_joined, batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
 
+    if n_id:
+        losers_ds = losers_ds.union(id_losers).materialize()
     n_losers = losers_ds.count()
     if n_losers == 0:
         return ds

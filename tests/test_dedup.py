@@ -416,14 +416,33 @@ def test_dedup_ngram_size_join_parity():
 def test_dedup_ngram_group_pair_guard():
     from fluent_plugin_geoip_ray.stages.dedup import dedup_ngram
 
-    # 30 identical docs -> one gram run of 30 members -> 435 pairs > guard
+    # 30 DISTINCT docs sharing every BASE gram (identical docs would be
+    # identity-collapsed before counting): each shared-gram run has 30
+    # members -> 435 pairs per run > guard
     t = pa.table({
         "doc_id": pa.array(range(30), pa.int64()),
-        "text": pa.array([BASE] * 30),
+        "text": pa.array([BASE + f" unique{i} tail{i} end{i}"
+                          for i in range(30)]),
     })
     with pytest.raises(Exception, match="max_group_pairs"):
         _kept_ids(dedup_ngram(rd.from_arrow(t), threshold=0.5,
                               max_group_pairs=100))
+
+
+def test_dedup_ngram_identity_collapse_exactness():
+    """Identity groups drop to their min key; reps still judged pairwise."""
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_ngram
+
+    # group A = {0, 3, 5} identical; group B = {1, 4} identical and similar
+    # to A (one token changed); doc 2 unrelated
+    a = BASE
+    b = BASE.replace(BASE.split()[0], "changed", 1)
+    ids = [0, 1, 2, 3, 4, 5]
+    texts = [a, b, "totally different words here entirely", a, b, a]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    assert _kept_ids(dedup_ngram(rd.from_arrow(t), threshold=0.5)) == \
+        _ngram_ref_kept(ids, texts)
 
 
 # --------------------------------------------------------------------------

@@ -132,6 +132,15 @@ def main() -> int:
         ("range_join_big", lambda: range_join_big(
             rd.from_arrow(events), purchase_intervals(), value_col="ts",
             by="user_id", out_cols={"lo": "purchase_ts"}).count()),
+        # k exact copies of every doc: exercises the identity-collapse
+        # pass (without it, exact pairwise counting emits ~k^2 the base
+        # pair rows -- measured 97 s at k=10; with collapse, reps stay
+        # constant and the run is ~3 s). The raised guard covers corpora
+        # where NON-identical docs share hot grams.
+        ("dedup_ngram", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.dedup", fromlist=["dedup_ngram"]
+        ).dedup_ngram(rd.from_arrow(docs),
+                      max_group_pairs=50_000_000).count()),
         ("dedup_minhash", lambda: dedup_minhash(rd.from_arrow(docs)).count()),
         ("dedup_simhash", lambda: dedup_simhash(rd.from_arrow(docs)).count()),
         ("embedding_near_dup",
