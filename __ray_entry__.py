@@ -427,6 +427,23 @@ def q_dedup_lines(sf_dir: str):
         ["doc_id", "text", "lines_removed"])
 
 
+def q_dedup_spans(sf_dir: str):
+    """Exact duplicate-SPAN removal (the substring-dedup pass of
+    arXiv:2107.06499 at word-window granularity): cut every token covered
+    by a 6-token window whose lowercased form occurs >= 2 times
+    corpus-wide, rebuild text from the kept tokens.  Independently
+    SQL-oracle-backed (window explode + global occurrence count + coverage
+    interval join + string_agg rebuild)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return dedup_spans(ds, window=6, min_count=2).select_columns(
+        ["doc_id", "text", "tokens_removed"])
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1276,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir": q_dsir,
         "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
+        "dedup_spans": q_dedup_spans,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
         "profile": q_profile,
@@ -1609,6 +1627,44 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[p:p+31], ' ') AS chunk_text,
                    least(32, len(toks) - p + 1) AS n_tokens
             FROM starts""",
+        # duplicate-SPAN removal: a token is cut iff covered by some
+        # 6-token window whose lowercased form occurs >= 2 times
+        # corpus-wide (all occurrences); kept tokens re-join with single
+        # spaces (the engine's whitespace-normalizing rebuild)
+        "dedup_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split_regex(text, '\s+') AS raw,
+                     string_split_regex(lower(text), '\s+') AS low
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, p, array_to_string(low[p:p+5], ' ') AS w
+              FROM (SELECT doc_id, low,
+                           unnest(range(1, len(low) - 4)) AS p
+                    FROM toks)
+            ),
+            hot AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+            hits AS (SELECT doc_id, p FROM wins
+                     WHERE w IN (SELECT w FROM hot)),
+            tok_rows AS (
+              SELECT doc_id, unnest(raw) AS tok,
+                     unnest(range(1, len(raw) + 1)) AS tp
+              FROM toks
+            ),
+            marked AS (
+              SELECT t.doc_id, t.tok, t.tp,
+                     NOT EXISTS (SELECT 1 FROM hits h
+                                 WHERE h.doc_id = t.doc_id
+                                   AND t.tp BETWEEN h.p AND h.p + 5) AS keep
+              FROM tok_rows t
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(tok, ' ' ORDER BY tp)
+                            FILTER (WHERE keep), '') AS text,
+                   CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT)
+                     AS tokens_removed
+            FROM marked GROUP BY doc_id""",
         # line-level boilerplate removal: multi-line text derived by the
         # identical replace chain; a line is removed iff trim(lower(line))
         # is non-empty and appears in >= 3 distinct docs; kept lines

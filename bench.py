@@ -202,6 +202,8 @@ def run_bench() -> dict:
                   lambda: entrymod.q_decontaminate(sf_dir).count())
             timed("dedup_lines_docs",
                   lambda: entrymod.q_dedup_lines(sf_dir).count())
+            timed("dedup_spans_docs",
+                  lambda: entrymod.q_dedup_spans(sf_dir).count())
             timed("range_join_big_events",
                   lambda: entrymod.q_events_range_big(sf_dir).count())
 

@@ -1781,9 +1781,10 @@ def line_doc_counts(ds, text_col: str = "text", sep: str = "\n",
 
 def _rebuild_texts(batch: pa.Table, text_col: str, sep: str,
                    values, offsets: np.ndarray,
-                   drop: np.ndarray) -> pa.Table:
-    """Replace ``text_col`` with the kept lines re-joined by ``sep`` and
-    append a ``lines_removed`` int64 column -- all Arrow-kernel work
+                   drop: np.ndarray,
+                   count_col: str = "lines_removed") -> pa.Table:
+    """Replace ``text_col`` with the kept units re-joined by ``sep`` and
+    append a ``count_col`` int64 column -- all Arrow-kernel work
     (filter + ListArray rebuild + binary_join)."""
     n_docs = len(offsets) - 1
     counts = np.diff(offsets)
@@ -1799,7 +1800,7 @@ def _rebuild_texts(batch: pa.Table, text_col: str, sep: str,
     joined = pc.binary_join(lst, sep)
     idx = batch.column_names.index(text_col)
     out = batch.set_column(idx, text_col, joined)
-    return out.append_column("lines_removed", pa.array(removed))
+    return out.append_column(count_col, pa.array(removed))
 
 
 def dedup_lines(ds, key_col: str = "doc_id", text_col: str = "text",
@@ -2004,5 +2005,278 @@ def dedup_lines(ds, key_col: str = "doc_id", text_col: str = "text",
         else:
             drop = np.zeros(len(lk), dtype=bool)
         return _rebuild_texts(docs_t, text_col, sep, values, offsets, drop)
+
+    return hash_exchange(both, num_buckets, rebuild_bucket)
+
+
+# --------------------------------------------------------------------------
+# Duplicate-SPAN removal: exact substring dedup at n-token granularity
+# --------------------------------------------------------------------------
+
+def _window_batch(batch: pa.Table, text_col: str, n: int):
+    """Explode ``text_col`` into word tokens plus rolling ``n``-token
+    window hashes.
+
+    Returns ``(values, tok_off, win_hashes, win_starts, win_doc)``:
+    original-case flat token StringArray, int64 doc offsets into it, the
+    uint64 rolling hash of each n-token window (over the LOWERCASED token
+    sequence -- the dedup family's normalization), each window's first
+    token's FLAT index, and each window's doc index.  Tokens split on runs
+    of whitespace; windows never cross doc boundaries; docs with fewer
+    than ``n`` tokens contribute no windows; null text acts as ``""``.
+    """
+    import pandas as pd
+
+    text = batch.column(text_col)
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    toks = pc.split_pattern_regex(text, r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    tok_off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    tok_off = tok_off - tok_off[0]
+    values = toks.flatten()
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    low = pc.utf8_lower(values).to_pandas().to_numpy(dtype=object)
+    hashes = (pd.util.hash_array(low).astype(np.uint64)
+              if len(low) else np.empty(0, np.uint64))
+    lens = np.diff(tok_off)
+    wc = np.maximum(lens - n + 1, 0)
+    total = int(wc.sum())
+    if total == 0:
+        empty = np.empty(0, np.int64)
+        return values, tok_off, np.empty(0, np.uint64), empty, empty
+    with np.errstate(over="ignore"):
+        comb = np.zeros(len(hashes) - n + 1, dtype=np.uint64)
+        for j in range(n):
+            comb = comb * np.uint64(1099511628211) \
+                + hashes[j:len(hashes) - n + 1 + j]
+    win_doc = np.repeat(np.arange(len(lens), dtype=np.int64), wc)
+    cum = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(wc[:-1], out=cum[1:])
+    within = np.arange(total, dtype=np.int64) - cum[win_doc]
+    starts = tok_off[:-1][win_doc] + within
+    return values, tok_off, comb[starts], starts, win_doc
+
+
+def _covered_mask(n_tokens: int, hit_starts: np.ndarray, n: int):
+    """Union of ``[start, start + n)`` intervals as a bool mask -- the
+    O(tokens) difference-array trick (windows never cross doc boundaries,
+    so no per-doc clipping is needed)."""
+    delta = np.zeros(n_tokens + n + 1, dtype=np.int64)
+    np.add.at(delta, hit_starts, 1)
+    np.add.at(delta, hit_starts + n, -1)
+    return np.cumsum(delta[:n_tokens]) > 0
+
+
+def dedup_spans(ds, key_col: str = "doc_id", text_col: str = "text",
+                window: int = 8, min_count: int = 2,
+                hot_broadcast_limit: int = 5_000_000,
+                num_buckets: int = 32, batch_size: int = 65536):
+    """Exact duplicate-SPAN removal -- the substring-level dedup pass of
+    the "Deduplicating Training Data Makes Language Models Better" family
+    (arXiv:2107.06499), at word-window granularity: every token covered by
+    some ``window``-token span whose lowercased form occurs at least
+    ``min_count`` times CORPUS-WIDE (all occurrences, including repeats
+    inside one doc) is removed.  Overlapping hot windows merge into one
+    span automatically (interval union).  Output = every input column with
+    ``text_col`` rebuilt from the kept tokens joined by single spaces
+    (whitespace-normalizing, applied to every doc so output form is
+    input-chunking-invariant) plus a ``tokens_removed`` int64 column.
+
+    Scale shape (mirrors :func:`dedup_lines` at window granularity):
+    pass 1 streams per-batch window-hash partial counts through the
+    bucketed ``groupby_agg`` exchange (O(distinct windows) 16-byte rows;
+    text never shuffles).  The hot filter runs distributed; under
+    ``hot_broadcast_limit`` the hot set broadcasts once as a sorted hash
+    array and pass 2 is one streaming searchsorted probe + coverage +
+    rebuild.  Above the limit: Bloom-bitmap prefilter (union of per-block
+    bitmaps, no false negatives) -> bucketed exact confirm on the window
+    hash -> confirmed (key, start) removals co-locate with their docs via
+    ONE exchange on the doc key -- corpus text moves at most once, driver
+    holds O(1).
+
+    Window hashes are 64-bit (the dedup family's collision stance);
+    ``key_col`` must be integer-castable and unique per row.
+    """
+    import pandas as pd
+    import ray
+
+    from .aggregate import groupby_agg
+    from .exchange import hash_exchange
+
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, wh, _, _ = _window_batch(t, text_col, window)
+        if not len(wh):
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        uniq, counts = np.unique(wh, return_counts=True)
+        return pa.table({"gram": pa.array(uniq.view(np.int64)),
+                         "c": pa.array(counts.astype(np.int64))})
+
+    counts = groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True, batch_size=batch_size),
+        ["gram"], [("c", "sum", "c")], merge="bucketed")
+    hot = counts.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("c"), min_count)).select(["gram"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    n_hot = hot.count()
+
+    if n_hot <= hot_broadcast_limit:
+        if n_hot:
+            hv = np.sort(np.concatenate([
+                t.column("gram").to_numpy(zero_copy_only=False)
+                .view(np.uint64)
+                for t in ray.get(hot.to_arrow_refs()) if t.num_rows]))
+        else:
+            hv = np.empty(0, np.uint64)
+        hot_ref = ray.put(hv)
+
+        def clean(t: pa.Table) -> pa.Table:
+            hvv = ray.get(hot_ref)
+            values, tok_off, wh, starts, _ = _window_batch(
+                t, text_col, window)
+            if len(hvv) and len(wh):
+                pos = np.searchsorted(hvv, wh)
+                pos[pos == len(hvv)] = 0
+                hit = hvv[pos] == wh
+            else:
+                hit = np.zeros(len(wh), dtype=bool)
+            covered = _covered_mask(len(values), starts[hit], window)
+            return _rebuild_texts(t, text_col, " ", values, tok_off,
+                                  covered, count_col="tokens_removed")
+
+        return ds.map_batches(clean, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+
+    # ---- huge hot set: Bloom prefilter + bucketed confirm + key-bucketed
+    # coverage rebuild (dedup_lines' above-limit shape at window level) ----
+    n_words = _bloom_params(n_hot)
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        h = t.column("gram").to_numpy(zero_copy_only=False).view(np.uint64)
+        return pa.table({"bm": pa.array([_bloom_build(h, n_words)
+                                         .view(np.int64)])})
+
+    bloom = np.zeros(n_words, dtype=np.uint64)
+    for ref in hot.map_batches(block_bloom, batch_format="pyarrow",
+                               zero_copy_batch=True).to_arrow_refs():
+        t = ray.get(ref)
+        for row in range(t.num_rows):
+            bloom |= np.asarray(t.column("bm")[row].as_py(),
+                                dtype=np.int64).view(np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def candidates(t: pa.Table) -> pa.Table:
+        bm = ray.get(bloom_ref)
+        _, tok_off, wh, starts, win_doc = _window_batch(t, text_col, window)
+        hit = _bloom_test(wh, bm) if len(wh) else np.zeros(0, bool)
+        keys = t.column(key_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "key": pa.array(keys[win_doc[hit]]),
+            "pos": pa.array(starts[hit] - tok_off[:-1][win_doc[hit]]),
+            "gram": pa.array(wh[hit].view(np.int64)),
+        })
+
+    cands = ds.map_batches(candidates, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=batch_size)
+    hot_side = hot.map_batches(
+        lambda t: pa.table({"key": pa.nulls(t.num_rows, pa.int64()),
+                            "pos": pa.nulls(t.num_rows, pa.int64()),
+                            "gram": t.column("gram")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def gram_bucket(t: pa.Table) -> pa.Table:
+        v = t.column("gram").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return t.append_column("__xb", pa.array(
+            (pd.util.hash_array(v) % num_buckets).astype(np.int32)))
+
+    def confirm(g: pa.Table) -> pa.Table:
+        is_hot = pc.is_null(g.column("key")).to_numpy(zero_copy_only=False)
+        grams = g.column("gram").to_numpy(zero_copy_only=False)
+        hvv = np.unique(grams[is_hot])
+        ck = g.column("key").to_numpy(zero_copy_only=False)[~is_hot]
+        cp = g.column("pos").to_numpy(zero_copy_only=False)[~is_hot]
+        cg = grams[~is_hot]
+        if not len(hvv) or not len(ck):
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        pos = np.searchsorted(hvv, cg)
+        pos[pos == len(hvv)] = 0
+        bad = hvv[pos] == cg
+        return pa.table({"key": pa.array(ck[bad].astype(np.int64)),
+                         "pos": pa.array(cp[bad].astype(np.int64))})
+
+    confirmed = hash_exchange(
+        cands.union(hot_side).map_batches(gram_bucket,
+                                          batch_format="pyarrow",
+                                          zero_copy_batch=True),
+        num_buckets, confirm, bucket_col="__xb")
+
+    schema = ds.schema().base_schema
+    out_cols = list(schema.names)
+
+    def key_bucket(keys_np: np.ndarray) -> pa.Array:
+        return pa.array((pd.util.hash_array(keys_np.astype(np.uint64))
+                         % num_buckets).astype(np.int32))
+
+    def corpus_side(t: pa.Table) -> pa.Table:
+        t = t.select(out_cols)
+        keys = t.column(key_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return t.append_column("__pos", pa.nulls(t.num_rows, pa.int64())) \
+                .append_column("__side",
+                               pa.array(np.zeros(t.num_rows, np.int8))) \
+                .append_column("__bucket", key_bucket(keys))
+
+    def removal_side(t: pa.Table) -> pa.Table:
+        keys = t.column("key").to_numpy(zero_copy_only=False)
+        cols = {
+            c: (t.column("key").cast(schema.field(c).type)
+                if c == key_col
+                else pa.nulls(t.num_rows, schema.field(c).type))
+            for c in out_cols
+        }
+        out = pa.table(cols)
+        return out.append_column("__pos", t.column("pos")) \
+                  .append_column("__side",
+                                 pa.array(np.ones(t.num_rows, np.int8))) \
+                  .append_column("__bucket", key_bucket(keys))
+
+    both = ds.map_batches(
+        corpus_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(confirmed.map_batches(
+        removal_side, batch_format="pyarrow", zero_copy_batch=True))
+
+    def rebuild_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        docs_t = g.filter(pa.array(side == 0)).select(out_cols)
+        rk = g.column(key_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)[side == 1].astype(np.int64)
+        rp = g.column("__pos").to_numpy(
+            zero_copy_only=False)[side == 1].astype(np.int64)
+        values, tok_off, _, _, _ = _window_batch(docs_t, text_col, window)
+        if len(rk):
+            keys = docs_t.column(key_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            order = np.argsort(keys)
+            di = order[np.searchsorted(keys[order], rk)]
+            hit_starts = tok_off[:-1][di] + rp
+        else:
+            hit_starts = np.empty(0, np.int64)
+        covered = _covered_mask(len(values), hit_starts, window)
+        return _rebuild_texts(docs_t, text_col, " ", values, tok_off,
+                              covered, count_col="tokens_removed")
 
     return hash_exchange(both, num_buckets, rebuild_bucket)

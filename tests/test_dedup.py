@@ -658,3 +658,130 @@ def test_dedup_lines_rejects_min_docs_below_two():
     with pytest.raises(ValueError):
         dedup_lines(rd.from_arrow(pa.table({"doc_id": [0], "text": ["x"]})),
                     min_docs=1)
+
+
+# --------------------------------------------------------------------------
+# dedup_spans (exact duplicate-substring removal at n-token windows)
+# --------------------------------------------------------------------------
+
+def _spans_bruteforce(docs, n, min_count):
+    """Per-row (doc_id -> (rebuilt text, tokens_removed)) reference."""
+    import re
+    from collections import Counter
+
+    toks = {did: re.split(r"\s+", t) for did, t in docs}
+    low = {did: [w.lower() for w in ts] for did, ts in toks.items()}
+    cnt = Counter()
+    for ls in low.values():
+        for i in range(len(ls) - n + 1):
+            cnt[tuple(ls[i:i + n])] += 1
+    out = {}
+    for did, ts in toks.items():
+        ls = low[did]
+        cov = [False] * len(ts)
+        for i in range(len(ls) - n + 1):
+            if cnt[tuple(ls[i:i + n])] >= min_count:
+                for j in range(i, i + n):
+                    cov[j] = True
+        kept = [w for w, c in zip(ts, cov) if not c]
+        out[did] = (" ".join(kept), sum(cov))
+    return out
+
+
+def _make_span_docs(n_docs=30, seed=7):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(120)]
+    shared = " ".join(rng.choice(vocab, size=9))   # planted hot span
+    docs = []
+    for i in range(n_docs):
+        words = rng.choice(vocab, size=rng.integers(6, 25)).tolist()
+        if rng.random() < 0.4:
+            at = rng.integers(0, len(words))
+            words = words[:at] + shared.split() + words[at:]
+        docs.append((i, " ".join(words)))
+    # within-doc repeat (counts twice corpus-wide on its own)
+    rep = " ".join(rng.choice(vocab, size=5))
+    docs.append((n_docs, f"{rep} bridge {rep}"))
+    docs.append((n_docs + 1, "short doc"))     # fewer tokens than window
+    docs.append((n_docs + 2, ""))              # empty doc
+    return docs
+
+
+@pytest.mark.parametrize("limit", [5_000_000, 0])   # broadcast vs bucketed
+def test_dedup_spans_matches_bruteforce(limit):
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_spans
+
+    docs = _make_span_docs()
+    ref = _spans_bruteforce(docs, n=5, min_count=2)
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([x for _, x in docs])})
+    out = dedup_spans(rd.from_arrow(t).repartition(4), window=5,
+                      min_count=2, hot_broadcast_limit=limit,
+                      num_buckets=4).to_pandas().set_index("doc_id")
+    assert len(out) == len(docs)
+    for did, (text, removed) in ref.items():
+        assert out.loc[did, "text"] == text, did
+        assert out.loc[did, "tokens_removed"] == removed, did
+
+
+def test_dedup_spans_partition_invariant():
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_spans
+
+    docs = _make_span_docs(seed=11)
+    t = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                  "text": pa.array([x for _, x in docs])})
+    one = dedup_spans(rd.from_arrow(t), window=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    many = dedup_spans(rd.from_arrow(t).repartition(7), window=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert one.equals(many)
+
+
+def test_dedup_spans_within_doc_repeat_counts():
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_spans
+
+    # the 3-token span repeats twice inside ONE doc -> both occurrences cut
+    t = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["alpha beta gamma bridge alpha beta gamma tail"]),
+    })
+    out = dedup_spans(rd.from_arrow(t), window=3, min_count=2).to_pandas()
+    assert out.loc[0, "text"] == "bridge tail"
+    assert out.loc[0, "tokens_removed"] == 6
+
+
+def test_dedup_spans_overlapping_hot_windows_merge():
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_spans
+
+    # two docs share a 6-token run; window=4 -> 3 overlapping hot windows
+    # covering exactly the 6 shared tokens in each doc
+    run = "s1 s2 s3 s4 s5 s6"
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([f"a b {run} c d", f"x {run} y z"]),
+    })
+    out = dedup_spans(rd.from_arrow(t), window=4, min_count=2) \
+        .to_pandas().set_index("doc_id")
+    assert out.loc[0, "text"] == "a b c d"
+    assert out.loc[1, "text"] == "x y z"
+    assert list(out["tokens_removed"]) == [6, 6]
+
+
+def test_dedup_spans_no_hot_normalizes_whitespace():
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_spans
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "text": pa.array(["a  b\tc"])})
+    out = dedup_spans(rd.from_arrow(t), window=2, min_count=2).to_pandas()
+    assert out.loc[0, "text"] == "a b c"
+    assert out.loc[0, "tokens_removed"] == 0
+
+
+def test_dedup_spans_rejects_bad_params():
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_spans
+
+    t = rd.from_arrow(pa.table({"doc_id": [0], "text": ["x"]}))
+    with pytest.raises(ValueError):
+        dedup_spans(t, min_count=1)
+    with pytest.raises(ValueError):
+        dedup_spans(t, window=1)
