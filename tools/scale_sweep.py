@@ -132,6 +132,15 @@ def main() -> int:
         ("range_join_big", lambda: range_join_big(
             rd.from_arrow(events), purchase_intervals(), value_col="ts",
             by="user_id", out_cols={"lo": "purchase_ts"}).count()),
+        # k copies of every doc -> EVERY window is hot (occurs >= k times):
+        # maximal removal volume through the coverage/rebuild path
+        ("dedup_spans", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.dedup", fromlist=["dedup_spans"]
+        ).dedup_spans(rd.from_arrow(docs)).count()),
+        ("dedup_spans_bucketed", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.dedup", fromlist=["dedup_spans"]
+        ).dedup_spans(rd.from_arrow(docs),
+                      hot_broadcast_limit=0).count()),
         # k exact copies of every doc: exercises the identity-collapse
         # pass (without it, exact pairwise counting emits ~k^2 the base
         # pair rows -- measured 97 s at k=10; with collapse, reps stay
