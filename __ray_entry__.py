@@ -444,6 +444,38 @@ def q_dedup_spans(sf_dir: str):
         ["doc_id", "text", "tokens_removed"])
 
 
+def q_doc_rank(sf_dir: str):
+    """Exact global ranking + decile assignment of documents by length:
+    ROW_NUMBER / NTILE(10) OVER (ORDER BY n_chars DESC, doc_id).  One
+    distributed sort + O(blocks) offset scan; rows move exactly once.
+    Independently SQL-oracle-backed (identical window functions)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.sample import global_rank
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return global_rank(ds, "n_chars", "doc_id", descending=True, ntile=10)
+
+
+def q_rollup_events(sf_dir: str):
+    """GROUP BY ROLLUP(event_type, user_id) via hierarchical
+    re-aggregation: input scanned ONCE at the finest level, every coarser
+    level re-aggregates the previous level's already-small result.
+    Order-independent aggregates (count/min/max + integer sum) keep the
+    value-hash compare exact."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import rollup_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id", "value",
+                                  "event_id"])
+    return rollup_agg(ds, ["event_type", "user_id"],
+                      [("value", "count", "c"), ("value", "min", "mn"),
+                       ("value", "max", "mx"), ("event_id", "sum", "se")])
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1294,6 +1326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "dedup_lines": q_dedup_lines,
         "dedup_spans": q_dedup_spans,
+        "doc_rank": q_doc_rank,
+        "rollup_events": q_rollup_events,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
         "profile": q_profile,
@@ -1627,6 +1661,21 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[p:p+31], ' ') AS chunk_text,
                    least(32, len(toks) - p + 1) AS n_tokens
             FROM starts""",
+        # exact global rank + decile: identical window functions
+        "doc_rank": """
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+                     AS rank,
+                   CAST(NTILE(10) OVER (ORDER BY n_chars DESC, doc_id)
+                        AS BIGINT) AS tile
+            FROM documents""",
+        # ROLLUP: aggregates at (event_type,user_id), (event_type), ()
+        # with rolled-up key columns NULL; order-independent aggs only
+        "rollup_events": """
+            SELECT event_type, user_id,
+                   count(value) AS c, min(value) AS mn, max(value) AS mx,
+                   CAST(sum(event_id) AS BIGINT) AS se
+            FROM events GROUP BY ROLLUP(event_type, user_id)""",
         # duplicate-SPAN removal: a token is cut iff covered by some
         # 6-token window whose lowercased form occurs >= 2 times
         # corpus-wide (all occurrences); kept tokens re-join with single

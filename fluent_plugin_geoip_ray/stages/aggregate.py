@@ -696,3 +696,79 @@ def profile(ds, columns: list[str] | None = None, batch_size: int = 65536):
         pa.nulls(g.num_rows, pa.float64()))
     out = g.drop_columns(["s"]).append_column("mean", mean)
     return out.sort_by("column")
+
+
+def rollup_agg(ds, keys: list[str], aggs: list[tuple],
+               merge: str = "bucketed"):
+    """``GROUP BY ROLLUP(keys)``: one result set holding aggregates at
+    EVERY prefix level of ``keys`` -- finest first, then each roll-up,
+    down to the grand total -- with rolled-up key columns NULL (the SQL
+    ROLLUP convention).
+
+    100 TB shape: the input is scanned ONCE (the finest
+    :func:`groupby_agg`); every coarser level re-aggregates the PREVIOUS
+    level's result -- already reduced to O(groups) rows -- through the
+    same bucketed exchange, so the cascade costs the finest aggregate
+    plus geometrically small change, never a rescan.
+
+    ``aggs`` entries are ``(col, fn, out)`` with fn restricted to the
+    re-aggregable set {sum, count, count_star, min, max} (count re-rolls
+    as a sum of counts; mean is not decomposable across levels -- derive
+    it downstream from sum + count).  Float sums change summation order
+    across levels (usual non-associativity ulp); integer-valued columns
+    stay exact.
+    """
+    allowed = {"sum", "count", "count_star", "min", "max"}
+    bad = sorted({fn for _, fn, _ in aggs} - allowed)
+    if bad:
+        raise ValueError(
+            f"rollup_agg needs re-aggregable fns {sorted(allowed)}, "
+            f"got {bad} (derive mean from sum+count downstream)")
+    if not keys:
+        raise ValueError("rollup_agg needs at least one key")
+    out_names = [out for _, _, out in aggs]
+    if len(set(out_names)) != len(out_names):
+        raise ValueError("duplicate output names in aggs")
+
+    finest = groupby_agg(ds, keys, aggs, merge=merge).materialize()
+    schema = finest.schema().base_schema
+    key_types = {k: schema.field(k).type for k in keys}
+    out_cols = keys + out_names
+    re_specs = [(out, "sum" if fn in ("count", "count_star") else fn, out)
+                for _, fn, out in aggs]
+
+    def pad_level(level_keys):
+        missing = [k for k in keys if k not in level_keys]
+
+        def fn(t: pa.Table) -> pa.Table:
+            for k in missing:
+                t = t.append_column(k, pa.nulls(t.num_rows, key_types[k]))
+            return t.select(out_cols)
+
+        return fn
+
+    levels = [finest.map_batches(pad_level(keys), batch_format="pyarrow",
+                                 zero_copy_batch=True)]
+    prev = finest
+    for depth in range(len(keys) - 1, -1, -1):
+        lvl_keys = keys[:depth]
+        if lvl_keys:
+            nxt = groupby_agg(prev, lvl_keys, re_specs, merge=merge)
+        else:
+            const = prev.map_batches(
+                lambda t: t.append_column(
+                    "__rollup_all",
+                    pa.repeat(pa.scalar(0, pa.int8()), t.num_rows)),
+                batch_format="pyarrow", zero_copy_batch=True)
+            nxt = groupby_agg(const, ["__rollup_all"], re_specs,
+                              merge=merge).drop_columns(["__rollup_all"])
+        nxt = nxt.materialize()
+        levels.append(nxt.map_batches(pad_level(lvl_keys),
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True))
+        prev = nxt
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

@@ -331,3 +331,96 @@ def select_top_fraction(ds, score_col: str, key_col: str, fraction: float,
         return t.filter(pc.fill_null(pc.or_(strictly, at_thr), False))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def global_rank(ds, score_col: str, key_col: str, descending: bool = False,
+                rank_col: str = "rank", ntile: int | None = None,
+                tile_col: str = "tile"):
+    """Exact global 1-based rank of every row by ``score_col`` with
+    deterministic ``key_col`` tie-breaking, optionally plus an exact SQL
+    ``NTILE(q)`` assignment -- ``ROW_NUMBER() / NTILE(q) OVER (ORDER BY
+    score [DESC], key)``.
+
+    100 TB shape (the :func:`epoch_shuffle` scan): ONE range-partitioned
+    distributed sort (the unavoidable exchange behind any global order),
+    then O(blocks) per-block (first_score, first_key, n_rows) summaries to
+    the driver, a cumsum, and a streaming per-block offset + ``arange``
+    assignment -- rows move exactly once and the driver holds O(blocks)
+    scalars.  Output is ordered by rank block-to-block.  Keys must be
+    unique (the same contract as ``epoch_shuffle``); scores may tie.
+
+    NTILE follows the SQL standard: with n rows the first ``n % q`` tiles
+    get ``n // q + 1`` rows, the rest ``n // q``.
+    """
+    import bisect
+
+    import ray
+
+    if ntile is not None and ntile < 1:
+        raise ValueError(f"ntile must be >= 1, got {ntile}")
+
+    def add_sort_key(t: pa.Table) -> pa.Table:
+        s = t.column(score_col)
+        if descending:
+            s = pc.negate_checked(s)
+        return t.append_column("__s", s)
+
+    sorted_ds = (ds.map_batches(add_sort_key, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .sort(["__s", key_col]).materialize())
+
+    @ray.remote(num_cpus=0.25)
+    def block_summary(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        return (t.column("__s")[0].as_py(), t.column(key_col)[0].as_py(),
+                t.num_rows)
+
+    summaries = [s for s in ray.get(
+        [block_summary.remote(r) for r in sorted_ds.to_arrow_refs()])
+        if s is not None]
+    if not summaries:
+        out = sorted_ds.drop_columns(["__s"])
+        return out
+    # blocks are contiguous ranges of the total order and (first __s,
+    # first key) is unique per block (unique keys), so sorting the
+    # summaries recovers block order
+    summaries.sort(key=lambda e: (e[0], e[1]))
+    firsts = [(s, k) for s, k, _ in summaries]
+    counts = np.array([n for _, _, n in summaries], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    state = ray.put((firsts, offsets))
+
+    def tile_of(rank: np.ndarray) -> np.ndarray:
+        base, rem = divmod(total, ntile)
+        big = rem * (base + 1)
+        early = rank <= big
+        t = np.empty(len(rank), dtype=np.int64)
+        if base == 0:
+            # more tiles than rows: tile == rank for the rows that exist
+            return rank.copy()
+        t[early] = (rank[early] - 1) // (base + 1) + 1
+        t[~early] = rem + (rank[~early] - 1 - big) // base + 1
+        return t
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            out = batch.drop_columns(["__s"]).append_column(
+                rank_col, pa.array([], pa.int64()))
+            if ntile is not None:
+                out = out.append_column(tile_col, pa.array([], pa.int64()))
+            return out
+        fs, off = ray.get(state)
+        first = (batch.column("__s")[0].as_py(),
+                 batch.column(key_col)[0].as_py())
+        block = bisect.bisect_right(fs, first) - 1
+        rank = off[block] + 1 + np.arange(batch.num_rows, dtype=np.int64)
+        out = batch.drop_columns(["__s"]).append_column(
+            rank_col, pa.array(rank))
+        if ntile is not None:
+            out = out.append_column(tile_col, pa.array(tile_of(rank)))
+        return out
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow",
+                                 zero_copy_batch=True, batch_size=None)

@@ -594,3 +594,99 @@ def test_profile_stats_and_nulls():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         profile(rd.from_arrow(t), columns=["s"])
+
+
+# --------------------------------------------------------------------------
+# rollup_agg (GROUP BY ROLLUP via hierarchical re-aggregation)
+# --------------------------------------------------------------------------
+
+def _rollup_tbl(n=800, seed=2):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "a": pa.array(rng.choice(["x", "y", "z"], n)),
+        "b": pa.array(rng.integers(0, 4, n).astype(np.int64)),
+        "v": pa.array(rng.integers(0, 100, n).astype(np.int64)),
+    })
+
+
+def _rollup_ref(t):
+    import pandas as pd
+
+    df = t.to_pandas()
+    out = []
+    for lvl in (["a", "b"], ["a"], []):
+        if lvl:
+            g = df.groupby(lvl, as_index=False).agg(
+                c=("v", "count"), mn=("v", "min"),
+                mx=("v", "max"), sv=("v", "sum"))
+        else:
+            g = pd.DataFrame([{"c": len(df), "mn": df["v"].min(),
+                               "mx": df["v"].max(), "sv": df["v"].sum()}])
+        for k in ("a", "b"):
+            if k not in lvl:
+                g[k] = None
+        out.append(g[["a", "b", "c", "mn", "mx", "sv"]])
+    return pd.concat(out, ignore_index=True)
+
+
+def _canon_rollup(df):
+    import pandas as pd
+
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        # nullable int64 becomes float64 through pandas -- normalize every
+        # numeric column to nullable Float64 so "0" and "0.0" canonicalize
+        # the same way on both sides
+        try:
+            df[c] = pd.to_numeric(df[c]).astype("Float64")
+        except (ValueError, TypeError):
+            df[c] = df[c].astype("string")
+    return df.sort_values(by=list(df.columns), na_position="last") \
+        .reset_index(drop=True).astype("string")
+
+
+def test_rollup_agg_matches_pandas_reference():
+    from fluent_plugin_geoip_ray.stages.aggregate import rollup_agg
+
+    t = _rollup_tbl()
+    out = rollup_agg(rd.from_arrow(t).repartition(6), ["a", "b"],
+                     [("v", "count", "c"), ("v", "min", "mn"),
+                      ("v", "max", "mx"), ("v", "sum", "sv")]).to_pandas()
+    ref = _rollup_ref(t)
+    assert len(out) == len(ref)
+    assert _canon_rollup(out).equals(_canon_rollup(ref))
+
+
+def test_rollup_agg_partition_invariant():
+    from fluent_plugin_geoip_ray.stages.aggregate import rollup_agg
+
+    t = _rollup_tbl(seed=4)
+    spec = [("v", "sum", "sv"), ("id", "count", "c")]
+    one = _canon_rollup(
+        rollup_agg(rd.from_arrow(t), ["a", "b"], spec).to_pandas())
+    many = _canon_rollup(
+        rollup_agg(rd.from_arrow(t).repartition(11), ["a", "b"], spec)
+        .to_pandas())
+    assert one.equals(many)
+
+
+def test_rollup_agg_single_key_has_grand_total():
+    from fluent_plugin_geoip_ray.stages.aggregate import rollup_agg
+
+    t = _rollup_tbl()
+    out = rollup_agg(rd.from_arrow(t), ["a"],
+                     [("v", "sum", "sv")]).to_pandas()
+    total = out[out["a"].isna()]
+    assert len(total) == 1
+    assert int(total["sv"].iloc[0]) == int(t.column("v").to_pandas().sum())
+
+
+def test_rollup_agg_rejects_mean_and_no_keys():
+    from fluent_plugin_geoip_ray.stages.aggregate import rollup_agg
+
+    ds = rd.from_arrow(_rollup_tbl(n=10))
+    with pytest.raises(ValueError, match="re-aggregable"):
+        rollup_agg(ds, ["a"], [("v", "mean", "m")])
+    with pytest.raises(ValueError, match="at least one key"):
+        rollup_agg(ds, [], [("v", "sum", "s")])

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from fluent_plugin_geoip_ray.stages.sample import (
@@ -208,3 +209,93 @@ def test_select_top_fraction_string_keys_partition_invariant():
         got = set(select_top_fraction(ds, "score", "id", 0.33)
                   .to_pandas()["id"])
         assert got == expect
+
+
+# --------------------------------------------------------------------------
+# global_rank (exact ROW_NUMBER / NTILE over a distributed sort)
+# --------------------------------------------------------------------------
+
+def _rank_table(n=500, seed=5, str_keys=False):
+    rng = np.random.default_rng(seed)
+    keys = ([f"k{i:05d}" for i in range(n)] if str_keys
+            else np.arange(n, dtype=np.int64))
+    return pa.table({
+        "id": pa.array(keys),
+        "score": pa.array(rng.integers(0, 40, n)),   # heavy score ties
+    })
+
+
+def _rank_ref(t, descending):
+    score = t.column("score").to_numpy(zero_copy_only=False)
+    ids = t.column("id").to_pylist()
+    order = sorted(range(len(ids)),
+                   key=lambda i: ((-score[i] if descending else score[i]),
+                                  ids[i]))
+    rank = {ids[i]: r + 1 for r, i in enumerate(order)}
+    return rank
+
+
+def _ntile_ref(rank, n, q):
+    base, rem = divmod(n, q)
+    if base == 0:
+        return rank
+    big = rem * (base + 1)
+    if rank <= big:
+        return (rank - 1) // (base + 1) + 1
+    return rem + (rank - 1 - big) // base + 1
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_global_rank_matches_reference(descending):
+    from fluent_plugin_geoip_ray.stages.sample import global_rank
+
+    t = _rank_table()
+    ref = _rank_ref(t, descending)
+    out = global_rank(rd.from_arrow(t).repartition(7), "score", "id",
+                      descending=descending, ntile=7).to_pandas()
+    assert len(out) == t.num_rows
+    for _, row in out.iterrows():
+        assert row["rank"] == ref[row["id"]], row["id"]
+        assert row["tile"] == _ntile_ref(row["rank"], t.num_rows, 7)
+
+
+def test_global_rank_string_keys_partition_invariant():
+    from fluent_plugin_geoip_ray.stages.sample import global_rank
+
+    t = _rank_table(str_keys=True)
+    one = global_rank(rd.from_arrow(t), "score", "id").to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    many = global_rank(rd.from_arrow(t).repartition(9), "score", "id") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert one.equals(many)
+    ref = _rank_ref(t, False)
+    assert all(one.loc[i, "rank"] == ref[one.loc[i, "id"]]
+               for i in range(len(one)))
+
+
+def test_global_rank_more_tiles_than_rows():
+    from fluent_plugin_geoip_ray.stages.sample import global_rank
+
+    t = pa.table({"id": pa.array([0, 1, 2], pa.int64()),
+                  "score": pa.array([5, 3, 9])})
+    out = global_rank(rd.from_arrow(t), "score", "id", ntile=10) \
+        .to_pandas().set_index("id")
+    # SQL NTILE with q > n assigns tile == rank
+    assert out.loc[1, "rank"] == 1 and out.loc[1, "tile"] == 1
+    assert out.loc[2, "rank"] == 3 and out.loc[2, "tile"] == 3
+
+
+def test_global_rank_output_is_rank_ordered():
+    from fluent_plugin_geoip_ray.stages.sample import global_rank
+
+    t = _rank_table(seed=9)
+    out = global_rank(rd.from_arrow(t).repartition(5), "score", "id") \
+        .to_pandas()
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+
+
+def test_global_rank_rejects_bad_ntile():
+    from fluent_plugin_geoip_ray.stages.sample import global_rank
+
+    with pytest.raises(ValueError):
+        global_rank(rd.from_arrow(_rank_table()), "score", "id", ntile=0)
