@@ -476,6 +476,31 @@ def q_rollup_events(sf_dir: str):
                        ("value", "max", "mx"), ("event_id", "sum", "se")])
 
 
+def q_left_join(sf_dir: str):
+    """Large-large LEFT OUTER equi-join through the bucketed hash
+    exchange: every customer row survives, event-less customers (1350 of
+    1500 at sf0.01) carry typed NULL aggregates.  Exact integer
+    aggregates keep the value-hash compare exact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import groupby_agg
+    from fluent_plugin_geoip_ray.stages.join import bucketed_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id"])
+    agg = groupby_agg(ev, ["user_id"],
+                      [("event_id", "count", "n_events"),
+                       ("event_id", "sum", "se")])
+    agg = agg.map_batches(
+        lambda t: t.select(["user_id", "n_events", "se"])
+        .rename_columns(["c_custkey", "n_events", "se"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_join(cust, agg, on="c_custkey", how="left")
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1328,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": q_dedup_spans,
         "doc_rank": q_doc_rank,
         "rollup_events": q_rollup_events,
+        "left_join": q_left_join,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
         "profile": q_profile,
@@ -1661,6 +1687,14 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[p:p+31], ' ') AS chunk_text,
                    least(32, len(toks) - p + 1) AS n_tokens
             FROM starts""",
+        # LEFT OUTER join: unmatched left rows carry NULL aggregates
+        "left_join": """
+            SELECT c.c_custkey, c.c_name, e.n_events, e.se
+            FROM customer c LEFT JOIN (
+              SELECT user_id, count(event_id) AS n_events,
+                     CAST(sum(event_id) AS BIGINT) AS se
+              FROM events GROUP BY user_id) e
+            ON e.user_id = c.c_custkey""",
         # exact global rank + decile: identical window functions
         "doc_rank": """
             SELECT doc_id, n_chars,
