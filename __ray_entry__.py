@@ -501,6 +501,35 @@ def q_left_join(sf_dir: str):
     return bucketed_join(cust, agg, on="c_custkey", how="left")
 
 
+def q_users_per_type(sf_dir: str):
+    """EXACT COUNT(DISTINCT user_id) per event_type via the two-level
+    dedupe-then-count aggregate (the exact sibling of the HLL op)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import count_distinct_by
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return count_distinct_by(ds, ["event_type"], "user_id",
+                             out_col="n_users")
+
+
+def q_rate_limited(sf_dir: str):
+    """Per-user rate limiting: first 2 events (by ts, then event_id) per
+    user per 1-hour tumbling window -- the log-pipeline quota throttle,
+    via the algebraic grouped top-k over a composite (key, window)
+    group."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import rate_limit
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts",
+                                  "event_type"])
+    return rate_limit(ds, "user_id", "ts", window_sec=3600, k=2,
+                      tie_breakers=["event_id"])
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1354,6 +1383,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rank": q_doc_rank,
         "rollup_events": q_rollup_events,
         "left_join": q_left_join,
+        "users_per_type": q_users_per_type,
+        "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
         "profile": q_profile,
@@ -1687,6 +1718,17 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[p:p+31], ' ') AS chunk_text,
                    least(32, len(toks) - p + 1) AS n_tokens
             FROM starts""",
+        # exact two-level COUNT(DISTINCT)
+        "users_per_type": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type""",
+        # quota throttle: first 2 rows per (user, 1h window) by (ts, id)
+        "rate_limited": """
+            SELECT event_id, user_id, ts, event_type FROM events
+            QUALIFY ROW_NUMBER() OVER (
+              PARTITION BY user_id, epoch_us(ts) // 3600000000
+              ORDER BY ts, event_id) <= 2""",
         # LEFT OUTER join: unmatched left rows carry NULL aggregates
         "left_join": """
             SELECT c.c_custkey, c.c_name, e.n_events, e.se

@@ -772,3 +772,24 @@ def rollup_agg(ds, keys: list[str], aggs: list[tuple],
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def count_distinct_by(ds, keys: list[str], value_col: str,
+                      out_col: str = "n_distinct", merge: str = "bucketed"):
+    """EXACT ``COUNT(DISTINCT value_col)`` per key group -- the exact
+    sibling of :func:`approx_distinct_by`, as the classic two-level
+    aggregate: level 1 dedupes (keys, value) pairs (per-batch partial
+    dedupe means a hot pair leaves each block ONCE; the bucketed exchange
+    then holds one row per distinct pair), level 2 counts surviving
+    non-null values per key.  NULL values are excluded, matching SQL
+    ``COUNT(DISTINCT ...)``.
+
+    Use this when the distinct cardinality per group is needed exactly
+    (audits, contracts); at 100 TB with billions of distincts per group
+    prefer ``approx_distinct_by`` -- this op's exchange volume is
+    O(distinct pairs), which is exact but not compressible.
+    """
+    pairs = groupby_agg(ds, keys + [value_col],
+                        [(value_col, "count", "__cd_c")], merge=merge)
+    return groupby_agg(pairs, keys, [(value_col, "count", out_col)],
+                       merge=merge)

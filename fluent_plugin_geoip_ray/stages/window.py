@@ -284,3 +284,45 @@ def _session_windows_scan(ds, key: str, ts_col: str, gap_sec: int,
     bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
                                     zero_copy_batch=True)
     return hash_exchange(bucketed, num_buckets, _finalize)
+
+
+def rate_limit(ds, key: str, ts_col: str, window_sec: int, k: int,
+               tie_breakers: list[str] | None = None,
+               merge: str = "auto", num_buckets: int = 32):
+    """Per-key rate limiting / quota enforcement: keep only the FIRST
+    ``k`` rows (by ``ts_col`` ascending, then ``tie_breakers``) inside
+    each (key, tumbling ``window_sec`` window) -- the log-pipeline
+    throttle (``ROW_NUMBER() OVER (PARTITION BY key, window ORDER BY ts,
+    ties) <= k``).
+
+    Composition: a composite (key, window) group column feeds
+    :func:`..aggregate.top_k_by_group` with ``descending=False`` -- so
+    the partial/final shape is the algebraic grouped top-k (at most k
+    rows per group per block leave a worker; bucketed final above the
+    driver limit).  Works for string or integer keys.
+    """
+    import pyarrow.compute as pc
+
+    from .aggregate import top_k_by_group
+
+    if window_sec <= 0:
+        raise ValueError(f"window_sec must be > 0, got {window_sec}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    width_us = int(window_sec) * 1_000_000
+
+    def add_grp(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        win = pc.divide(ts.cast(pa.int64()), width_us)
+        grp = pc.binary_join_element_wise(
+            t.column(key).cast(pa.string()), win.cast(pa.string()), "|")
+        return t.append_column("__rl_grp", grp)
+
+    limited = top_k_by_group(
+        ds.map_batches(add_grp, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "__rl_grp", ts_col, k, descending=False,
+        tie_breakers=tie_breakers, merge=merge, num_buckets=num_buckets)
+    return limited.drop_columns(["__rl_grp"])

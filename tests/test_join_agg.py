@@ -690,3 +690,42 @@ def test_rollup_agg_rejects_mean_and_no_keys():
         rollup_agg(ds, ["a"], [("v", "mean", "m")])
     with pytest.raises(ValueError, match="at least one key"):
         rollup_agg(ds, [], [("v", "sum", "s")])
+
+
+# --------------------------------------------------------------------------
+# count_distinct_by (exact two-level COUNT(DISTINCT))
+# --------------------------------------------------------------------------
+
+def _cd_tbl(n=2000, seed=8):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 60, n).astype(np.int64).astype(object)
+    vals[rng.random(n) < 0.05] = None                  # SQL: nulls excluded
+    return pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c", None], n)),
+        "v": pa.array(list(vals), pa.int64()),
+    })
+
+
+def test_count_distinct_by_matches_pandas():
+    from fluent_plugin_geoip_ray.stages.aggregate import count_distinct_by
+
+    t = _cd_tbl()
+    out = count_distinct_by(rd.from_arrow(t).repartition(6), ["g"], "v") \
+        .to_pandas()
+    ref = t.to_pandas().groupby("g", dropna=False)["v"].nunique() \
+        .reset_index(name="n_distinct")
+    m = out.merge(ref, on="g", suffixes=("", "_ref"), how="outer")
+    assert len(m) == len(out) == len(ref)
+    assert (m["n_distinct"] == m["n_distinct_ref"]).all()
+
+
+def test_count_distinct_by_partition_invariant():
+    from fluent_plugin_geoip_ray.stages.aggregate import count_distinct_by
+
+    t = _cd_tbl(seed=9)
+    one = count_distinct_by(rd.from_arrow(t), ["g"], "v").to_pandas() \
+        .sort_values("g", na_position="last").reset_index(drop=True)
+    many = count_distinct_by(rd.from_arrow(t).repartition(13), ["g"], "v") \
+        .to_pandas().sort_values("g", na_position="last") \
+        .reset_index(drop=True)
+    assert one.equals(many)

@@ -1,6 +1,8 @@
 """Window operator tests vs pandas ground truth."""
 
 import numpy as np
+import pytest
+import pyarrow as pa
 import pandas as pd
 import ray.data as rd
 
@@ -187,3 +189,62 @@ def test_session_scan_driver_equals_bucketed_merge():
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+# --------------------------------------------------------------------------
+# rate_limit (first-k per key per tumbling window)
+# --------------------------------------------------------------------------
+
+def _rl_tbl(n=1500, seed=3, str_keys=False):
+    rng = np.random.default_rng(seed)
+    users = rng.integers(0, 25, n).astype(np.int64)
+    ts = rng.integers(0, 6 * 3600, n).astype("datetime64[s]").astype(
+        "datetime64[us]")
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array([f"u{u}" for u in users] if str_keys
+                            else users),
+        "ts": pa.array(ts),
+    })
+
+
+def _rl_ref(t, window_sec, k):
+    df = t.to_pandas()
+    win = (df["ts"].astype("int64") // (window_sec * 1_000_000))
+    df = df.assign(__w=win).sort_values(["user_id", "__w", "ts", "event_id"])
+    df["__rn"] = df.groupby(["user_id", "__w"]).cumcount()
+    return set(df[df["__rn"] < k]["event_id"])
+
+
+@pytest.mark.parametrize("str_keys", [False, True])
+def test_rate_limit_matches_reference(str_keys):
+    from fluent_plugin_geoip_ray.stages.window import rate_limit
+
+    t = _rl_tbl(str_keys=str_keys)
+    kept = rate_limit(rd.from_arrow(t).repartition(7), "user_id", "ts",
+                      window_sec=900, k=2,
+                      tie_breakers=["event_id"]).to_pandas()
+    assert set(kept["event_id"]) == _rl_ref(t, 900, 2)
+    assert set(kept.columns) == {"event_id", "user_id", "ts"}
+
+
+def test_rate_limit_bucketed_merge_parity():
+    from fluent_plugin_geoip_ray.stages.window import rate_limit
+
+    t = _rl_tbl(seed=5)
+    auto = rate_limit(rd.from_arrow(t), "user_id", "ts", 900, 3,
+                      tie_breakers=["event_id"]).to_pandas()
+    forced = rate_limit(rd.from_arrow(t).repartition(9), "user_id", "ts",
+                        900, 3, tie_breakers=["event_id"],
+                        merge="bucketed").to_pandas()
+    assert set(auto["event_id"]) == set(forced["event_id"])
+
+
+def test_rate_limit_rejects_bad_params():
+    from fluent_plugin_geoip_ray.stages.window import rate_limit
+
+    ds = rd.from_arrow(_rl_tbl(n=10))
+    with pytest.raises(ValueError):
+        rate_limit(ds, "user_id", "ts", 0, 1)
+    with pytest.raises(ValueError):
+        rate_limit(ds, "user_id", "ts", 60, 0)
