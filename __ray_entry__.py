@@ -530,6 +530,49 @@ def q_rate_limited(sf_dir: str):
                       tie_breakers=["event_id"])
 
 
+def q_dedup_incr(sf_dir: str):
+    """Incremental near-dup dedup vs a persisted historical sketch index
+    (the daily-crawl increment; KNOWN-ANSWER oracle like semantic_dedup):
+    the increment holds, for each of the first 100 documents, an EXACT
+    COPY at doc_id+1M when doc_id is odd (identical sketches share every
+    LSH band with the historical doc -- provably dropped) and a
+    doc_id-salted disjoint-vocabulary novel doc when even (zero shared
+    shingles with anything -- survives under the fixed seed).  Historical
+    text is never re-read; update_index stays False so reruns are
+    idempotent."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.dedup import (
+        build_sketch_index,
+        dedup_incremental,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"/tmp/graft_data/{tag}/incr_index"
+    if not os.path.exists(os.path.join(index_dir, "_params.json")):
+        build_sketch_index(
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"]), index_dir)
+
+    def make_new(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("doc_id"), 100))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = t.column("text").to_pylist()
+        out_t = [texts[i] if ids[i] % 2 == 1
+                 else " ".join(f"uniq{ids[i]}_{j}" for j in range(40))
+                 for i in range(len(ids))]
+        return pa.table({"doc_id": pa.array(ids + 1_000_000),
+                         "text": pa.array(out_t, pa.string())})
+
+    new_ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])         .map_batches(make_new, batch_format="pyarrow", zero_copy_batch=True)
+    return dedup_incremental(new_ds, index_dir).select_columns(["doc_id"])
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1384,6 +1427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_events": q_rollup_events,
         "left_join": q_left_join,
         "users_per_type": q_users_per_type,
+        "dedup_incr": q_dedup_incr,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
@@ -1718,6 +1762,11 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[p:p+31], ' ') AS chunk_text,
                    least(32, len(toks) - p + 1) AS n_tokens
             FROM starts""",
+        # KNOWN-ANSWER: survivors of the incremental dedup are exactly
+        # the even-id novel docs (odd-id exact copies provably drop)
+        "dedup_incr": """
+            SELECT CAST(doc_id + 1000000 AS BIGINT) AS doc_id
+            FROM documents WHERE doc_id < 100 AND doc_id % 2 = 0""",
         # exact two-level COUNT(DISTINCT)
         "users_per_type": """
             SELECT event_type,

@@ -504,14 +504,19 @@ def _gather_sigs(sketches, key_col: str, keys: "np.ndarray") -> pa.Table:
     keys_arr = pa.array(keys)
 
     @ray.remote
-    def gather(t: pa.Table, kset) -> pa.Table:
+    def gather(t: pa.Table, kset):
+        if key_col not in t.column_names:
+            # a 0-row block that skipped every upstream map UDF arrives
+            # schema-less (same quirk exchange.py handles) -- nothing to
+            # gather from it
+            return None
         mask = pc.is_in(t.column(key_col), value_set=kset)
         return t.select([key_col, "sig"]).filter(pc.fill_null(mask, False))
 
     kref = ray.put(keys_arr)
-    tables = ray.get(
+    tables = [t for t in ray.get(
         [gather.remote(r, kref) for r in sketches.to_arrow_refs()]
-    )
+    ) if t is not None]
     return pa.concat_tables(tables).combine_chunks()
 
 
@@ -1026,6 +1031,13 @@ def build_sketch_index(ds, index_dir: str, kind: str = "minhash",
                         zero_copy_batch=True)
     os.makedirs(index_dir, exist_ok=True)
     sk.write_parquet(index_dir)
+    # persist sketch params so incremental consumers can validate that
+    # their sketches are bucket-compatible with the index
+    import json
+
+    with open(os.path.join(index_dir, "_params.json"), "w") as f:
+        json.dump({"kind": kind, "key_col": key_col,
+                   **{k: v for k, v in sketch_kwargs.items()}}, f)
     return index_dir
 
 
@@ -2280,3 +2292,140 @@ def dedup_spans(ds, key_col: str = "doc_id", text_col: str = "text",
                               covered, count_col="tokens_removed")
 
     return hash_exchange(both, num_buckets, rebuild_bucket)
+
+
+# --------------------------------------------------------------------------
+# Incremental near-dup dedup against a persisted sketch index
+# --------------------------------------------------------------------------
+
+KEY_OFFSET = np.int64(1) << np.int64(62)
+
+
+def dedup_incremental(new_ds, index_dir: str, key_col: str = "doc_id",
+                      text_col: str = "text",
+                      jaccard_threshold: float = 0.7, num_perm: int = 64,
+                      bands: int = 16, seed: int = 42, mode: str = "auto",
+                      update_index: bool = False,
+                      hot_bucket_limit: int = 2_000_000,
+                      edge_driver_limit: int = 20_000_000):
+    """Incremental MinHash near-dup dedup -- the daily-crawl increment
+    pattern: drop NEW docs that near-duplicate the persisted HISTORICAL
+    sketch index (:func:`build_sketch_index`) or an earlier-keyed
+    surviving new doc.  Historical docs are never dropped, and the
+    historical corpus TEXT is never re-read -- only its (key, sig,
+    bucket) sketch table moves.
+
+    Mechanism: new-doc keys are lifted above every historical key by
+    ``KEY_OFFSET`` (2^62); the combined sketch table then runs through
+    the SAME ``lsh_verified_edges`` + connected-components machinery as
+    :func:`dedup_minhash`, and min-key cluster representation makes
+    "historical always wins" fall out with zero new cluster logic: a
+    cluster containing any historical member has a root < KEY_OFFSET, so
+    every new member in it is a non-root loser; an only-new cluster keeps
+    exactly its min-key member.  Requires every key (both sides) to be an
+    integer < 2^62 (validated).
+
+    ``update_index=True`` appends the surviving new docs' sketches (at
+    their ORIGINAL keys) to ``index_dir``, so the next increment sees
+    them -- resumable, append-only index growth.  Sketch params must
+    match the index's ``_params.json`` (validated when present).
+    """
+    import json
+    import os
+
+    import pyarrow.compute as _pc
+    import ray
+    import ray.data as rd
+
+    params_path = os.path.join(index_dir, "_params.json")
+    if os.path.exists(params_path):
+        with open(params_path) as f:
+            idx_params = json.load(f)
+        if idx_params.get("kind", "minhash") != "minhash":
+            raise ValueError(
+                f"index kind {idx_params.get('kind')!r} is not 'minhash'")
+        for name, mine in (("num_perm", num_perm), ("bands", bands),
+                           ("seed", seed)):
+            theirs = idx_params.get(name, mine)
+            if theirs != mine:
+                raise ValueError(
+                    f"sketch param mismatch vs index: {name}={mine} but "
+                    f"index was built with {name}={theirs}")
+
+    new_sketches = new_ds.map_batches(
+        MinHashSketch(key_col=key_col, text_col=text_col,
+                      num_perm=num_perm, bands=bands, seed=seed),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+    hist_sketches = rd.read_parquet(index_dir)
+
+    def check_and_lift(lift: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            keys = t.column(key_col).cast(pa.int64())
+            if t.num_rows:
+                top = _pc.max(keys).as_py()
+                lo = _pc.min(keys).as_py()
+                if top >= int(KEY_OFFSET) or lo < 0:
+                    raise ValueError(
+                        "dedup_incremental requires keys in [0, 2^62); "
+                        f"saw [{lo}, {top}]")
+            if lift:
+                keys = _pc.add(keys, pa.scalar(int(KEY_OFFSET), pa.int64()))
+            return t.set_column(t.column_names.index(key_col), key_col,
+                                keys)
+
+        return fn
+
+    combined = hist_sketches.map_batches(
+        check_and_lift(False), batch_format="pyarrow", zero_copy_batch=True
+    ).union(new_sketches.map_batches(
+        check_and_lift(True), batch_format="pyarrow", zero_copy_batch=True
+    )).materialize()
+
+    def verify(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+        return (sa == sb).mean(axis=1) >= jaccard_threshold
+
+    edge_mode = {"auto": "auto", "distributed": "distributed",
+                 "driver": "broadcast"}[mode]
+    edges = lsh_verified_edges(combined, key_col, verify,
+                               edge_mode=edge_mode,
+                               hot_bucket_limit=hot_bucket_limit)
+
+    import pandas as pd
+
+    if isinstance(edges, pd.DataFrame) and mode != "distributed" \
+            and len(edges) <= edge_driver_limit:
+        if len(edges):
+            labels = connected_components(edges)
+            losers = {int(k - KEY_OFFSET) for k, root in labels.items()
+                      if root != k and k >= KEY_OFFSET}
+        else:
+            losers = set()
+        out = _drop_losers(new_ds, losers, key_col) if losers else new_ds
+        kept_pred = None if not losers else losers
+    else:
+        if isinstance(edges, pd.DataFrame):
+            edges = rd.from_pandas(edges)
+        all_losers = connected_components_distributed(edges,
+                                                      as_dataset=True)
+        new_losers = all_losers.map_batches(
+            lambda t: pa.table({"node": _pc.subtract(
+                t.filter(_pc.greater_equal(
+                    t.column("node"),
+                    pa.scalar(int(KEY_OFFSET), pa.int64()))).column("node"),
+                pa.scalar(int(KEY_OFFSET), pa.int64()))}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+        out = (_drop_losers_ds(new_ds, new_losers, key_col)
+               if new_losers.count() else new_ds)
+        kept_pred = new_losers
+
+    if update_index:
+        if kept_pred is None:
+            survivors = new_sketches
+        elif isinstance(kept_pred, set):
+            survivors = _drop_losers(new_sketches, kept_pred, key_col)
+        else:
+            survivors = _drop_losers_ds(new_sketches, kept_pred, key_col)
+        survivors.write_parquet(index_dir)
+    return out

@@ -785,3 +785,102 @@ def test_dedup_spans_rejects_bad_params():
         dedup_spans(t, min_count=1)
     with pytest.raises(ValueError):
         dedup_spans(t, window=1)
+
+
+# --------------------------------------------------------------------------
+# dedup_incremental (new shard vs persisted historical sketch index)
+# --------------------------------------------------------------------------
+
+def _incr_corpora(tmpdir, seed=13):
+    """(hist_table, new_table, expected_survivor_new_ids, index_dir)."""
+    from fluent_plugin_geoip_ray.stages.dedup import build_sketch_index
+
+    rng = np.random.default_rng(seed)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lam mu nu xi omicron pi rho sigma tau upsilon").split()
+    hist_texts = [" ".join(rng.choice(words, size=60)) for _ in range(20)]
+    hist = pa.table({"doc_id": pa.array(range(20), pa.int64()),
+                     "text": pa.array(hist_texts)})
+
+    # new batch: ids 100..; 100/101 copy hist docs (MUST drop -- identical
+    # sketches); 102/103 are an intra-batch exact dup pair (min survives);
+    # 104/105 novel vocabularies (survive)
+    nv = [f"novel{i}_{j}" for i in range(3) for j in range(40)]
+    new = pa.table({
+        "doc_id": pa.array([100, 101, 102, 103, 104, 105], pa.int64()),
+        "text": pa.array([
+            hist_texts[3], hist_texts[7],
+            "x " + " ".join(nv[:30]), "x " + " ".join(nv[:30]),
+            " ".join(nv[40:80]) + " tailone",
+            " ".join(nv[80:]) + " tailtwo",
+        ]),
+    })
+    index_dir = str(tmpdir / "sketch_index")
+    build_sketch_index(rd.from_arrow(hist), index_dir)
+    return hist, new, index_dir
+
+
+@pytest.mark.parametrize("mode", ["auto", "distributed"])
+def test_dedup_incremental_semantics(tmp_path, mode):
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_incremental
+
+    _, new, index_dir = _incr_corpora(tmp_path)
+    out = dedup_incremental(rd.from_arrow(new), index_dir, mode=mode)
+    kept = sorted(out.to_pandas()["doc_id"])
+    # copies of hist drop; intra-batch dup keeps min; novels survive
+    assert 100 not in kept and 101 not in kept, mode
+    assert 102 in kept and 103 not in kept, mode
+    assert 104 in kept and 105 in kept, mode
+
+
+def test_dedup_incremental_update_index_sees_prior_increment(tmp_path):
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_incremental
+
+    _, new, index_dir = _incr_corpora(tmp_path)
+    dedup_incremental(rd.from_arrow(new), index_dir, update_index=True)
+    # second increment: a copy of surviving new doc 104 must now drop,
+    # and a copy of FIRST-increment loser 103's text still drops (its
+    # surviving twin 102 is in the index)
+    second = pa.table({
+        "doc_id": pa.array([200, 201, 202], pa.int64()),
+        "text": pa.array([
+            new.column("text")[4].as_py(),    # copy of survivor 104
+            new.column("text")[2].as_py(),    # copy of 102 (survivor)
+            "completely fresh vocabulary " + " ".join(
+                f"z{i}" for i in range(40)),
+        ]),
+    })
+    kept = sorted(dedup_incremental(rd.from_arrow(second), index_dir)
+                  .to_pandas()["doc_id"])
+    assert kept == [202]
+
+
+def test_dedup_incremental_param_mismatch_raises(tmp_path):
+    from fluent_plugin_geoip_ray.stages.dedup import (
+        build_sketch_index,
+        dedup_incremental,
+    )
+
+    hist = pa.table({"doc_id": pa.array([0], pa.int64()),
+                     "text": pa.array([BASE])})
+    index_dir = str(tmp_path / "idx")
+    build_sketch_index(rd.from_arrow(hist), index_dir, num_perm=32,
+                       bands=8, seed=1)
+    with pytest.raises(ValueError, match="param mismatch"):
+        dedup_incremental(rd.from_arrow(hist), index_dir, num_perm=64)
+
+
+def test_dedup_incremental_rejects_out_of_range_keys(tmp_path):
+    from fluent_plugin_geoip_ray.stages.dedup import (
+        build_sketch_index,
+        dedup_incremental,
+    )
+
+    hist = pa.table({"doc_id": pa.array([0], pa.int64()),
+                     "text": pa.array([BASE])})
+    index_dir = str(tmp_path / "idx")
+    build_sketch_index(rd.from_arrow(hist), index_dir)
+    bad = pa.table({"doc_id": pa.array([1 << 62], pa.int64()),
+                    "text": pa.array([BASE])})
+    with pytest.raises(Exception, match="2\\^62"):
+        dedup_incremental(rd.from_arrow(bad), index_dir).count()
