@@ -573,6 +573,45 @@ def q_dedup_incr(sf_dir: str):
     return dedup_incremental(new_ds, index_dir).select_columns(["doc_id"])
 
 
+def q_pca(sf_dir: str):
+    """Distributed PCA over the embeddings table (golden-pinned like
+    knn_ivf: the eigendecomposition is not SQL-replicable): fit k=4
+    components via one streaming (n, sum, X^T X) moment pass (rows never
+    move, driver holds O(blocks) d x d partials), then project every
+    vector -- one broadcast + one matmul per batch.  Deterministic sign
+    convention makes refits byte-identical; hand-checkable planted-
+    subspace recovery lives in pytest."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.similarity import (
+        fit_pca,
+        transform_pca,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    mean, comps, _ = fit_pca(ds, vec_col="embedding", k=4)
+
+    def explode(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        m = np.vstack(t.column("pca").to_pylist()) if t.num_rows \
+            else np.zeros((0, 4))
+        cols = {"vec_id": t.column("vec_id")}
+        for i in range(4):
+            # 1e-4-quantized int64: threaded-BLAS reductions jitter the
+            # last float ulps run-to-run, so the golden pins quantized
+            # coordinates (jitter ~1e-13 absolute, 9 orders below the
+            # quantum)
+            cols[f"p{i}"] = pa.array(np.round(m[:, i] * 1e4)
+                                     .astype(np.int64))
+        return pa.table(cols)
+
+    return transform_pca(ds, mean, comps, vec_col="embedding") \
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1428,6 +1467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join": q_left_join,
         "users_per_type": q_users_per_type,
         "dedup_incr": q_dedup_incr,
+        "pca": q_pca,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
@@ -1633,6 +1673,8 @@ def oracle_sql() -> dict[str, str]:
                       f" read_parquet('{_GOLDEN_DIR}/multimodal_sf001.parquet')",
         "multimodal_frames": f"SELECT media_id, frame_idx, pix_mean FROM"
                              f" read_parquet('{_GOLDEN_DIR}/multimodal_frames_sf001.parquet')",
+        "pca": f"SELECT vec_id, p0, p1, p2, p3 FROM"
+               f" read_parquet('{_GOLDEN_DIR}/pca_sf001.parquet')",
         "knn_ivf": f"SELECT query_id, vec_id, rank FROM"
                    f" read_parquet('{_GOLDEN_DIR}/knn_ivf_sf001.parquet')",
         "embedding_near_dup": f"SELECT vec_id, label FROM"

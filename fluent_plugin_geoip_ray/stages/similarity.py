@@ -365,3 +365,87 @@ def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 64,
         edges = edges.to_pandas()
     return _resolve_clusters_and_drop(ds, edges, id_col, mode=mode,
                                       edge_driver_limit=edge_driver_limit)
+
+
+# --------------------------------------------------------------------------
+# Distributed PCA over an embedding column
+# --------------------------------------------------------------------------
+
+def fit_pca(ds, vec_col: str = "vec", k: int = 8, center: bool = True):
+    """Distributed PCA fit -- the classic moment-accumulation shape: ONE
+    streaming pass emits per-block (n, sum, X^T X) partials (a d-vector
+    plus a d x d float64 matrix per BLOCK, d = embedding dim); the driver
+    combines O(blocks) tiny partials and eigendecomposes the d x d
+    covariance.  Rows never move; driver work is O(d^2 * blocks + d^3).
+
+    Returns ``(mean, components, explained_variance)``: float64[d],
+    float64[k, d] (rows = components, largest eigenvalue first), and the
+    per-component variance.  Deterministic sign convention: each
+    component's largest-|coordinate| entry is made positive, so refits on
+    the same input reproduce byte-identical components.
+    """
+    import ray
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "xtx": pa.array([], pa.list_(pa.float64()))})
+        x = _embedding_matrix(t, vec_col)
+        return pa.table({
+            "n": pa.array([x.shape[0]], pa.int64()),
+            "s": pa.array([x.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "xtx": pa.array([(x.T @ x).ravel().tolist()],
+                            pa.list_(pa.float64())),
+        })
+
+    parts = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None).to_arrow_refs()) if t.num_rows]
+    if not parts:
+        raise ValueError("fit_pca: empty input")
+    tab = pa.concat_tables(parts)
+    n = int(np.sum(tab.column("n").to_numpy(zero_copy_only=False)))
+    s = np.add.reduce([np.asarray(v) for v in tab.column("s").to_pylist()])
+    d = len(s)
+    if k > d:
+        raise ValueError(f"k={k} exceeds embedding dim {d}")
+    xtx = np.add.reduce([np.asarray(v).reshape(d, d)
+                         for v in tab.column("xtx").to_pylist()])
+    mean = s / n if center else np.zeros(d)
+    cov = xtx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                   # (k, d)
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    comps = comps * np.where(flip == 0, 1.0, flip)[:, None]
+    return mean, comps, evals[order]
+
+
+def transform_pca(ds, mean: np.ndarray, components: np.ndarray,
+                  vec_col: str = "vec", out_col: str = "pca"):
+    """Project every vector onto fitted components: broadcast (mean,
+    components) ONCE via ``ray.put``, one numpy matmul per batch --
+    no shuffle, no per-row Python.  Appends ``out_col`` as
+    list<float64>[k]."""
+    import ray
+
+    state = ray.put((np.asarray(mean, np.float64),
+                     np.asarray(components, np.float64)))
+
+    def project(t: pa.Table) -> pa.Table:
+        m, c = ray.get(state)
+        x = _embedding_matrix(t, vec_col)
+        proj = (x - m[None, :]) @ c.T
+        off = pa.array(np.arange(0, (t.num_rows + 1) * c.shape[0],
+                                 c.shape[0], dtype=np.int64),
+                       pa.int32())
+        lst = pa.ListArray.from_arrays(off, pa.array(proj.ravel()))
+        return t.append_column(out_col, lst)
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -192,3 +192,81 @@ def test_semantic_dedup_cluster_guard():
     with pytest.raises(Exception, match="max_cluster_rows"):
         semantic_dedup(rd.from_arrow(t), threshold=0.99, n_clusters=1,
                        sample_n=100, max_cluster_rows=3).to_pandas()
+
+
+# --------------------------------------------------------------------------
+# distributed PCA (moment accumulation + driver eig)
+# --------------------------------------------------------------------------
+
+def _pca_data(n=600, d=12, seed=4):
+    """Data with a planted dominant 2D subspace."""
+    rng = np.random.default_rng(seed)
+    u1 = np.zeros(d); u1[0] = 3.0; u1[1] = 4.0; u1 /= 5.0
+    u2 = np.zeros(d); u2[2] = 1.0
+    x = (rng.normal(0, 8.0, (n, 1)) * u1 + rng.normal(0, 3.0, (n, 1)) * u2
+         + rng.normal(0, 0.1, (n, d)) + 5.0)
+    return x
+
+
+def _to_vec_table(x):
+    n, d = x.shape
+    off = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int64), pa.int32())
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "vec": pa.ListArray.from_arrays(off, pa.array(x.ravel())),
+    })
+
+
+def test_fit_pca_recovers_planted_subspace():
+    from fluent_plugin_geoip_ray.stages.similarity import fit_pca
+
+    x = _pca_data()
+    mean, comps, ev = fit_pca(rd.from_arrow(_to_vec_table(x)).repartition(5),
+                              k=2)
+    assert np.allclose(mean, x.mean(axis=0))
+    # numpy reference on the same covariance
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    ref = evecs[:, np.argsort(evals)[::-1][:2]].T
+    for i in range(2):
+        assert abs(abs(ref[i] @ comps[i])) > 0.999, i   # same direction
+    assert ev[0] > ev[1] > 0
+
+
+def test_fit_pca_deterministic_and_partition_invariant():
+    from fluent_plugin_geoip_ray.stages.similarity import fit_pca
+
+    x = _pca_data(seed=7)
+    t = _to_vec_table(x)
+    m1, c1, e1 = fit_pca(rd.from_arrow(t), k=3)
+    m2, c2, e2 = fit_pca(rd.from_arrow(t), k=3)
+    assert (c1 == c2).all() and (m1 == m2).all()        # byte-identical refit
+    m3, c3, e3 = fit_pca(rd.from_arrow(t).repartition(9), k=3)
+    # different block splits change float accumulation order only
+    assert np.allclose(c1, c3) and np.allclose(e1, e3)
+
+
+def test_transform_pca_matches_numpy():
+    from fluent_plugin_geoip_ray.stages.similarity import (
+        fit_pca,
+        transform_pca,
+    )
+
+    x = _pca_data(seed=9)
+    t = _to_vec_table(x)
+    mean, comps, _ = fit_pca(rd.from_arrow(t), k=2)
+    out = transform_pca(rd.from_arrow(t), mean, comps).to_pandas() \
+        .sort_values("vec_id")
+    got = np.vstack(out["pca"].to_numpy())
+    ref = (x - mean) @ comps.T
+    assert np.allclose(got, ref)
+
+
+def test_fit_pca_validation():
+    from fluent_plugin_geoip_ray.stages.similarity import fit_pca
+
+    t = _to_vec_table(_pca_data(n=20, d=4))
+    with pytest.raises(ValueError, match="k must"):
+        fit_pca(rd.from_arrow(t), k=0)
+    with pytest.raises(ValueError, match="exceeds"):
+        fit_pca(rd.from_arrow(t), k=5)
