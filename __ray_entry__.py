@@ -612,6 +612,44 @@ def q_pca(sf_dir: str):
         .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_mean_pool(sf_dir: str):
+    """Per-label embedding centroids (group_mean_pool), emitted long-form
+    (label, pos, c) with 1e-6-quantized coordinates so the float mean is
+    independently SQL-verifiable despite summation-order ulps (engine and
+    DuckDB sum in different orders; both land within ~1e-12 of the true
+    mean, 6 orders below the quantum)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.similarity import group_mean_pool
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    pooled = group_mean_pool(ds, "label")
+
+    def long_form(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        cent = t.column("centroid")
+        if isinstance(cent, pa.ChunkedArray):
+            cent = cent.combine_chunks()
+        m = np.vstack(cent.to_pylist())
+        n, d = m.shape
+        return pa.table({
+            "label": pa.array(np.repeat(
+                t.column("label").cast(pa.int64())
+                .to_numpy(zero_copy_only=False), d)),
+            "pos": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "c": pa.array(np.round(m.ravel() * 1e6).astype(np.int64)),
+        })
+
+    return pooled.map_batches(long_form, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1468,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_per_type": q_users_per_type,
         "dedup_incr": q_dedup_incr,
         "pca": q_pca,
+        "mean_pool": q_mean_pool,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
@@ -1804,6 +1843,17 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[p:p+31], ' ') AS chunk_text,
                    least(32, len(toks) - p + 1) AS n_tokens
             FROM starts""",
+        # per-label embedding centroid, 1e-6-quantized long form
+        "mean_pool": """
+            WITH e AS (
+              SELECT label, unnest(embedding) AS v,
+                     unnest(range(1, len(embedding) + 1)) AS pos
+              FROM embeddings
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(pos - 1 AS BIGINT) AS pos,
+                   CAST(round(avg(CAST(v AS DOUBLE)) * 1e6) AS BIGINT) AS c
+            FROM e GROUP BY label, pos""",
         # KNOWN-ANSWER: survivors of the incremental dedup are exactly
         # the even-id novel docs (odd-id exact copies provably drop)
         "dedup_incr": """

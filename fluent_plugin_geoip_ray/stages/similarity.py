@@ -449,3 +449,85 @@ def transform_pca(ds, mean: np.ndarray, components: np.ndarray,
 
     return ds.map_batches(project, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# Per-group embedding mean-pooling (profile / centroid vectors)
+# --------------------------------------------------------------------------
+
+def group_mean_pool(ds, group_col: str, vec_col: str = "embedding",
+                    out_col: str = "centroid", num_buckets: int = 32):
+    """Per-group elementwise mean of an embedding column -- the profile-
+    vector / cluster-centroid primitive (one vector per user, domain,
+    topic...).
+
+    Scale shape: each batch reduces to ONE (group, sum-vector, count) row
+    per group via a single lexsort + ``reduceat`` (a hot group costs one
+    d-vector per block, the groupby_agg combiner idea applied to
+    vectors); partials co-locate through one hash exchange on the group
+    key and the final divide is vectorized per bucket.  Raw vectors never
+    shuffle -- only d x groups x blocks partial floats move.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from .exchange import hash_exchange
+
+    def partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table({
+                "g": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.float64())),
+                "n": pa.array([], pa.int64()),
+            })
+        x = _embedding_matrix(t, vec_col)
+        g = t.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        gv = g.to_pandas().to_numpy()
+        order = np.argsort(gv, kind="stable")
+        xs, gs = x[order], gv[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        sums = np.add.reduceat(xs, starts, axis=0)
+        counts = np.diff(np.append(starts, len(gs)))
+        d = x.shape[1]
+        off = pa.array(np.arange(0, (len(starts) + 1) * d, d,
+                                 dtype=np.int64), pa.int32())
+        return pa.table({
+            "g": pa.array(gs[starts]),
+            "s": pa.ListArray.from_arrays(off, pa.array(sums.ravel())),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        gv = t.column("g").to_pandas().to_numpy(dtype=object)
+        b = (pd.util.hash_array(gv) % num_buckets).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        gv = t.column("g").to_pandas().to_numpy()
+        x = _embedding_matrix(t, "s")
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(gv, kind="stable")
+        xs, gs, ns = x[order], gv[order], n[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        sums = np.add.reduceat(xs, starts, axis=0)
+        counts = np.add.reduceat(ns, starts)
+        means = sums / counts[:, None]
+        d = x.shape[1]
+        off = pa.array(np.arange(0, (len(starts) + 1) * d, d,
+                                 dtype=np.int64), pa.int32())
+        g_arr = t.column("g").combine_chunks() if isinstance(
+            t.column("g"), pa.ChunkedArray) else t.column("g")
+        return pa.table({
+            group_col: g_arr.take(pa.array(order[starts])),
+            out_col: pa.ListArray.from_arrays(off, pa.array(means.ravel())),
+            "n": pa.array(counts.astype(np.int64)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return hash_exchange(bucketed, num_buckets, finalize)

@@ -270,3 +270,49 @@ def test_fit_pca_validation():
         fit_pca(rd.from_arrow(t), k=0)
     with pytest.raises(ValueError, match="exceeds"):
         fit_pca(rd.from_arrow(t), k=5)
+
+
+# --------------------------------------------------------------------------
+# group_mean_pool (per-group embedding centroid)
+# --------------------------------------------------------------------------
+
+def _pool_table(n=700, d=8, n_groups=15, seed=6, str_groups=False):
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, n_groups, n)
+    x = rng.normal(0, 1, (n, d))
+    off = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int64), pa.int32())
+    return pa.table({
+        "grp": pa.array([f"g{v}" for v in g] if str_groups
+                        else g.astype(np.int64)),
+        "embedding": pa.ListArray.from_arrays(off, pa.array(x.ravel())),
+    }), g, x
+
+
+@pytest.mark.parametrize("str_groups", [False, True])
+def test_group_mean_pool_matches_numpy(str_groups):
+    from fluent_plugin_geoip_ray.stages.similarity import group_mean_pool
+
+    t, g, x = _pool_table(str_groups=str_groups)
+    out = group_mean_pool(rd.from_arrow(t).repartition(6), "grp") \
+        .to_pandas().set_index("grp")
+    assert len(out) == len(np.unique(g))
+    for gid in np.unique(g):
+        key = f"g{gid}" if str_groups else gid
+        ref = x[g == gid].mean(axis=0)
+        assert np.allclose(np.asarray(out.loc[key, "centroid"]), ref), key
+        assert out.loc[key, "n"] == (g == gid).sum()
+
+
+def test_group_mean_pool_partition_invariant_values():
+    from fluent_plugin_geoip_ray.stages.similarity import group_mean_pool
+
+    t, _, _ = _pool_table(seed=8)
+    one = group_mean_pool(rd.from_arrow(t), "grp").to_pandas() \
+        .sort_values("grp").reset_index(drop=True)
+    many = group_mean_pool(rd.from_arrow(t).repartition(9), "grp") \
+        .to_pandas().sort_values("grp").reset_index(drop=True)
+    assert (one["grp"] == many["grp"]).all()
+    assert (one["n"] == many["n"]).all()
+    a = np.vstack(one["centroid"].to_numpy())
+    b = np.vstack(many["centroid"].to_numpy())
+    assert np.allclose(a, b)    # float-sum order differs across splits
