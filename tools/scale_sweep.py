@@ -41,6 +41,25 @@ def replicate(table, id_cols: dict, k: int, parts_per_copy: int = 4):
     return parts
 
 
+def _run_incremental(sf_dir: str, docs):
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.dedup import (
+        build_sketch_index,
+        dedup_incremental,
+    )
+
+    index_dir = "/tmp/graft_sweep_incr_index"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    build_sketch_index(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet")),
+        index_dir)
+    return dedup_incremental(rd.from_arrow(docs), index_dir).count()
+
+
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -132,6 +151,10 @@ def main() -> int:
         ("range_join_big", lambda: range_join_big(
             rd.from_arrow(events), purchase_intervals(), value_col="ts",
             by="user_id", out_cols={"lo": "purchase_ts"}).count()),
+        # increment = the k-replicated corpus vs an index of the base
+        # corpus: every replicated doc near-dups history -> maximal drop
+        # volume through the lifted-key cluster path
+        ("dedup_incremental", lambda: _run_incremental(sf_dir, docs)),
         # k copies of every doc -> EVERY window is hot (occurs >= k times):
         # maximal removal volume through the coverage/rebuild path
         ("dedup_spans", lambda: __import__(
