@@ -650,6 +650,24 @@ def q_mean_pool(sf_dir: str):
                               zero_copy_batch=True)
 
 
+def q_validated_events(sf_dir: str):
+    """Data-quality gate with dead-letter reasons: first-failing-rule
+    semantics over vectorized Arrow predicates (NULL predicate rejects --
+    SQL three-valued logic), fully replicated by a CASE expression."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.validate import (
+        in_range,
+        not_equal,
+        validate,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value", "event_type"])
+    return validate(ds, [in_range("value", 0, 80),
+                         not_equal("event_type", "error")])
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1507,6 +1525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incr": q_dedup_incr,
         "pca": q_pca,
         "mean_pool": q_mean_pool,
+        "validated_events": q_validated_events,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
@@ -1843,6 +1862,16 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[p:p+31], ' ') AS chunk_text,
                    least(32, len(toks) - p + 1) AS n_tokens
             FROM starts""",
+        # dead-letter gate: first failing rule, NULL predicate rejects
+        "validated_events": """
+            SELECT event_id, value, event_type,
+                   CASE
+                     WHEN (value BETWEEN 0 AND 80) IS NOT TRUE
+                       THEN 'value_in_range'
+                     WHEN (event_type <> 'error') IS NOT TRUE
+                       THEN 'event_type_not_equal'
+                     ELSE NULL END AS reject_reason
+            FROM events""",
         # per-label embedding centroid, 1e-6-quantized long form
         "mean_pool": """
             WITH e AS (
