@@ -117,3 +117,37 @@ def _lang_id_stage(ds):
 @register_stage("filter_expr")
 def _filter_expr_stage(ds, expr: str):
     return ds.filter(expr=expr)
+
+
+@register_stage("validate")
+def _validate_stage(ds, rules: list, reason_col: str = "reject_reason",
+                    drop_rejected: bool = False):
+    """Conf-declared data-quality gate.  ``rules`` entries are dicts:
+    ``{"rule": "in_range"|"in_set"|"matches"|"not_null"|"not_equal",
+    "col": ..., ...params}`` applied in order (first failure wins)::
+
+        {"use": "validate", "drop_rejected": true, "rules": [
+            {"rule": "in_range", "col": "value", "lo": 0, "hi": 80},
+            {"rule": "not_equal", "col": "event_type", "value": "error"}
+        ]}
+    """
+    from . import validate as v
+
+    builders = {
+        "not_null": lambda r: v.not_null(r["col"]),
+        "in_range": lambda r: v.in_range(r["col"], r["lo"], r["hi"]),
+        "in_set": lambda r: v.in_set(r["col"], r["values"]),
+        "matches": lambda r: v.matches(r["col"], r["pattern"]),
+        "not_equal": lambda r: v.not_equal(r["col"], r["value"]),
+    }
+    compiled = []
+    for r in rules:
+        kind = r.get("rule")
+        if kind not in builders:
+            raise ValueError(
+                f"unknown validate rule {kind!r}; known: {sorted(builders)}")
+        compiled.append(builders[kind](r))
+    out = v.validate(ds, compiled, reason_col=reason_col)
+    if drop_rejected:
+        out, _ = v.split_quarantine(out, reason_col=reason_col)
+    return out

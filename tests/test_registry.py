@@ -84,3 +84,22 @@ def test_conf_driven_stages_through_cli(tmp_path):
     assert all("<IP>" in t or not any(ch.isdigit() for ch in t.split(".")[0])
                or True for t in texts)  # smoke: column exists & rewritten
     assert any("<IP>" in t for t in texts if t)
+
+
+def test_validate_stage_from_conf():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.registry import apply_stages
+
+    t = pa.table({"id": pa.array([0, 1, 2], pa.int64()),
+                  "value": pa.array([5.0, 999.0, 10.0]),
+                  "event_type": pa.array(["click", "click", "error"])})
+    out = apply_stages(rd.from_arrow(t), [
+        {"use": "validate", "drop_rejected": True, "rules": [
+            {"rule": "in_range", "col": "value", "lo": 0, "hi": 80},
+            {"rule": "not_equal", "col": "event_type", "value": "error"},
+        ]},
+    ]).to_pandas()
+    assert sorted(out["id"]) == [0]
+    assert "reject_reason" not in out.columns
