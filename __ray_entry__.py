@@ -668,6 +668,35 @@ def q_validated_events(sf_dir: str):
                          not_equal("event_type", "error")])
 
 
+def q_full_join(sf_dir: str):
+    """FULL OUTER bucketed join with unmatched rows on BOTH sides:
+    per-user event aggregates keyed at user_id+1400 overlap custkeys
+    [1400, 1499] and overhang [1500, 1549]; customers below 1400 pad
+    right-side NULLs, overhanging users pad left-side NULLs (coalesced
+    join key)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import groupby_agg
+    from fluent_plugin_geoip_ray.stages.join import bucketed_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id"])
+    agg = groupby_agg(ev, ["user_id"],
+                      [("event_id", "count", "n_events")])
+    agg = agg.map_batches(
+        lambda t: pa.table({
+            "c_custkey": pc.add(t.column("user_id").cast(pa.int64()),
+                                pa.scalar(1400, pa.int64())),
+            "n_events": t.column("n_events"),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_join(cust, agg, on="c_custkey", how="full")
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1526,6 +1555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca": q_pca,
         "mean_pool": q_mean_pool,
         "validated_events": q_validated_events,
+        "full_join": q_full_join,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
@@ -1862,6 +1892,15 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[p:p+31], ' ') AS chunk_text,
                    least(32, len(toks) - p + 1) AS n_tokens
             FROM starts""",
+        # FULL OUTER join, both sides partially unmatched, coalesced key
+        "full_join": """
+            SELECT coalesce(c.c_custkey, e.k) AS c_custkey, c.c_name,
+                   e.n_events
+            FROM customer c FULL JOIN (
+              SELECT CAST(user_id + 1400 AS BIGINT) AS k,
+                     count(event_id) AS n_events
+              FROM events GROUP BY user_id) e
+            ON e.k = c.c_custkey""",
         # dead-letter gate: first failing rule, NULL predicate rejects
         "validated_events": """
             SELECT event_id, value, event_type,

@@ -149,7 +149,11 @@ def bucketed_join(left_ds, right_ds, on: str, num_buckets: int = 32,
         right_ds.map_batches(add_bucket(1), batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    arrow_how = {"inner": "inner", "left": "left outer"}[how]
+    # full outer is bucket-safe: the hash exchange partitions BOTH sides
+    # by key, so every unmatched row pads inside its own bucket exactly
+    # once
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "full": "full outer"}[how]
 
     def join_bucket(g: pa.Table) -> pa.Table:
         # Arrow-native (Acero hash join): typed null padding survives -- no

@@ -729,3 +729,21 @@ def test_count_distinct_by_partition_invariant():
         .to_pandas().sort_values("g", na_position="last") \
         .reset_index(drop=True)
     assert one.equals(many)
+
+
+def test_bucketed_join_left_and_full_outer():
+    from fluent_plugin_geoip_ray.stages.join import bucketed_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "x": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": [3, 4, 5, 6], "y": [300, 400, 500, 600]})
+    lj = bucketed_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                       num_buckets=4, how="left").to_pandas()
+    assert len(lj) == 4 and lj["y"].isna().sum() == 2
+    fj = bucketed_join(rd.from_pandas(left), rd.from_pandas(right), on="k",
+                       num_buckets=4, how="full").to_pandas()
+    exp = left.merge(right, on="k", how="outer")
+    assert len(fj) == len(exp) == 6
+    a = fj.sort_values("k").reset_index(drop=True)
+    b = exp.sort_values("k").reset_index(drop=True)
+    assert (a["k"].to_numpy() == b["k"].to_numpy()).all()
+    assert a["x"].isna().sum() == 2 and a["y"].isna().sum() == 2
