@@ -697,6 +697,26 @@ def q_full_join(sf_dir: str):
     return bucketed_join(cust, agg, on="c_custkey", how="full")
 
 
+def q_composite_join(sf_dir: str):
+    """Composite-key bucketed join: attach per-(user_id, event_type)
+    counts back onto every event -- bucket hash xors the per-column
+    hashes (the groupby_agg convention) so composite joins co-bucket
+    with composite aggregates."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import groupby_agg
+    from fluent_plugin_geoip_ray.stages.join import bucketed_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "value"])
+    agg = groupby_agg(ev, ["user_id", "event_type"],
+                      [("value", "count", "n_ut")])
+    return bucketed_join(ev.select_columns(["event_id", "user_id",
+                                            "event_type"]),
+                         agg, on=["user_id", "event_type"])
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1556,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mean_pool": q_mean_pool,
         "validated_events": q_validated_events,
         "full_join": q_full_join,
+        "composite_join": q_composite_join,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
@@ -1892,6 +1913,13 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[p:p+31], ' ') AS chunk_text,
                    least(32, len(toks) - p + 1) AS n_tokens
             FROM starts""",
+        # composite-key equi-join against a composite aggregate
+        "composite_join": """
+            SELECT e.event_id, e.user_id, e.event_type, a.n_ut
+            FROM events e JOIN (
+              SELECT user_id, event_type, count(value) AS n_ut
+              FROM events GROUP BY user_id, event_type) a
+            USING (user_id, event_type)""",
         # FULL OUTER join, both sides partially unmatched, coalesced key
         "full_join": """
             SELECT coalesce(c.c_custkey, e.k) AS c_custkey, c.c_name,

@@ -88,7 +88,7 @@ def broadcast_join(ds, right_df, on, how: str = "inner",
     )
 
 
-def bucketed_join(left_ds, right_ds, on: str, num_buckets: int = 32,
+def bucketed_join(left_ds, right_ds, on, num_buckets: int = 32,
                   how: str = "inner", left_cols: list | None = None,
                   right_cols: list | None = None):
     """Explicit partitioned hash join for two LARGE sides.
@@ -98,6 +98,11 @@ def bucketed_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     ``groupby("bucket")`` (ONE all-to-all over both inputs), and hash-join
     each bucket pairwise inside ``map_groups`` with pandas' C merge.
 
+    ``on`` may be a single column name or a LIST of names (composite
+    equi-join key; bucket hash = xor of per-column hashes, the
+    ``groupby_agg`` convention, so composite joins co-bucket with
+    composite aggregates).
+
     Partitioning assumptions (document per use): key hashes spread uniformly
     across ``num_buckets`` (pandas hash_array is uniform); one bucket of
     left+right must fit in a worker's heap -- size ``num_buckets`` to
@@ -105,6 +110,8 @@ def bucketed_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     upstream if a single key dominates.
     """
     import pandas as pd
+
+    on_keys = [on] if isinstance(on, str) else list(on)
 
     def keep(ds, cols):
         return ds.select_columns(cols) if cols else ds
@@ -115,8 +122,8 @@ def bucketed_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     # union needs one schema: pad each side with the other's columns (nulls)
     lschema, rschema = left_ds.schema(), right_ds.schema()
     lnames = list(lschema.names)
-    rnames = [c for c in rschema.names if c != on]
-    overlap = (set(lnames) - {on}) & set(rnames)
+    rnames = [c for c in rschema.names if c not in on_keys]
+    overlap = (set(lnames) - set(on_keys)) & set(rnames)
     if overlap:
         raise ValueError(f"bucketed_join column collision: {sorted(overlap)}")
     types = {
@@ -129,8 +136,12 @@ def bucketed_join(left_ds, right_ds, on: str, num_buckets: int = 32,
         def fn(batch: pa.Table) -> pa.Table:
             import numpy as np
 
-            keys = batch.column(on).to_pandas().to_numpy(dtype=object)
-            b = (pd.util.hash_array(keys) % num_buckets).astype(np.int32)
+            h = pd.util.hash_array(
+                batch.column(on_keys[0]).to_pandas().to_numpy(dtype=object))
+            for k in on_keys[1:]:
+                h = h ^ pd.util.hash_array(
+                    batch.column(k).to_pandas().to_numpy(dtype=object))
+            b = (h % num_buckets).astype(np.int32)
             cols = {}
             for name in all_names:
                 if name in batch.column_names:
@@ -162,10 +173,10 @@ def bucketed_join(left_ds, right_ds, on: str, num_buckets: int = 32,
 
         side = g.column("__side")
         lf = g.filter(pc.equal(side, 0)).select(
-            [on] + [c for c in lnames if c != on]
+            on_keys + [c for c in lnames if c not in on_keys]
         )
-        rt = g.filter(pc.equal(side, 1)).select([on] + rnames)
-        return lf.join(rt, keys=on, join_type=arrow_how)
+        rt = g.filter(pc.equal(side, 1)).select(on_keys + rnames)
+        return lf.join(rt, keys=on_keys, join_type=arrow_how)
 
     from .exchange import hash_exchange
 

@@ -747,3 +747,33 @@ def test_bucketed_join_left_and_full_outer():
     b = exp.sort_values("k").reset_index(drop=True)
     assert (a["k"].to_numpy() == b["k"].to_numpy()).all()
     assert a["x"].isna().sum() == 2 and a["y"].isna().sum() == 2
+
+
+def test_bucketed_join_composite_keys():
+    from fluent_plugin_geoip_ray.stages.join import bucketed_join
+
+    rng = np.random.default_rng(12)
+    left = pd.DataFrame({
+        "a": rng.integers(0, 9, 500),
+        "b": rng.choice(["x", "y", "z"], 500),
+        "v": np.arange(500),
+    })
+    right = pd.DataFrame({
+        "a": np.repeat(np.arange(9), 3),
+        "b": np.tile(["x", "y", "z"], 9),
+        "w": np.arange(27) * 10,
+    }).iloc[:20]          # some (a, b) pairs unmatched
+    out = bucketed_join(rd.from_pandas(left), rd.from_pandas(right),
+                        on=["a", "b"], num_buckets=8).to_pandas()
+    exp = left.merge(right, on=["a", "b"])
+    ka = out.sort_values(["a", "b", "v"]).reset_index(drop=True)
+    kb = exp.sort_values(["a", "b", "v"]).reset_index(drop=True)
+    assert len(ka) == len(kb)
+    assert (ka["w"].to_numpy() == kb["w"].to_numpy()).all()
+    # left outer keeps unmatched composite keys with null w
+    lo = bucketed_join(rd.from_pandas(left), rd.from_pandas(right),
+                       on=["a", "b"], num_buckets=8, how="left").to_pandas()
+    assert len(lo) == 500
+    assert lo["w"].isna().sum() == len(left.merge(right, on=["a", "b"],
+                                                  how="left")["w"].isna()
+                                       .to_numpy().nonzero()[0])
