@@ -717,6 +717,37 @@ def q_composite_join(sf_dir: str):
                          agg, on=["user_id", "event_type"])
 
 
+def q_stratified_docs(sf_dir: str):
+    """Exact proportional stratified sampling by language: per stratum
+    keep the ceil(0.3 * n_g) docs with the smallest seeded Knuth key
+    hashes -- exact membership verified by the identical hash + window
+    rank in SQL."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.sample import stratified_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return stratified_sample(ds, "lang", "doc_id", 0.3)
+
+
+def q_user_journeys(sf_dir: str):
+    """Ordered per-user event-type assembly (string_agg ORDER BY ts,
+    event_id) -- the build-one-training-example-per-conversation
+    primitive; values co-locate via ONE exchange, per-bucket lexsort +
+    Arrow binary_join."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import string_agg_by
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts",
+                                  "event_id"])
+    return string_agg_by(ds, "user_id", "event_type",
+                         order_by=["ts", "event_id"], sep="|",
+                         out_col="journey")
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1577,6 +1608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validated_events": q_validated_events,
         "full_join": q_full_join,
         "composite_join": q_composite_join,
+        "stratified_docs": q_stratified_docs,
+        "user_journeys": q_user_journeys,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
@@ -1913,6 +1946,23 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(toks[p:p+31], ' ') AS chunk_text,
                    least(32, len(toks) - p + 1) AS n_tokens
             FROM starts""",
+        # exact stratified sampling: identical hash + per-stratum rank
+        "stratified_docs": f"""
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY {_shx("doc_id", 0)}, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents)
+            WHERE rn <= CAST(ceil(0.3 * n) AS BIGINT)""",
+        # ordered per-user assembly
+        "user_journeys": """
+            SELECT user_id,
+                   string_agg(event_type, '|' ORDER BY ts, event_id)
+                     AS journey,
+                   CAST(count(*) AS BIGINT) AS n_parts
+            FROM events GROUP BY user_id""",
         # composite-key equi-join against a composite aggregate
         "composite_join": """
             SELECT e.event_id, e.user_id, e.event_type, a.n_ut

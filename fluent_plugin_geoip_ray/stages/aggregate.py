@@ -793,3 +793,62 @@ def count_distinct_by(ds, keys: list[str], value_col: str,
                         [(value_col, "count", "__cd_c")], merge=merge)
     return groupby_agg(pairs, keys, [(value_col, "count", out_col)],
                        merge=merge)
+
+
+def string_agg_by(ds, key: str, value_col: str, order_by: list[str],
+                  sep: str = "\n", out_col: str = "agg",
+                  count_col: str = "n_parts", num_buckets: int = 32):
+    """SQL ``string_agg(value, sep ORDER BY ...)`` per key -- the
+    assembly primitive that builds one training example per conversation
+    from its ordered turns (or one user journey from ordered events).
+
+    Unlike the other aggregates, the VALUES must co-locate (assembly is
+    not decomposable), so the (key, order_by, value) projection moves
+    through ONE hash exchange on the key; each bucket then lexsorts once
+    and joins runs with Arrow kernels (ListArray + binary_join) -- no
+    per-group Python.  Project upstream so only needed columns shuffle.
+    """
+    import pandas as pd
+
+    from .exchange import hash_exchange
+
+    cols = [key, *order_by, value_col]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = t.select(cols)
+        g = t.column(key).to_pandas().to_numpy(dtype=object)
+        b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def assemble(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        # np.lexsort: LAST key is primary -> (order_by..., key) sorts by
+        # key first, then order_by within each key run
+        sort_cols = [t.column(c).to_pandas().to_numpy() for c in
+                     (*reversed(order_by), key)]
+        order = np.lexsort(tuple(sort_cols))
+        g = t.column(key).to_pandas().to_numpy(dtype=object)[order]
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        counts = np.diff(np.append(starts, len(g)))
+        vals = t.column(value_col)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        vals = vals.take(pa.array(order))
+        off = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        lst = pa.ListArray.from_arrays(pa.array(off, pa.int32()), vals)
+        keys_arr = t.column(key)
+        if isinstance(keys_arr, pa.ChunkedArray):
+            keys_arr = keys_arr.combine_chunks()
+        return pa.table({
+            key: keys_arr.take(pa.array(order[starts])),
+            out_col: pc.binary_join(lst, sep),
+            count_col: pa.array(counts.astype(np.int64)),
+        })
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return hash_exchange(bucketed, num_buckets, assemble)

@@ -424,3 +424,81 @@ def global_rank(ds, score_col: str, key_col: str, descending: bool = False,
 
     return sorted_ds.map_batches(assign, batch_format="pyarrow",
                                  zero_copy_batch=True, batch_size=None)
+
+
+def stratified_sample(ds, stratum_col: str, key_col: str, fraction: float,
+                      seed: int = 0, num_buckets: int = 32,
+                      driver_strata_limit: int = 5_000_000):
+    """Exact proportional stratified sampling: per stratum g keep the
+    ``ceil(fraction * n_g)`` members with the SMALLEST seeded Knuth key
+    hashes (ties impossible for unique keys: the odd-multiplier hash is
+    a bijection) -- class-balanced corpus construction with exact
+    per-class counts and SQL-verifiable membership
+    (``ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY hash, key) <=
+    ceil(fraction * count)``).
+
+    Shape: pass 1 is a tiny grouped count through the bucketed exchange;
+    the per-stratum quota table broadcasts as sorted arrays (strata are
+    few by definition -- ``driver_strata_limit`` guards the assumption).
+    Pass 2 keeps at most k_g rows per stratum per BLOCK (vectorized
+    partial top-k: each block's local top-k_g is a superset of its
+    members of the global top-k_g), then ONE exchange on the stratum
+    co-locates candidates and the final applies the identical selection
+    exactly.
+    """
+    import pandas as pd
+    import ray
+
+    from .aggregate import groupby_agg
+    from .exchange import hash_exchange
+
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    if fraction == 0.0:
+        return ds.map_batches(lambda t: t.slice(0, 0),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    if fraction == 1.0:
+        return ds
+
+    counts = groupby_agg(ds, [stratum_col], [(key_col, "count", "n")],
+                         merge="bucketed").materialize()
+    n_strata = counts.count()
+    if n_strata > driver_strata_limit:
+        raise ValueError(
+            f"{n_strata} strata exceed driver_strata_limit="
+            f"{driver_strata_limit}; stratified_sample assumes few strata")
+    ct = pa.concat_tables(
+        [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows])
+    sv = ct.column(stratum_col).to_pandas().to_numpy(dtype=object)
+    nv = ct.column("n").to_numpy(zero_copy_only=False)
+    order = np.argsort(sv)
+    quotas = np.ceil(fraction * nv[order]).astype(np.int64)
+    state = ray.put((sv[order], quotas))
+
+    def select(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        strata_sorted, ks = ray.get(state)
+        g = t.column(stratum_col).to_pandas().to_numpy(dtype=object)
+        h = key_hash(t.column(key_col).to_numpy(zero_copy_only=False))
+        o = np.lexsort((h, g))
+        gs = g[o]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        lens = np.diff(np.append(starts, len(gs)))
+        rank = np.arange(len(gs), dtype=np.int64) - np.repeat(starts, lens)
+        kg = ks[np.searchsorted(strata_sorted, gs[starts])]
+        keep_sorted = rank < np.repeat(kg, lens)
+        keep = np.empty(len(gs), dtype=bool)
+        keep[o] = keep_sorted
+        return t.filter(pa.array(keep))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        g = t.column(stratum_col).to_pandas().to_numpy(dtype=object)
+        b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    partial = ds.map_batches(select, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    bucketed = partial.map_batches(add_bucket, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    return hash_exchange(bucketed, num_buckets, select)

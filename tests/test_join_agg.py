@@ -777,3 +777,24 @@ def test_bucketed_join_composite_keys():
     assert lo["w"].isna().sum() == len(left.merge(right, on=["a", "b"],
                                                   how="left")["w"].isna()
                                        .to_numpy().nonzero()[0])
+
+
+def test_string_agg_by_matches_pandas():
+    from fluent_plugin_geoip_ray.stages.aggregate import string_agg_by
+
+    rng = np.random.default_rng(3)
+    n = 800
+    df = pd.DataFrame({
+        "conv": rng.integers(0, 60, n),
+        "turn": rng.permutation(n),
+        "txt": [f"t{i}" for i in range(n)],
+    })
+    out = string_agg_by(rd.from_pandas(df).repartition(6), "conv", "txt",
+                        order_by=["turn"], sep="|").to_pandas() \
+        .set_index("conv")
+    ref = df.sort_values(["conv", "turn"]).groupby("conv")["txt"] \
+        .agg("|".join)
+    assert len(out) == len(ref)
+    for c, joined in ref.items():
+        assert out.loc[c, "agg"] == joined, c
+        assert out.loc[c, "n_parts"] == (df["conv"] == c).sum()

@@ -299,3 +299,61 @@ def test_global_rank_rejects_bad_ntile():
 
     with pytest.raises(ValueError):
         global_rank(rd.from_arrow(_rank_table()), "score", "id", ntile=0)
+
+
+# --------------------------------------------------------------------------
+# stratified_sample (exact proportional per-stratum quotas)
+# --------------------------------------------------------------------------
+
+def _strat_tbl(n=1200, seed=10):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "cls": pa.array(rng.choice(["en", "de", "fr", "rare"], n,
+                                   p=[0.6, 0.25, 0.13, 0.02])),
+    })
+
+
+def _strat_ref(t, fraction, seed=0):
+    from fluent_plugin_geoip_ray.stages.sample import key_hash
+
+    ids = t.column("id").to_numpy(zero_copy_only=False)
+    cls = t.column("cls").to_pylist()
+    h = key_hash(ids, seed)
+    kept = set()
+    import collections
+    by = collections.defaultdict(list)
+    for i, c in enumerate(cls):
+        by[c].append(i)
+    for c, idxs in by.items():
+        k = int(np.ceil(fraction * len(idxs)))
+        for i in sorted(idxs, key=lambda i: h[i])[:k]:
+            kept.add(int(ids[i]))
+    return kept
+
+
+def test_stratified_sample_exact_membership_and_quota():
+    from fluent_plugin_geoip_ray.stages.sample import stratified_sample
+
+    t = _strat_tbl()
+    out = stratified_sample(rd.from_arrow(t).repartition(7), "cls", "id",
+                            0.3).to_pandas()
+    assert set(out["id"]) == _strat_ref(t, 0.3)
+    sizes = t.to_pandas().groupby("cls").size()
+    got = out.groupby("cls").size()
+    for c, n in sizes.items():
+        assert got.get(c, 0) == int(np.ceil(0.3 * n)), c
+
+
+def test_stratified_sample_partition_invariant_and_edges():
+    from fluent_plugin_geoip_ray.stages.sample import stratified_sample
+
+    t = _strat_tbl(seed=11)
+    one = set(stratified_sample(rd.from_arrow(t), "cls", "id", 0.5)
+              .to_pandas()["id"])
+    many = set(stratified_sample(rd.from_arrow(t).repartition(11), "cls",
+                                 "id", 0.5).to_pandas()["id"])
+    assert one == many
+    assert stratified_sample(rd.from_arrow(t), "cls", "id", 0.0).count() == 0
+    assert stratified_sample(rd.from_arrow(t), "cls", "id",
+                             1.0).count() == t.num_rows
