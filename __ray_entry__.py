@@ -748,6 +748,22 @@ def q_user_journeys(sf_dir: str):
                          out_col="journey")
 
 
+def q_cube_events(sf_dir: str):
+    """GROUP BY CUBE(event_type, user_id): all four grouping sets from a
+    single input scan -- every coarser set re-aggregates the finest
+    (already-reduced) result through the bucketed exchange."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import cube_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id", "value",
+                                  "event_id"])
+    return cube_agg(ds, ["event_type", "user_id"],
+                    [("value", "count", "c"), ("value", "min", "mn"),
+                     ("value", "max", "mx"), ("event_id", "sum", "se")])
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1610,6 +1626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_join": q_composite_join,
         "stratified_docs": q_stratified_docs,
         "user_journeys": q_user_journeys,
+        "cube_events": q_cube_events,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
@@ -2032,6 +2049,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NTILE(10) OVER (ORDER BY n_chars DESC, doc_id)
                         AS BIGINT) AS tile
             FROM documents""",
+        # CUBE: all four grouping sets, order-independent aggs
+        "cube_events": """
+            SELECT event_type, user_id,
+                   count(value) AS c, min(value) AS mn, max(value) AS mx,
+                   CAST(sum(event_id) AS BIGINT) AS se
+            FROM events GROUP BY CUBE(event_type, user_id)""",
         # ROLLUP: aggregates at (event_type,user_id), (event_type), ()
         # with rolled-up key columns NULL; order-independent aggs only
         "rollup_events": """

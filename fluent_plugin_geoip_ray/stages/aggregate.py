@@ -852,3 +852,80 @@ def string_agg_by(ds, key: str, value_col: str, order_by: list[str],
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
                               zero_copy_batch=True)
     return hash_exchange(bucketed, num_buckets, assemble)
+
+
+def grouping_sets_agg(ds, keys: list[str], sets: list[list[str]],
+                      aggs: list[tuple], merge: str = "bucketed"):
+    """``GROUP BY GROUPING SETS``: one result set with aggregates at each
+    requested subset of ``keys`` (absent key columns NULL -- the SQL
+    convention).  The input is scanned ONCE at the all-keys level; every
+    requested set re-aggregates that already-reduced result through the
+    bucketed exchange (sets must be subsets of ``keys``; fns restricted
+    to the re-aggregable family, as :func:`rollup_agg`).
+    """
+    allowed = {"sum", "count", "count_star", "min", "max"}
+    bad = sorted({fn for _, fn, _ in aggs} - allowed)
+    if bad:
+        raise ValueError(
+            f"grouping_sets_agg needs re-aggregable fns {sorted(allowed)}, "
+            f"got {bad}")
+    if not keys:
+        raise ValueError("grouping_sets_agg needs at least one key")
+    for st in sets:
+        extra = set(st) - set(keys)
+        if extra:
+            raise ValueError(f"set {st} not a subset of keys: {extra}")
+    if len({tuple(sorted(st)) for st in sets}) != len(sets):
+        raise ValueError("duplicate grouping sets")
+    out_names = [out for _, _, out in aggs]
+    finest = groupby_agg(ds, keys, aggs, merge=merge).materialize()
+    schema = finest.schema().base_schema
+    key_types = {k: schema.field(k).type for k in keys}
+    out_cols = keys + out_names
+    re_specs = [(out, "sum" if fn in ("count", "count_star") else fn, out)
+                for _, fn, out in aggs]
+
+    def pad_level(level_keys):
+        missing = [k for k in keys if k not in level_keys]
+
+        def fn(t: pa.Table) -> pa.Table:
+            for k in missing:
+                t = t.append_column(k, pa.nulls(t.num_rows, key_types[k]))
+            return t.select(out_cols)
+
+        return fn
+
+    levels = []
+    for st in sets:
+        lvl_keys = [k for k in keys if k in st]   # canonical order
+        if lvl_keys == keys:
+            lvl = finest
+        elif lvl_keys:
+            lvl = groupby_agg(finest, lvl_keys, re_specs, merge=merge)
+        else:
+            const = finest.map_batches(
+                lambda t: t.append_column(
+                    "__gs_all", pa.repeat(pa.scalar(0, pa.int8()),
+                                          t.num_rows)),
+                batch_format="pyarrow", zero_copy_batch=True)
+            lvl = groupby_agg(const, ["__gs_all"], re_specs,
+                              merge=merge).drop_columns(["__gs_all"])
+        levels.append(lvl.map_batches(pad_level(lvl_keys),
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def cube_agg(ds, keys: list[str], aggs: list[tuple],
+             merge: str = "bucketed"):
+    """``GROUP BY CUBE(keys)``: aggregates at EVERY subset of ``keys``
+    (2^len(keys) levels) via :func:`grouping_sets_agg` -- one input scan,
+    everything else re-aggregates the finest result."""
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_agg(ds, keys, sets, aggs, merge=merge)

@@ -798,3 +798,33 @@ def test_string_agg_by_matches_pandas():
     for c, joined in ref.items():
         assert out.loc[c, "agg"] == joined, c
         assert out.loc[c, "n_parts"] == (df["conv"] == c).sum()
+
+
+def test_cube_agg_matches_duckdb():
+    import duckdb
+
+    from fluent_plugin_geoip_ray.stages.aggregate import cube_agg
+
+    t = _rollup_tbl(seed=6)
+    out = cube_agg(rd.from_arrow(t), ["a", "b"],
+                   [("v", "count", "c"), ("v", "min", "mn"),
+                    ("v", "sum", "sv")]).to_pandas()
+    ref = duckdb.connect().execute(
+        "SELECT a, b, count(v) AS c, min(v) AS mn, "
+        "CAST(sum(v) AS BIGINT) AS sv FROM t GROUP BY CUBE(a, b)"
+    ).df()
+    assert len(out) == len(ref)
+    assert _canon_rollup(out).equals(_canon_rollup(ref))
+
+
+def test_grouping_sets_validation():
+    from fluent_plugin_geoip_ray.stages.aggregate import grouping_sets_agg
+
+    ds = rd.from_arrow(_rollup_tbl(n=10))
+    with pytest.raises(ValueError, match="subset"):
+        grouping_sets_agg(ds, ["a"], [["zzz"]], [("v", "sum", "s")])
+    with pytest.raises(ValueError, match="duplicate"):
+        grouping_sets_agg(ds, ["a", "b"], [["a"], ["a"]],
+                          [("v", "sum", "s")])
+    with pytest.raises(ValueError, match="re-aggregable"):
+        grouping_sets_agg(ds, ["a"], [["a"]], [("v", "mean", "m")])
