@@ -764,6 +764,24 @@ def q_cube_events(sf_dir: str):
                      ("value", "max", "mx"), ("event_id", "sum", "se")])
 
 
+def q_exploded_embeddings(sf_dir: str):
+    """UNNEST the embedding column: one row per coordinate with its
+    position -- pure ListArray offset arithmetic (repeat + take), values
+    bit-identical to the source so the float compare is exact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.parse import explode_column
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = explode_column(ds, "embedding", value_col="v")
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("v"), "v",
+                               t.column("v").cast(pa.float64())),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1627,6 +1645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_docs": q_stratified_docs,
         "user_journeys": q_user_journeys,
         "cube_events": q_cube_events,
+        "exploded_embeddings": q_exploded_embeddings,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
@@ -2049,6 +2068,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NTILE(10) OVER (ORDER BY n_chars DESC, doc_id)
                         AS BIGINT) AS tile
             FROM documents""",
+        # UNNEST with position; cast-only floats compare exactly
+        "exploded_embeddings": """
+            SELECT vec_id,
+                   CAST(unnest(range(1, len(embedding) + 1)) - 1 AS BIGINT)
+                     AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings""",
         # CUBE: all four grouping sets, order-independent aggs
         "cube_events": """
             SELECT event_type, user_id,

@@ -94,3 +94,45 @@ def parse_dataset(ds, batch_size: int | None = None,
         zero_copy_batch=True,
         batch_size=batch_size,
     )
+
+
+def explode_column(ds, col: str, value_col: str | None = None,
+                   pos_col: str = "pos"):
+    """UNNEST a list column: one output row per element, parent columns
+    repeated, plus the element's 0-based ``pos_col`` -- all ListArray
+    offset arithmetic (repeat + take), no per-row Python.  Empty lists
+    and null lists contribute no rows (SQL ``unnest`` semantics)."""
+    import numpy as np
+
+    value_col = value_col or col
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        # null list slots have garbage offsets in some layouts: normalize
+        # by filling nulls with empty lists via a mask on lengths
+        lens = pc.list_value_length(arr)
+        lens = pc.fill_null(lens, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        parent = np.repeat(np.arange(t.num_rows, dtype=np.int64), lens)
+        starts = np.zeros(t.num_rows, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        pos = np.arange(int(lens.sum()), dtype=np.int64) - starts[parent]
+        values = arr.flatten()  # skips nulls/empties, aligns with lens
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        out = {}
+        idx = pa.array(parent)
+        for name in t.column_names:
+            if name == col:
+                continue
+            c = t.column(name)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            out[name] = c.take(idx)
+        out[pos_col] = pa.array(pos)
+        out[value_col] = values
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

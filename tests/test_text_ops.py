@@ -323,3 +323,26 @@ def test_dsir_exact_mode_broadcast_limit():
     ds = rd.from_arrow(t)
     with pytest.raises(ValueError, match="num_buckets"):
         dsir_importance(ds, ds, broadcast_limit=3).to_pandas()
+
+
+def test_explode_column_unnest_semantics():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.parse import explode_column
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "tag": pa.array(["a", "b", "c", "d"]),
+        "xs": pa.array([[10, 20, 30], [], None, [40]],
+                       pa.list_(pa.int64())),
+    })
+    out = explode_column(rd.from_arrow(t).repartition(3), "xs",
+                         value_col="x").to_pandas() \
+        .sort_values(["id", "pos"]).reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"id": 1, "tag": "a", "pos": 0, "x": 10},
+        {"id": 1, "tag": "a", "pos": 1, "x": 20},
+        {"id": 1, "tag": "a", "pos": 2, "x": 30},
+        {"id": 4, "tag": "d", "pos": 0, "x": 40},
+    ]
