@@ -403,19 +403,43 @@ def fit_pca(ds, vec_col: str = "vec", k: int = 8, center: bool = True):
                             pa.list_(pa.float64())),
         })
 
-    parts = [t for t in ray.get(
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True,
-                       batch_size=None).to_arrow_refs()) if t.num_rows]
-    if not parts:
+    # tree-reduce the per-block moment partials with remote tasks: a d x d
+    # float64 matrix per block is 128 MB at d=4096, so collecting O(blocks)
+    # of them on the driver would NOT scale -- fan-in 8 keeps the driver at
+    # exactly ONE matrix and the depth logarithmic
+    @ray.remote
+    def combine(*tabs):
+        live = [t for t in tabs if t.num_rows]
+        if not live:
+            return tabs[0]
+        cat = pa.concat_tables(live)
+        nn = int(np.sum(cat.column("n").to_numpy(zero_copy_only=False)))
+        ss = np.add.reduce([np.asarray(v)
+                            for v in cat.column("s").to_pylist()])
+        xx = np.add.reduce([np.asarray(v)
+                            for v in cat.column("xtx").to_pylist()])
+        return pa.table({
+            "n": pa.array([nn], pa.int64()),
+            "s": pa.array([ss.tolist()], pa.list_(pa.float64())),
+            "xtx": pa.array([xx.tolist()], pa.list_(pa.float64())),
+        })
+
+    refs = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True,
+                          batch_size=None).to_arrow_refs()
+    FAN = 8
+    while len(refs) > 1:
+        refs = [combine.remote(*refs[i:i + FAN])
+                for i in range(0, len(refs), FAN)]
+    tab = ray.get(refs[0])
+    if not tab.num_rows:
         raise ValueError("fit_pca: empty input")
-    tab = pa.concat_tables(parts)
-    n = int(np.sum(tab.column("n").to_numpy(zero_copy_only=False)))
-    s = np.add.reduce([np.asarray(v) for v in tab.column("s").to_pylist()])
+    n = int(tab.column("n")[0].as_py())
+    s = np.asarray(tab.column("s")[0].as_py())
     d = len(s)
     if k > d:
         raise ValueError(f"k={k} exceeds embedding dim {d}")
-    xtx = np.add.reduce([np.asarray(v).reshape(d, d)
-                         for v in tab.column("xtx").to_pylist()])
+    xtx = np.asarray(tab.column("xtx")[0].as_py()).reshape(d, d)
     mean = s / n if center else np.zeros(d)
     cov = xtx / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)          # ascending
