@@ -151,3 +151,29 @@ def _validate_stage(ds, rules: list, reason_col: str = "reject_reason",
     if drop_rejected:
         out, _ = v.split_quarantine(out, reason_col=reason_col)
     return out
+
+
+@register_stage("rate_limit")
+def _rate_limit_stage(ds, key: str, ts_col: str, window_sec: int, k: int,
+                      tie_breakers: list | None = None):
+    from .window import rate_limit
+
+    return rate_limit(ds, key, ts_col, window_sec, k,
+                      tie_breakers=tie_breakers)
+
+
+@register_stage("dedup_spans")
+def _dedup_spans_stage(ds, key_col: str = "doc_id", text_col: str = "text",
+                       window: int = 8, min_count: int = 2):
+    from .dedup import dedup_spans
+
+    return dedup_spans(ds, key_col=key_col, text_col=text_col,
+                       window=window, min_count=min_count)
+
+
+@register_stage("stratified_sample")
+def _stratified_sample_stage(ds, stratum_col: str, key_col: str,
+                             fraction: float, seed: int = 0):
+    from .sample import stratified_sample
+
+    return stratified_sample(ds, stratum_col, key_col, fraction, seed=seed)

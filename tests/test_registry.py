@@ -103,3 +103,26 @@ def test_validate_stage_from_conf():
     ]).to_pandas()
     assert sorted(out["id"]) == [0]
     assert "reject_reason" not in out.columns
+
+
+def test_rate_limit_and_sample_stages_from_conf():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.registry import apply_stages
+
+    n = 200
+    rng = np.random.default_rng(1)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 5, n).astype(np.int64)),
+        "ts": pa.array(rng.integers(0, 7200, n).astype("datetime64[s]")
+                       .astype("datetime64[us]")),
+    })
+    out = apply_stages(rd.from_arrow(t), [
+        {"use": "rate_limit", "key": "user_id", "ts_col": "ts",
+         "window_sec": 3600, "k": 2, "tie_breakers": ["event_id"]},
+    ]).to_pandas()
+    assert len(out) <= 5 * 2 * 2   # 5 users x 2 windows x k=2
+    assert len(out) > 0
