@@ -782,6 +782,21 @@ def q_exploded_embeddings(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_top_types(sf_dir: str):
+    """Misra-Gries heavy hitters over event_type: with summary_size >=
+    true distinct count nothing is ever truncated, so the estimates ARE
+    the exact counts and the oracle verifies them exactly (the
+    error-bound behaviour at unbounded cardinality is pinned in
+    pytest)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import approx_top_k
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+    return approx_top_k(ds, "event_type", k=5, summary_size=64)
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1646,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_journeys": q_user_journeys,
         "cube_events": q_cube_events,
         "exploded_embeddings": q_exploded_embeddings,
+        "top_types": q_top_types,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
@@ -2068,6 +2084,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NTILE(10) OVER (ORDER BY n_chars DESC, doc_id)
                         AS BIGINT) AS tile
             FROM documents""",
+        # MG heavy hitters; m >= distinct -> exact counts
+        "top_types": """
+            SELECT event_type, count(*) AS est_count
+            FROM events GROUP BY event_type
+            ORDER BY est_count DESC, event_type LIMIT 5""",
         # UNNEST with position; cast-only floats compare exactly
         "exploded_embeddings": """
             SELECT vec_id,

@@ -929,3 +929,72 @@ def cube_agg(ds, keys: list[str], aggs: list[tuple],
     sets = [list(c) for r in range(len(keys), -1, -1)
             for c in combinations(keys, r)]
     return grouping_sets_agg(ds, keys, sets, aggs, merge=merge)
+
+
+def approx_top_k(ds, col: str, k: int, summary_size: int | None = None,
+                 out_col: str = "est_count"):
+    """Misra-Gries heavy hitters: approximate top-``k`` values of ``col``
+    with bounded-underestimate counts -- the streaming frequency sketch
+    that works at UNBOUNDED value cardinality (where the exact
+    ``count_by`` + ``top_k`` path's aggregate table itself becomes the
+    problem).
+
+    Shape (the mergeable-summaries construction, Agarwal et al.): each
+    block reduces to an exact per-value count then truncates to an
+    m-entry MG summary (keep the top m counts minus the (m+1)-th --
+    error <= n_block/(m+1)); summaries merge by coordinate-wise SUM
+    through the bucketed exchange (<= m values leave each block), and one
+    final truncation at the driver over the algebraic ``top_k`` of the
+    merged counters (m+1 rows) yields the result.  Total underestimate
+    <= n/(m+1); any value with true count > n/(m+1) is guaranteed
+    present.  ``summary_size`` defaults to ``8*k``.
+
+    Exactness escape hatch: when the true distinct count <= m, nothing
+    is ever truncated and the estimates ARE the exact counts (the oracle
+    strategy)."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    m = summary_size or 8 * k
+    if m < k:
+        raise ValueError(f"summary_size {m} < k {k}")
+
+    def mg_truncate(vals: np.ndarray, counts: np.ndarray):
+        if len(vals) <= m:
+            return vals, counts
+        order = np.argsort(counts)[::-1]
+        thr = counts[order[m]]
+        keep = order[:m]
+        c = counts[keep] - thr
+        pos = c > 0
+        return vals[keep][pos], c[pos]
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        v = arr.to_pandas().to_numpy()
+        v = v[~pa.compute.is_null(arr).to_numpy(zero_copy_only=False)] \
+            if arr.null_count else v
+        if not len(v):
+            return pa.table({col: pa.array([], arr.type),
+                             "__mg": pa.array([], pa.int64())})
+        uniq, counts = np.unique(v, return_counts=True)
+        uniq, counts = mg_truncate(uniq, counts.astype(np.int64))
+        return pa.table({col: pa.array(uniq, arr.type),
+                         "__mg": pa.array(counts)})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    merged = groupby_agg(partials, [col], [("__mg", "sum", "__mg")],
+                         merge="bucketed")
+    head = top_k(merged, "__mg", m + 1, tie_breakers=[col]).to_pandas()
+    if len(head) > m:
+        thr = int(head["__mg"].iloc[m])
+        head = head.iloc[:m].copy()
+        head["__mg"] = head["__mg"] - thr
+        head = head[head["__mg"] > 0]
+    head = head.iloc[:k].rename(columns={"__mg": out_col})
+    return pa.Table.from_pandas(head.reset_index(drop=True),
+                                preserve_index=False)

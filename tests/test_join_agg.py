@@ -828,3 +828,55 @@ def test_grouping_sets_validation():
                           [("v", "sum", "s")])
     with pytest.raises(ValueError, match="re-aggregable"):
         grouping_sets_agg(ds, ["a"], [["a"]], [("v", "mean", "m")])
+
+
+# --------------------------------------------------------------------------
+# approx_top_k (Misra-Gries heavy hitters)
+# --------------------------------------------------------------------------
+
+def test_approx_top_k_exact_when_distinct_fits():
+    from fluent_plugin_geoip_ray.stages.aggregate import approx_top_k
+
+    rng = np.random.default_rng(2)
+    vals = rng.choice(list("abcde"), 5000, p=[0.4, 0.3, 0.15, 0.1, 0.05])
+    t = pa.table({"x": pa.array(vals)})
+    out = approx_top_k(rd.from_arrow(t).repartition(8), "x", k=3,
+                       summary_size=16).to_pandas()
+    ref = pd.Series(vals).value_counts()
+    assert list(out["x"]) == list(ref.index[:3])
+    assert list(out["est_count"]) == list(ref.iloc[:3])
+
+
+def test_approx_top_k_skewed_guarantee():
+    from fluent_plugin_geoip_ray.stages.aggregate import approx_top_k
+
+    rng = np.random.default_rng(5)
+    # zipf-ish: few heavy values + long unique tail
+    heavy = np.repeat([f"h{i}" for i in range(5)], [4000, 2500, 1500,
+                                                    900, 600])
+    tail = np.array([f"t{i}" for i in range(6000)])
+    vals = np.concatenate([heavy, tail])
+    rng.shuffle(vals)
+    n = len(vals)
+    m = 80
+    out = approx_top_k(rd.from_arrow(pa.table({"x": pa.array(vals)}))
+                       .repartition(10), "x", k=5,
+                       summary_size=m).to_pandas()
+    ref = pd.Series(vals).value_counts()
+    # heavy hitters (true count >> n/(m+1)) are all found, in order
+    assert list(out["x"]) == [f"h{i}" for i in range(5)]
+    # estimates underestimate by at most n/(m+1)
+    for _, row in out.iterrows():
+        true = ref[row["x"]]
+        assert row["est_count"] <= true
+        assert true - row["est_count"] <= n / (m + 1)
+
+
+def test_approx_top_k_validation():
+    from fluent_plugin_geoip_ray.stages.aggregate import approx_top_k
+
+    ds = rd.from_arrow(pa.table({"x": ["a"]}))
+    with pytest.raises(ValueError):
+        approx_top_k(ds, "x", k=0)
+    with pytest.raises(ValueError):
+        approx_top_k(ds, "x", k=5, summary_size=2)
