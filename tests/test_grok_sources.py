@@ -112,3 +112,24 @@ def test_csv_source(tmp_path):
     out = read_csv_transcripts(str(p)).to_pandas()
     assert out.loc[0, "conv_id"] == "c9"
     assert out["turn_idx"].dtype == "int32"
+
+
+def test_jsonl_gzip_source_reads_transparently(tmp_path):
+    """Arrow auto-detects .gz compression -- pin the capability (log
+    shippers emit gzipped JSONL)."""
+    import gzip
+    import json
+
+    from fluent_plugin_geoip_ray.sources.logs import read_jsonl_transcripts
+
+    p = tmp_path / "t.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        for i in range(7):
+            f.write(json.dumps({
+                "conv_id": str(i), "turn_idx": i, "role": "user",
+                "text": f"msg {i}", "tool": None,
+                "ts": "2026-01-01T00:00:00"}) + "\n")
+    ds = read_jsonl_transcripts([str(p)])
+    out = ds.to_pandas()
+    assert len(out) == 7
+    assert str(out["turn_idx"].dtype) == "int32"
