@@ -797,6 +797,21 @@ def q_top_types(sf_dir: str):
     return approx_top_k(ds, "event_type", k=5, summary_size=64)
 
 
+def q_normalized_docs(sf_dir: str):
+    """Canonical text normalization (lowercase -> strip punctuation ->
+    collapse whitespace), the pre-dedup cleanup pass -- identical
+    regexp_replace chain in the oracle."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import normalize_text
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda t: normalize_text(t, strip_punct=True),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1662,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_events": q_cube_events,
         "exploded_embeddings": q_exploded_embeddings,
         "top_types": q_top_types,
+        "normalized_docs": q_normalized_docs,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
@@ -2083,6 +2099,13 @@ def oracle_sql() -> dict[str, str]:
                      AS rank,
                    CAST(NTILE(10) OVER (ORDER BY n_chars DESC, doc_id)
                         AS BIGINT) AS tile
+            FROM documents""",
+        # normalization chain: lower -> strip punct -> collapse ws -> trim
+        "normalized_docs": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                     '\s+', ' ', 'g')) AS text
             FROM documents""",
         # MG heavy hitters; m >= distinct -> exact counts
         "top_types": """

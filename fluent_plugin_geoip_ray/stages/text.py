@@ -735,3 +735,27 @@ def dsir_importance(ds, target_ds, text_col: str = "text",
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True, batch_size=batch_size)
+
+
+def normalize_text(batch: pa.Table, text_col: str = "text",
+                   out_col: str | None = None, lowercase: bool = True,
+                   collapse_ws: bool = True,
+                   strip_punct: bool = False) -> pa.Table:
+    """Canonical text normalization (the pre-dedup / pre-hash cleanup
+    pass): optional lowercase, punctuation strip, and whitespace
+    collapse+trim -- pure Arrow kernels, order fixed (punct -> ws) so the
+    SQL oracle chains the identical regexp_replace calls."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if lowercase:
+        col = pc.utf8_lower(col)
+    if strip_punct:
+        col = pc.replace_substring_regex(col, r"[^\w\s]", "")
+    if collapse_ws:
+        col = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(col, r"\s+", " "))
+    name = out_col or text_col
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, col)
+    return batch.append_column(name, col)

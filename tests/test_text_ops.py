@@ -346,3 +346,20 @@ def test_explode_column_unnest_semantics():
         {"id": 1, "tag": "a", "pos": 2, "x": 30},
         {"id": 4, "tag": "d", "pos": 0, "x": 40},
     ]
+
+
+def test_normalize_text_matrix():
+    import pyarrow as pa
+
+    from fluent_plugin_geoip_ray.stages.text import normalize_text
+
+    t = pa.table({"text": pa.array(["  Hello,   WORLD!!\tfoo  ",
+                                    "a_b c-d", ""])})
+    full = normalize_text(t, strip_punct=True)
+    assert full.column("text").to_pylist() == ["hello world foo",
+                                               "a_b cd", ""]
+    keep_punct = normalize_text(t)
+    assert keep_punct.column("text").to_pylist() == [
+        "hello, world!! foo", "a_b c-d", ""]
+    out_col = normalize_text(t, out_col="norm")
+    assert out_col.column_names == ["text", "norm"]
