@@ -370,3 +370,30 @@ def test_partitioned_resume_with_file_uri(sf_path, tmp_path):
     base = str(tmp_path / "out")
     assert sorted(os.listdir(os.path.join(base, "_manifests")))
     assert os.path.exists(os.path.join(base, "aggregates.parquet"))
+
+
+def test_hive_partitioned_write_and_pruned_read(tmp_path):
+    """The generic 100 TB output layout: hive-partitioned parquet by a
+    key column, read back with partition pruning (only the requested
+    directory's files are touched) -- resumable, prunable sinks beyond
+    the flagship's route-partitioned writer."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    t = pa.table({
+        "lang": pa.array(["en", "de", "en", "fr", "de", "en"]),
+        "doc_id": pa.array(range(6), pa.int64()),
+        "n": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+    })
+    out = str(tmp_path / "bylang")
+    rd.from_arrow(t).write_parquet(out, partition_cols=["lang"])
+    import os
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("lang="))
+    assert dirs == ["lang=de", "lang=en", "lang=fr"]
+    # pruned read: only the en partition directory
+    en = rd.read_parquet(os.path.join(out, "lang=en")).to_pandas()
+    assert sorted(en["doc_id"]) == [0, 2, 5]
+    # full read restores the partition column from the path
+    full = rd.read_parquet(out).to_pandas()
+    assert len(full) == 6 and set(full["lang"]) == {"en", "de", "fr"}
