@@ -812,6 +812,18 @@ def q_normalized_docs(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_value_hist(sf_dir: str):
+    """Fixed-width histogram of event values over [0, 100) in 20 bins,
+    out-of-range clipped to the edge bins -- binning replicated exactly
+    in SQL (floor arithmetic on doubles is identical)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import histogram
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return histogram(ds, "value", lo=0.0, hi=100.0, bins=20)
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1678,6 +1690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exploded_embeddings": q_exploded_embeddings,
         "top_types": q_top_types,
         "normalized_docs": q_normalized_docs,
+        "value_hist": q_value_hist,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
@@ -2107,6 +2120,15 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(lower(text), '[^\w\s]', '', 'g'),
                      '\s+', ' ', 'g')) AS text
             FROM documents""",
+        # fixed-width histogram, edge-clipped, identical floor arithmetic
+        "value_hist": """
+            SELECT bin, 0.0 + bin * 5.0 AS lo_edge,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT CAST(least(greatest(
+                           floor((value - 0.0) / 5.0), 0), 19) AS BIGINT)
+                    AS bin
+                  FROM events WHERE value IS NOT NULL)
+            GROUP BY bin""",
         # MG heavy hitters; m >= distinct -> exact counts
         "top_types": """
             SELECT event_type, count(*) AS est_count

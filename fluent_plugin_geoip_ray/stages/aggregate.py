@@ -998,3 +998,46 @@ def approx_top_k(ds, col: str, k: int, summary_size: int | None = None,
     head = head.iloc[:k].rename(columns={"__mg": out_col})
     return pa.Table.from_pandas(head.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def histogram(ds, col: str, lo: float, hi: float, bins: int,
+              count_col: str = "n", clip: bool = True):
+    """Fixed-width histogram of ``col`` over ``[lo, hi)``: bin index =
+    ``floor((x - lo) / width)`` -- one vectorized pass + the partial+final
+    count machinery, so shuffle volume is O(bins x blocks).  ``clip=True``
+    folds out-of-range values into the edge bins (SQL ``least/greatest``);
+    nulls are dropped.  Returns (bin int64, lo_edge float64, n)."""
+    import numpy as np
+
+    if bins < 1 or not hi > lo:
+        raise ValueError("need bins >= 1 and hi > lo")
+    width = (hi - lo) / bins
+
+    def binize(t: pa.Table) -> pa.Table:
+        arr = t.column(col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        x = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        x = x[~np.isnan(x)]
+        b = np.floor((x - lo) / width).astype(np.int64)
+        if clip:
+            b = np.clip(b, 0, bins - 1)
+        else:
+            m = (b >= 0) & (b < bins)
+            b = b[m]
+        return pa.table({"bin": pa.array(b)})
+
+    out = count_by(ds.map_batches(binize, batch_format="pyarrow",
+                                  zero_copy_batch=True), "bin")
+
+    def edges(t: pa.Table) -> pa.Table:
+        b = t.column("bin").to_numpy(zero_copy_only=False)
+        tt = pa.table({
+            "bin": t.column("bin"),
+            "lo_edge": pa.array(lo + b * width),
+            count_col: t.column("n"),
+        })
+        return tt
+
+    return out.map_batches(edges, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -880,3 +880,24 @@ def test_approx_top_k_validation():
         approx_top_k(ds, "x", k=0)
     with pytest.raises(ValueError):
         approx_top_k(ds, "x", k=5, summary_size=2)
+
+
+def test_histogram_matches_numpy_and_clips():
+    from fluent_plugin_geoip_ray.stages.aggregate import histogram
+
+    rng = np.random.default_rng(7)
+    x = np.concatenate([rng.uniform(-5, 115, 3000), [np.nan] * 10])
+    t = pa.table({"v": pa.array(x)})
+    out = histogram(rd.from_arrow(t).repartition(5), "v", 0.0, 100.0,
+                    bins=10).to_pandas().set_index("bin").sort_index()
+    xx = x[~np.isnan(x)]
+    b = np.clip(np.floor(xx / 10.0).astype(int), 0, 9)
+    ref = pd.Series(b).value_counts().sort_index()
+    assert (out["n"] == ref).all()
+    assert out["n"].sum() == len(xx)
+    # unclipped drops out-of-range instead
+    out2 = histogram(rd.from_arrow(t), "v", 0.0, 100.0, bins=10,
+                     clip=False).to_pandas()
+    assert out2["n"].sum() == ((xx >= 0) & (xx < 100)).sum()
+    with pytest.raises(ValueError):
+        histogram(rd.from_arrow(t), "v", 5.0, 5.0, bins=10)
