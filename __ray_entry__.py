@@ -824,6 +824,26 @@ def q_value_hist(sf_dir: str):
     return histogram(ds, "value", lo=0.0, hi=100.0, bins=20)
 
 
+def q_events_asof_fwd(sf_dir: str):
+    """FORWARD as-of join (large-large): each event joined to the
+    user's NEXT purchase at-or-after its timestamp -- time negation
+    through the identical matcher as the backward path.  Output is
+    tie-proof (the matched ts itself)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.join import asof_join_big
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "ts"])
+    purchases = ds.filter(expr="event_type == 'purchase'")         .select_columns(["user_id", "ts"])
+    out = asof_join_big(ds.select_columns(["event_id", "user_id", "ts"]),
+                        purchases, on="ts", by="user_id",
+                        right_cols={"ts": "next_purchase_ts"},
+                        direction="forward")
+    return out.select_columns(["event_id", "next_purchase_ts"])
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1691,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_types": q_top_types,
         "normalized_docs": q_normalized_docs,
         "value_hist": q_value_hist,
+        "events_asof_fwd": q_events_asof_fwd,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
@@ -2560,6 +2581,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events e ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'signup') s
               ON e.user_id = s.user_id AND e.ts >= s.ts""",
+        "events_asof_fwd": """
+            SELECT e.event_id, p.ts AS next_purchase_ts
+            FROM events e ASOF LEFT JOIN
+                 (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.ts <= p.ts""",
         "events_asof_big": """
             SELECT e.event_id, c.ts AS click_ts
             FROM events e ASOF LEFT JOIN

@@ -229,10 +229,13 @@ def _asof_match(u, t, mb, mt):
 
 
 def asof_join(ds, right, on: str, by: str, right_cols: dict,
-              batch_size: int = 65536):
-    """Broadcast as-of join (backward): for each left row, the LATEST right
-    row with ``right.on <= left.on`` and equal ``by`` key -- the classic
-    event-to-most-recent-state join Ray Data lacks natively.
+              batch_size: int = 65536, direction: str = "backward"):
+    """Broadcast as-of join: for each left row, the LATEST right row with
+    ``right.on <= left.on`` (``direction="backward"``, default) or the
+    EARLIEST right row with ``right.on >= left.on``
+    (``direction="forward"`` -- time negation reuses the identical
+    matcher, so the two directions cannot drift) and equal ``by`` key --
+    the classic event-to-state join Ray Data lacks natively.
 
     ``right`` is the small side (pandas DataFrame or pyarrow Table),
     broadcast once via ``ray.put``; per batch the match is fully vectorized:
@@ -248,10 +251,15 @@ def asof_join(ds, right, on: str, by: str, right_cols: dict,
     import numpy as np
     import ray
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got "
+                         f"{direction!r}")
+    sign = -1 if direction == "forward" else 1
     if not isinstance(right, pa.Table):
         right = pa.Table.from_pandas(right, preserve_index=False)
     rb = _asof_keys_np(right.column(by))
-    rt = right.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    rt = right.column(on).cast(pa.int64()).to_numpy(
+        zero_copy_only=False) * sign
     rorder = np.lexsort((rt, rb))
     rb, rt = rb[rorder], rt[rorder]
     rvals = {
@@ -263,7 +271,8 @@ def asof_join(ds, right, on: str, by: str, right_cols: dict,
     def fn(batch: pa.Table) -> pa.Table:
         mb, mt, vals = ray.get(state)
         u = _asof_keys_np(batch.column(by))
-        t = batch.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = batch.column(on).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) * sign
         idx_arr = _asof_match(u, t, mb, mt)
         out = batch
         for name, col in vals.items():
@@ -275,8 +284,9 @@ def asof_join(ds, right, on: str, by: str, right_cols: dict,
 
 
 def asof_join_big(left_ds, right_ds, on: str, by: str, right_cols: dict,
-                  num_buckets: int = 32):
-    """Large-large as-of join (backward): NEITHER side broadcast.
+                  num_buckets: int = 32, direction: str = "backward"):
+    """Large-large as-of join: NEITHER side broadcast; ``direction`` as
+    in :func:`asof_join` (forward = time negation, same matcher).
 
     Round-2 VERDICT item: one skewed state-stream side past broadcast size
     used to mean hand-writing the bucketing.  This wires it: both sides
@@ -298,6 +308,10 @@ def asof_join_big(left_ds, right_ds, on: str, by: str, right_cols: dict,
     import pandas as pd
     import pyarrow.compute as pc
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got "
+                         f"{direction!r}")
+    sign = -1 if direction == "forward" else 1
     lschema, rschema = left_ds.schema(), right_ds.schema()
     lnames = list(lschema.names)
     rtypes = dict(zip(rschema.names, rschema.types))
@@ -342,7 +356,8 @@ def asof_join_big(left_ds, right_ds, on: str, by: str, right_cols: dict,
         probes = g.filter(pc.equal(side, 0)).select(lnames)
         markers = g.filter(pc.equal(side, 1))
         mb = _asof_keys_np(markers.column(by))
-        mt = markers.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mt = markers.column(on).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) * sign
         morder = np.lexsort((mt, mb))
         mb, mt = mb[morder], mt[morder]
         mvals = {
@@ -350,7 +365,8 @@ def asof_join_big(left_ds, right_ds, on: str, by: str, right_cols: dict,
             for out in out_names
         }
         u = _asof_keys_np(probes.column(by))
-        t = probes.column(on).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = probes.column(on).cast(pa.int64()).to_numpy(
+            zero_copy_only=False) * sign
         idx_arr = _asof_match(u, t, mb, mt)
         out = probes
         for name, col in mvals.items():

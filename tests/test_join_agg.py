@@ -901,3 +901,36 @@ def test_histogram_matches_numpy_and_clips():
     assert out2["n"].sum() == ((xx >= 0) & (xx < 100)).sum()
     with pytest.raises(ValueError):
         histogram(rd.from_arrow(t), "v", 5.0, 5.0, bins=10)
+
+
+def test_asof_join_forward_direction():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.join import asof_join, asof_join_big
+
+    left = pa.table({
+        "user": pa.array([1, 1, 1, 2, 3], pa.int64()),
+        "ts": pa.array([5, 10, 25, 7, 9], pa.int64()),
+        "eid": pa.array([100, 101, 102, 103, 104], pa.int64()),
+    })
+    right = pd.DataFrame({
+        "user": [1, 1, 2], "ts": [10, 20, 3], "marker": [7, 8, 9],
+    })
+    out = asof_join(rd.from_arrow(left), right, on="ts", by="user",
+                    right_cols={"marker": "m"}, direction="forward") \
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    # user1@5 -> earliest marker at-or-after = ts10 (7); @10 inclusive (7);
+    # @25 none after; user2@7 -> none (marker at 3 is before); user3 none
+    assert out["m"].tolist()[:2] == [7, 7]
+    assert pd.isna(out["m"][2]) and pd.isna(out["m"][3]) and \
+        pd.isna(out["m"][4])
+    big = asof_join_big(
+        rd.from_arrow(left), rd.from_pandas(right), on="ts", by="user",
+        right_cols={"marker": "m"}, direction="forward", num_buckets=4) \
+        .to_pandas().sort_values("eid").reset_index(drop=True)
+    assert big["m"].equals(out["m"])
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(rd.from_arrow(left), right, on="ts", by="user",
+                  right_cols={"marker": "m"}, direction="sideways")
