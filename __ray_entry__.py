@@ -844,6 +844,20 @@ def q_events_asof_fwd(sf_dir: str):
     return out.select_columns(["event_id", "next_purchase_ts"])
 
 
+def q_winsorized(sf_dir: str):
+    """Per-event-type quantile clipping (winsorization) of values into
+    [p05, p95] of each type's own distribution -- exact quantiles are
+    bit-identical to SQL quantile_cont, so the clipped floats compare
+    exactly."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import winsorize_by
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    return winsorize_by(ds, "event_type", "value", lo_q=0.05, hi_q=0.95)
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1712,6 +1726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_docs": q_normalized_docs,
         "value_hist": q_value_hist,
         "events_asof_fwd": q_events_asof_fwd,
+        "winsorized": q_winsorized,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
@@ -2141,6 +2156,16 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(lower(text), '[^\w\s]', '', 'g'),
                      '\s+', ' ', 'g')) AS text
             FROM documents""",
+        # per-group quantile clipping; quantile_cont bit-identical
+        "winsorized": """
+            SELECT e.event_id, e.event_type,
+                   least(greatest(e.value, b.lo), b.hi) AS value
+            FROM events e JOIN (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events GROUP BY event_type) b
+            USING (event_type)""",
         # fixed-width histogram, edge-clipped, identical floor arithmetic
         "value_hist": """
             SELECT bin, 0.0 + bin * 5.0 AS lo_edge,

@@ -1041,3 +1041,53 @@ def histogram(ds, col: str, lo: float, hi: float, bins: int,
 
     return out.map_batches(edges, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def winsorize_by(ds, key: str, value: str, lo_q: float = 0.01,
+                 hi_q: float = 0.99, out_col: str | None = None,
+                 mode: str = "exact"):
+    """Per-group quantile clipping (winsorization) -- the outlier-taming
+    cleanup pass: clip ``value`` into [q_lo, q_hi] of ITS OWN group.
+
+    Two passes: per-group bounds via :func:`quantiles_by` (``mode="exact"``
+    is bit-identical to SQL ``quantile_cont``; ``mode="sketch"`` is the
+    unbounded-cardinality path), broadcast the small (group, lo, hi)
+    table once, then one vectorized clamp over the stream -- rows never
+    shuffle.  Null values pass through unchanged."""
+    import numpy as np
+    import ray
+
+    if not 0.0 <= lo_q <= hi_q <= 1.0:
+        raise ValueError("need 0 <= lo_q <= hi_q <= 1")
+    q = quantiles_by(ds, key, value, qs=(lo_q, hi_q), mode=mode)
+    qt = pa.concat_tables(
+        [t for t in ray.get(q.to_arrow_refs()) if t.num_rows])
+    cols = qt.column_names
+    lo_name, hi_name = cols[1], cols[2]
+    keys_np = qt.column(key).to_pandas().to_numpy(dtype=object)
+    order = np.argsort(keys_np)
+    state = ray.put((
+        keys_np[order],
+        qt.column(lo_name).to_numpy(zero_copy_only=False)[order],
+        qt.column(hi_name).to_numpy(zero_copy_only=False)[order],
+    ))
+    name = out_col or value
+
+    def clamp(t: pa.Table) -> pa.Table:
+        ks, lo, hi = ray.get(state)
+        g = t.column(key).to_pandas().to_numpy(dtype=object)
+        pos = np.searchsorted(ks, g)
+        pos = np.clip(pos, 0, len(ks) - 1)
+        v = t.column(value).cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        clipped = np.minimum(np.maximum(v, lo[pos]), hi[pos])
+        arr = pa.array(clipped, pa.float64())
+        if t.column(value).null_count:
+            arr = pc.if_else(pc.is_valid(t.column(value)), arr,
+                             pa.scalar(None, pa.float64()))
+        if name in t.column_names:
+            return t.set_column(t.column_names.index(name), name, arr)
+        return t.append_column(name, arr)
+
+    return ds.map_batches(clamp, batch_format="pyarrow",
+                          zero_copy_batch=True)

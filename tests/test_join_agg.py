@@ -934,3 +934,26 @@ def test_asof_join_forward_direction():
     with pytest.raises(ValueError, match="direction"):
         asof_join(rd.from_arrow(left), right, on="ts", by="user",
                   right_cols={"marker": "m"}, direction="sideways")
+
+
+def test_winsorize_by_matches_numpy():
+    from fluent_plugin_geoip_ray.stages.aggregate import winsorize_by
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], n),
+        "v": rng.normal(0, 100, n),
+    })
+    out = winsorize_by(rd.from_pandas(df).repartition(5), "k", "v",
+                       lo_q=0.05, hi_q=0.95).to_pandas()
+    ref = df.copy()
+    for g, grp in df.groupby("k"):
+        lo = np.quantile(grp["v"], 0.05)
+        hi = np.quantile(grp["v"], 0.95)
+        ref.loc[grp.index, "v"] = grp["v"].clip(lo, hi)
+    a = out.sort_values(["k", "v"]).reset_index(drop=True)
+    b = ref.sort_values(["k", "v"]).reset_index(drop=True)
+    assert np.allclose(a["v"].to_numpy(), b["v"].to_numpy())
+    with pytest.raises(ValueError):
+        winsorize_by(rd.from_pandas(df), "k", "v", lo_q=0.9, hi_q=0.1)
