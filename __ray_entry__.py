@@ -858,6 +858,22 @@ def q_winsorized(sf_dir: str):
     return winsorize_by(ds, "event_type", "value", lo_q=0.05, hi_q=0.95)
 
 
+def q_events_lag(sf_dir: str):
+    """Per-user navigation functions: previous event's value (LAG) and
+    next event's timestamp (LEAD) in (ts, event_id) order -- one exchange
+    on the key, per-bucket lexsort, Arrow take shifts; values copy
+    bit-exactly so the float compare is exact."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import lag_lead_by
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    return lag_lead_by(ds, "user_id", order_by=["ts", "event_id"],
+                       cols={"value": ("lag", "prev_value"),
+                             "ts": ("lead", "next_ts")})
+
+
 def q_profile(sf_dir: str):
     """One-pass data profiling over the documents table's numeric columns
     (count, nulls, min, max, mean) -- SQL-oracle-backed.  Integer columns
@@ -1727,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_hist": q_value_hist,
         "events_asof_fwd": q_events_asof_fwd,
         "winsorized": q_winsorized,
+        "events_lag": q_events_lag,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "lm_score": q_lm_score,
@@ -2156,6 +2173,13 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(lower(text), '[^\w\s]', '', 'g'),
                      '\s+', ' ', 'g')) AS text
             FROM documents""",
+        # LAG/LEAD navigation, bit-exact copies
+        "events_lag": """
+            SELECT event_id, user_id, ts, value,
+                   LAG(value) OVER w AS prev_value,
+                   LEAD(ts) OVER w AS next_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         # per-group quantile clipping; quantile_cont bit-identical
         "winsorized": """
             SELECT e.event_id, e.event_type,

@@ -326,3 +326,83 @@ def rate_limit(ds, key: str, ts_col: str, window_sec: int, k: int,
         "__rl_grp", ts_col, k, descending=False,
         tie_breakers=tie_breakers, merge=merge, num_buckets=num_buckets)
     return limited.drop_columns(["__rl_grp"])
+
+
+def lag_lead_by(ds, key: str, order_by: list[str], cols: dict,
+                offset: int = 1, num_buckets: int = 32):
+    """Per-key navigation functions -- SQL ``LAG/LEAD(col, offset) OVER
+    (PARTITION BY key ORDER BY ...)``: each row gets columns from its
+    neighbor ``offset`` rows earlier/later within its own key's order
+    (NULL at partition edges).
+
+    ``cols`` maps source column -> (direction, output name) with
+    direction in {"lag", "lead"}.  Rows of a key must co-locate (the
+    neighbor can live in another block), so the needed projection moves
+    through ONE hash exchange on the key; each bucket lexsorts once and
+    every shift is an Arrow ``take`` with edge nulls -- no per-row
+    Python.  Output preserves all projected columns; project upstream so
+    only needed columns shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .exchange import hash_exchange
+
+    if offset < 1:
+        raise ValueError(f"offset must be >= 1, got {offset}")
+    for src, (direction, _out) in cols.items():
+        if direction not in ("lag", "lead"):
+            raise ValueError(f"direction must be lag|lead, got "
+                             f"{direction!r} for {src!r}")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        g = t.column(key).to_pandas().to_numpy(dtype=object)
+        b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def shift_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sort_cols = [t.column(c).to_pandas().to_numpy()
+                     for c in (*reversed(order_by), key)]
+        order = np.lexsort(tuple(sort_cols))
+        t = t.take(pa.array(order))
+        g = t.column(key).to_pandas().to_numpy(dtype=object)
+        n = len(g)
+        same_prev = np.r_[False, g[1:] == g[:-1]] if n else \
+            np.zeros(0, bool)
+        # lag valid at i iff rows i-offset..i all share the key (the
+        # offset consecutive same_prev flags ending at i are all True)
+        ok_lag = np.zeros(n, dtype=bool)
+        if n > offset:
+            ok_lag[offset:] = np.all(
+                [same_prev[offset - d:n - d] for d in range(offset)],
+                axis=0)
+        idx_lag = np.arange(n, dtype=np.int64) - offset
+        idx_lead_ok = np.zeros(n, dtype=bool)
+        if n > offset:
+            idx_lead_ok[:n - offset] = np.all(
+                [same_prev[d + 1:n - offset + d + 1]
+                 for d in range(offset)], axis=0)
+        idx_lead = np.arange(n, dtype=np.int64) + offset
+        out = t
+        for src, (direction, out_name) in cols.items():
+            col = t.column(src)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if direction == "lag":
+                take = np.where(ok_lag, idx_lag, -1)
+                valid = ok_lag
+            else:
+                take = np.where(idx_lead_ok, idx_lead, -1)
+                valid = idx_lead_ok
+            idx = pa.array(np.where(valid, take, 0), pa.int64())
+            shifted = col.take(idx)
+            shifted = pc.if_else(pa.array(valid), shifted,
+                                 pa.scalar(None, col.type))
+            out = out.append_column(out_name, shifted)
+        return out
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return hash_exchange(bucketed, num_buckets, shift_bucket)

@@ -248,3 +248,44 @@ def test_rate_limit_rejects_bad_params():
         rate_limit(ds, "user_id", "ts", 0, 1)
     with pytest.raises(ValueError):
         rate_limit(ds, "user_id", "ts", 60, 0)
+
+
+# --------------------------------------------------------------------------
+# lag_lead_by (per-key navigation functions)
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("offset", [1, 2])
+def test_lag_lead_matches_pandas_shift(offset):
+    from fluent_plugin_geoip_ray.stages.window import lag_lead_by
+
+    rng = np.random.default_rng(6)
+    n = 1000
+    df = pd.DataFrame({
+        "u": rng.integers(0, 30, n).astype(np.int64),
+        "ts": rng.permutation(n).astype(np.int64),
+        "v": rng.integers(0, 500, n).astype(np.int64),
+    })
+    out = lag_lead_by(rd.from_pandas(df).repartition(6), "u",
+                      order_by=["ts"],
+                      cols={"v": ("lag", "prev_v"),
+                            "ts": ("lead", "next_ts")},
+                      offset=offset).to_pandas() \
+        .sort_values(["u", "ts"]).reset_index(drop=True)
+    ref = df.sort_values(["u", "ts"]).reset_index(drop=True)
+    ref["prev_v"] = ref.groupby("u")["v"].shift(offset)
+    ref["next_ts"] = ref.groupby("u")["ts"].shift(-offset)
+    for c in ("prev_v", "next_ts"):
+        a = pd.array(out[c], dtype="Float64")
+        b = pd.array(ref[c], dtype="Float64")
+        eq = (a.isna() & b.isna()) | (a == b)
+        assert bool(pd.array(eq).fillna(False).all()), (c, offset)
+
+
+def test_lag_lead_validation():
+    from fluent_plugin_geoip_ray.stages.window import lag_lead_by
+
+    ds = rd.from_pandas(pd.DataFrame({"u": [1], "ts": [1], "v": [1]}))
+    with pytest.raises(ValueError, match="offset"):
+        lag_lead_by(ds, "u", ["ts"], {"v": ("lag", "p")}, offset=0)
+    with pytest.raises(ValueError, match="direction"):
+        lag_lead_by(ds, "u", ["ts"], {"v": ("sideways", "p")})
