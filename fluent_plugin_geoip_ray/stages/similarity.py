@@ -96,6 +96,57 @@ def knn_brute_force(ds, queries: np.ndarray, k: int = 10,
 # IVF (scale path)
 # --------------------------------------------------------------------------
 
+def uniform_sample_matrix(ds, id_col: str, emb_col: str, sample_n: int,
+                          seed: int = 42) -> np.ndarray:
+    """Seeded UNIFORM sample of ``sample_n`` embedding rows for quantizer
+    training: the rows with the globally smallest ``sample_n`` Knuth key
+    hashes (ties broken by the hash value itself, a set property of the
+    data -- identical across block layouts, cluster sizes, and input
+    order).
+
+    Why not ``ds.limit(sample_n)``: limit takes the FIRST rows.  A 100 TB
+    corpus ordered by source/date would hand k-means a biased slice of the
+    manifold -> skewed clusters -> one giant bucket (semantic_dedup's
+    ``max_cluster_rows`` trips) or cratered IVF recall.
+
+    Scale shape: per batch only the local ``sample_n`` smallest
+    (hash, vec) rows leave the worker; a second combining pass shrinks the
+    partials another ~64x before the final tiny sort+limit, so the driver
+    never sees more than O(blocks/64 * sample_n) shrunken rows."""
+    from .sample import key_hash
+    from .text import _hash_strings
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        if "__h" in batch.column_names:
+            h = batch.column("__h").to_numpy(zero_copy_only=False)
+            vecs = batch.column(emb_col)
+        else:
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            if pa.types.is_string(ids.type) or pa.types.is_large_string(ids.type):
+                base = _hash_strings(ids)
+            else:
+                base = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = key_hash(base, seed)
+            vecs = batch.column(emb_col)
+        if len(h) > sample_n:
+            idx = np.argpartition(h, sample_n)[:sample_n]
+            idx.sort()  # keep take() sequential
+            take = pa.array(idx)
+            h = h[idx]
+            vecs = (vecs.combine_chunks() if isinstance(vecs, pa.ChunkedArray)
+                    else vecs).take(take)
+        return pa.table({"__h": pa.array(h), emb_col: vecs})
+
+    partials = ds.select_columns([id_col, emb_col]).map_batches(
+        local_top, batch_format="pyarrow", zero_copy_batch=True)
+    combined = partials.map_batches(local_top, batch_format="pyarrow",
+                                    batch_size=sample_n * 64)
+    top = combined.sort("__h").limit(sample_n).to_pandas()
+    return np.stack(top[emb_col].to_numpy())
+
+
 def train_centroids(sample: np.ndarray, n_clusters: int, iters: int = 10,
                     seed: int = 42) -> np.ndarray:
     """Seeded numpy Lloyd's k-means on a driver-side sample (the classic IVF
@@ -135,8 +186,7 @@ def knn_ivf(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     partitioned by ``ivf_bucket`` once and queries touch only their buckets."""
     import ray
 
-    sample_rows = ds.limit(sample_n).to_pandas()
-    sample = np.stack(sample_rows[emb_col].to_numpy())
+    sample = uniform_sample_matrix(ds, id_col, emb_col, sample_n)
     cents = train_centroids(sample, n_clusters)
     cents_ref = ray.put(cents)
     bucketed = assign_buckets(ds, cents_ref, id_col=id_col, emb_col=emb_col)
@@ -171,8 +221,7 @@ def build_ivf_index(ds, index_dir: str, n_clusters: int = 16,
 
     import ray
 
-    sample_rows = ds.limit(sample_n).to_pandas()
-    sample = np.stack(sample_rows[emb_col].to_numpy())
+    sample = uniform_sample_matrix(ds, id_col, emb_col, sample_n, seed=seed)
     cents = train_centroids(sample, n_clusters, seed=seed)
     bucketed = assign_buckets(ds, ray.put(cents), id_col=id_col, emb_col=emb_col)
     os.makedirs(index_dir, exist_ok=True)
@@ -319,8 +368,7 @@ def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 64,
 
     from .dedup import _resolve_clusters_and_drop
 
-    sample_rows = ds.limit(sample_n).to_pandas()
-    sample = np.stack(sample_rows[emb_col].to_numpy())
+    sample = uniform_sample_matrix(ds, id_col, emb_col, sample_n, seed=seed)
     cents = train_centroids(sample, min(n_clusters, len(sample)), seed=seed)
     slim = ds.select_columns([id_col, emb_col])
     bucketed = assign_buckets(slim, ray.put(cents), id_col=id_col,

@@ -316,3 +316,64 @@ def test_group_mean_pool_partition_invariant_values():
     a = np.vstack(one["centroid"].to_numpy())
     b = np.vstack(many["centroid"].to_numpy())
     assert np.allclose(a, b)    # float-sum order differs across splits
+
+
+def test_uniform_sample_unbiased_by_input_order():
+    """Quantizer sampling must be uniform, not first-N: build an input whose
+    FIRST half is a single tight cluster (what ds.limit() would see) and
+    whose second half spans distinct clusters; the sample must draw from
+    both halves roughly proportionally, and IVF recall must hold even for
+    queries living entirely in the second half."""
+    from fluent_plugin_geoip_ray.stages.similarity import uniform_sample_matrix
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    # first half: one tight cluster around +e0
+    first = rng.standard_normal((2000, dim)).astype(np.float32) * 0.01
+    first[:, 0] += 10.0
+    # second half: 4 well-separated clusters on other axes
+    parts = []
+    for axis in (1, 2, 3, 4):
+        p = rng.standard_normal((500, dim)).astype(np.float32) * 0.01
+        p[:, axis] += 10.0
+        parts.append(p)
+    m = np.vstack([first] + parts)
+    ds = vec_ds(m)
+
+    sample = uniform_sample_matrix(ds, "vec_id", "embedding", 256, seed=5)
+    assert sample.shape == (256, dim)
+    # rows from the second half have their max coordinate off axis 0
+    frac_second = float((np.abs(sample).argmax(axis=1) != 0).mean())
+    assert 0.3 <= frac_second <= 0.7  # expected 0.5; limit() would give 0.0
+
+    # recall for queries in the second half: with first-N sampling every
+    # centroid would sit in cluster e0 and these queries probe garbage
+    q = np.vstack([p[:1] for p in parts])
+    exact = knn_brute_force(ds, q, k=5).to_pandas()
+    approx = knn_ivf(ds, q, k=5, n_clusters=5, nprobe=2, sample_n=256).to_pandas()
+    recall = 0.0
+    for qid in range(len(q)):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recall += len(e & a) / len(e)
+    assert recall / len(q) >= 0.8
+
+
+def test_uniform_sample_deterministic_across_partitioning():
+    """The hash-ranked sample is a set property: identical matrix whether
+    the dataset arrives as 1 block or 16."""
+    from fluent_plugin_geoip_ray.stages.similarity import uniform_sample_matrix
+
+    m = make_vectors(n=500)
+    a = uniform_sample_matrix(vec_ds(m), "vec_id", "embedding", 64, seed=3)
+    b = uniform_sample_matrix(vec_ds(m).repartition(16), "vec_id",
+                              "embedding", 64, seed=3)
+    assert np.array_equal(a, b)
+
+
+def test_uniform_sample_small_input_returns_all():
+    from fluent_plugin_geoip_ray.stages.similarity import uniform_sample_matrix
+
+    m = make_vectors(n=20)
+    s = uniform_sample_matrix(vec_ds(m), "vec_id", "embedding", 64, seed=3)
+    assert s.shape == (20, 16)
