@@ -291,27 +291,41 @@ def sum_count_by(ds, key: str, value: str, batch_size: int = 65536):
 
 
 def quantiles_by(ds, key: str, value: str, qs: tuple = (0.5, 0.95, 0.99),
-                 mode: str = "exact", bins: int = 4096,
-                 batch_size: int = 65536):
+                 mode: str = "auto", bins: int = 4096,
+                 batch_size: int = 65536, driver_limit: int = 2_000_000):
     """Per-group quantiles (the log-pipeline p50/p95/p99 metric).
+
+    ``mode="auto"`` (default): runs the exact list partials ONCE and counts
+    the total value volume off the materialized partials (an O(partial
+    rows) scalar pass, same convention as :func:`dedup_exact` /
+    ``top_k_by_group``); at or below ``driver_limit`` values the driver
+    merge interpolates exactly, above it the already-materialized partials
+    are exploded back to (key, value) rows and finish through the sketch
+    merge -- an unbounded-cardinality call can never concatenate value
+    lists on the driver.
 
     ``mode="exact"``: per-batch the VALUES of each group are collected as
     list partials; the final merge concatenates per group and interpolates
-    (numpy 'linear' == SQL ``quantile_cont``).  Right when per-group value
-    volume fits one process -- the dashboard/alerting case (few groups).
+    (numpy 'linear' == SQL ``quantile_cont``).  Opt-in: right ONLY when
+    per-group value volume is known to fit one process -- the
+    dashboard/alerting case (few groups).
 
     ``mode="sketch"``: mergeable fixed-bin log-histogram partials (one
     (key, bins) count row per batch per group; shuffle O(groups x blocks x
     bins)), final merge sums histograms and reads quantiles off the CDF --
     bounded relative error ~ bin width, any cardinality, no value data
-    movement.  The 100 TB path.
+    movement, no partial materialization.  The 100 TB path.
     """
     import numpy as np
 
     import ray
     import ray.data as rd
 
-    if mode == "exact":
+    if mode not in ("auto", "exact", "sketch"):
+        raise ValueError(f"quantiles_by mode must be auto|exact|sketch, got {mode!r}")
+
+    sketch_src = ds
+    if mode in ("auto", "exact"):
         def partial(batch: pa.Table) -> pa.Table:
             import numpy as np
 
@@ -319,44 +333,71 @@ def quantiles_by(ds, key: str, value: str, qs: tuple = (0.5, 0.95, 0.99),
             g = t.group_by(key).aggregate([(value, "list")])
             return g.rename_columns([key, "__vals"])
 
-        tables = [
-            t for t in ray.get(
-                ds.map_batches(partial, batch_format="pyarrow",
-                               zero_copy_batch=True,
-                               batch_size=batch_size).to_arrow_refs()
-            ) if t.num_rows
-        ]
-        if not tables:
-            return rd.from_items([])
-        # merge partial value-lists per key (O(groups x blocks) rows)
-        buckets: dict = {}
-        for t in tables:
-            tp = t.to_pandas()
-            for k, v in zip(tp[key], tp["__vals"]):
-                buckets.setdefault(k, []).append(np.asarray(v, np.float64))
-        def _qcont(vs: "np.ndarray", q: float) -> float:
-            # SQL quantile_cont's exact arithmetic: lo*(1-frac) + hi*frac
-            # (bit-identical to DuckDB; other lerp orders differ in ulps)
-            n = len(vs)
-            pos = q * (n - 1)
-            lo = int(np.floor(pos))
-            frac = pos - lo
-            if frac == 0.0 or lo + 1 >= n:
-                return float(vs[min(lo, n - 1)])
-            return float(vs[lo] * (1.0 - frac) + vs[lo + 1] * frac)
+        pmat = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True,
+                              batch_size=batch_size).materialize()
+        use_exact = True
+        if mode == "auto":
+            def vol(t: pa.Table) -> pa.Table:
+                col = t.column("__vals")
+                n = pc.sum(pc.list_value_length(col)).as_py() or 0
+                return pa.table({"n": pa.array([n], pa.int64())})
 
-        keys_out, cols = [], {f"q{int(q * 100)}": [] for q in qs}
-        for k in sorted(buckets):
-            keys_out.append(k)
-            vals = np.concatenate(buckets[k])
-            vals = np.sort(vals[~np.isnan(vals)])
-            for q in qs:
-                cols[f"q{int(q * 100)}"].append(
-                    _qcont(vals, q) if len(vals) else None
-                )
-        out = {key: pa.array(keys_out)}
-        out.update({name: pa.array(v, pa.float64()) for name, v in cols.items()})
-        return rd.from_arrow(pa.table(out))
+            total = pmat.map_batches(vol, batch_format="pyarrow").sum("n") or 0
+            use_exact = total <= driver_limit
+
+        if not use_exact:
+            # explode the materialized partials back to (key, value) rows
+            # and fall through to the sketch merge: no input re-scan, no
+            # driver value lists at any cardinality
+            def explode(t: pa.Table) -> pa.Table:
+                col = t.column("__vals")
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+                keys_rep = t.column(key).take(
+                    pa.array(np.repeat(np.arange(t.num_rows), lens)))
+                return pa.table({key: keys_rep, value: col.flatten()})
+
+            sketch_src = pmat.map_batches(explode, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+        else:
+            tables = [
+                t for t in ray.get(pmat.to_arrow_refs()) if t.num_rows
+            ]
+            if not tables:
+                return rd.from_items([])
+            # merge partial value-lists per key (O(groups x blocks) rows)
+            buckets: dict = {}
+            for t in tables:
+                tp = t.to_pandas()
+                for k, v in zip(tp[key], tp["__vals"]):
+                    buckets.setdefault(k, []).append(np.asarray(v, np.float64))
+
+            def _qcont(vs: "np.ndarray", q: float) -> float:
+                # SQL quantile_cont's exact arithmetic: lo*(1-frac) + hi*frac
+                # (bit-identical to DuckDB; other lerp orders differ in ulps)
+                n = len(vs)
+                pos = q * (n - 1)
+                lo = int(np.floor(pos))
+                frac = pos - lo
+                if frac == 0.0 or lo + 1 >= n:
+                    return float(vs[min(lo, n - 1)])
+                return float(vs[lo] * (1.0 - frac) + vs[lo + 1] * frac)
+
+            keys_out, cols = [], {f"q{int(q * 100)}": [] for q in qs}
+            for k in sorted(buckets):
+                keys_out.append(k)
+                vals = np.concatenate(buckets[k])
+                vals = np.sort(vals[~np.isnan(vals)])
+                for q in qs:
+                    cols[f"q{int(q * 100)}"].append(
+                        _qcont(vals, q) if len(vals) else None
+                    )
+            out = {key: pa.array(keys_out)}
+            out.update({name: pa.array(v, pa.float64())
+                        for name, v in cols.items()})
+            return rd.from_arrow(pa.table(out))
 
     # sketch mode: log-spaced histogram partials, mergeable by addition
     def sketch_partial(batch: pa.Table) -> pa.Table:
@@ -378,8 +419,9 @@ def quantiles_by(ds, key: str, value: str, qs: tuple = (0.5, 0.95, 0.99),
             "n": pa.array(counts["n"].astype(np.int64)),
         })
 
-    partials = ds.map_batches(sketch_partial, batch_format="pyarrow",
-                              zero_copy_batch=True, batch_size=batch_size)
+    partials = sketch_src.map_batches(sketch_partial, batch_format="pyarrow",
+                                      zero_copy_batch=True,
+                                      batch_size=batch_size)
 
     # merge: hash-exchange the (key, bin, n) partial rows on KEY (every bin
     # of a key lands in one bucket), then the whole per-bucket finalize is

@@ -957,3 +957,52 @@ def test_winsorize_by_matches_numpy():
     assert np.allclose(a["v"].to_numpy(), b["v"].to_numpy())
     with pytest.raises(ValueError):
         winsorize_by(rd.from_pandas(df), "k", "v", lo_q=0.9, hi_q=0.1)
+
+
+def test_quantiles_by_auto_switches_to_sketch_past_driver_limit():
+    """mode="auto" (the default) must never concatenate value lists on the
+    driver when volume exceeds driver_limit: past the limit the result is
+    the sketch answer (bounded relative error), below it the exact one."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import quantiles_by
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(np.repeat(["a", "b", "c"], n // 3)),
+        "v": pa.array(rng.lognormal(2, 0.7, n)),
+    })
+    ds = rd.from_arrow(t).repartition(7)
+
+    exact = (quantiles_by(ds, "k", "v", qs=(0.5, 0.95), mode="exact")
+             .to_pandas().set_index("k").sort_index())
+    sketch = (quantiles_by(ds, "k", "v", qs=(0.5, 0.95), mode="sketch")
+              .to_pandas().set_index("k").sort_index())
+    # auto below the limit == exact, bit for bit
+    auto_small = (quantiles_by(ds, "k", "v", qs=(0.5, 0.95),
+                               mode="auto", driver_limit=10 * n)
+                  .to_pandas().set_index("k").sort_index())
+    assert auto_small.equals(exact)
+    # auto past the limit == sketch, bit for bit (exploded-partials feed)
+    auto_big = (quantiles_by(ds, "k", "v", qs=(0.5, 0.95),
+                             mode="auto", driver_limit=100)
+                .to_pandas().set_index("k").sort_index())
+    assert auto_big.equals(sketch)
+    # and the sketch answer is within the documented log-bin error
+    for k in "abc":
+        assert abs(auto_big.loc[k, "q50"] / exact.loc[k, "q50"] - 1) < 0.02
+
+
+def test_quantiles_by_rejects_unknown_mode():
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import quantiles_by
+
+    t = pa.table({"k": ["a"], "v": [1.0]})
+    with pytest.raises(ValueError, match="auto|exact|sketch"):
+        quantiles_by(rd.from_arrow(t), "k", "v", mode="nope")
