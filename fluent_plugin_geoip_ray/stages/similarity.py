@@ -406,8 +406,14 @@ def semantic_dedup(ds, threshold: float = 0.95, n_clusters: int = 64,
             return empty
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
-    edges = bucketed.groupby("ivf_bucket").map_groups(
-        cluster_edges, batch_format="pyarrow").materialize()
+    # co-locate each cluster through the repo's own hash exchange (the
+    # bucket id needs no ordering, so Ray's sort-based groupby shuffle is
+    # pure overhead here -- same substrate as every other bucketed path)
+    from .exchange import hash_exchange
+
+    k_eff = int(min(n_clusters, len(sample)))
+    edges = hash_exchange(bucketed, k_eff, cluster_edges,
+                          bucket_col="ivf_bucket")
     n_edges = edges.count()
     if mode != "distributed" and n_edges <= edge_driver_limit:
         edges = edges.to_pandas()
