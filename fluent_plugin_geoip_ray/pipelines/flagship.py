@@ -223,11 +223,21 @@ class FanoutWrite:
                 fs, part_dir = self._part_dir(route.sink)
                 path = fsio.join(part_dir, self._file_name(routed))
                 if getattr(route, "sink_format", "parquet") == "json":
-                    # ndjson lines (Elasticsearch-bulk-shaped consumers)
+                    # ndjson lines (Elasticsearch-bulk-shaped consumers):
+                    # vectorized Arrow->ndjson via polars (no pandas
+                    # round-trip, no per-row Python); timestamps rendered
+                    # ISO-8601 first so the line format is stable
                     path = path.replace(".parquet", ".jsonl")
-                    payload = routed.to_pandas().to_json(
-                        orient="records", lines=True, date_format="iso"
-                    )
+                    enc = routed
+                    for i, f in enumerate(enc.schema):
+                        if pa.types.is_timestamp(f.type):
+                            enc = enc.set_column(
+                                i, f.name,
+                                pc.strftime(enc.column(f.name),
+                                            format="%Y-%m-%dT%H:%M:%SZ"))
+                    import polars as pl
+
+                    payload = pl.from_arrow(enc).write_ndjson()
                     fsio.write_bytes_atomic(fs, payload.encode(), path)
                 else:
                     fsio.write_parquet_atomic(fs, routed, path)

@@ -44,14 +44,17 @@ _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 # --------------------------------------------------------------------------
 
 def dedup_exact(ds, key_col: str = "doc_id", text_col: str = "text",
-                mode: str = "auto", broadcast_limit: int = 50_000_000):
+                mode: str = "auto", broadcast_limit: int = 5_000_000):
     """Keep exactly one row (min ``key_col``) per distinct ``text_col``.
 
     Oracle: ``SELECT * WHERE key IN (SELECT min(key) GROUP BY text)``.
 
     ``mode="auto"`` (default): winners = distributed partial+final grouped
     min(key) per content hash (shuffle carries only (hash, key) pairs); if
-    the winner count fits ``broadcast_limit`` they are broadcast as sorted
+    the winner count fits ``broadcast_limit`` (default 5M -- winners are
+    concatenated on the driver before ``ray.put``, so the default is sized
+    to ~100 MB of driver RSS, not the object-store ceiling) they are
+    broadcast as sorted
     arrays and the keep-filter is a vectorized searchsorted probe -- text
     never shuffles.  Past the limit it falls through to the shuffle path
     automatically.  ``mode="broadcast"`` skips the count (driver-merged
