@@ -884,3 +884,96 @@ def test_dedup_incremental_rejects_out_of_range_keys(tmp_path):
                     "text": pa.array([BASE])})
     with pytest.raises(Exception, match="2\\^62"):
         dedup_incremental(rd.from_arrow(bad), index_dir).count()
+
+
+def test_dedup_minhash_cross_verified_against_exact_jaccard():
+    """Independent verification of the LSH family (beyond the golden pin):
+    on the sf0.01 documents corpus, dedup_minhash survivors are checked
+    against EXACT shingle-set Jaccard ground truth computed directly from
+    the same tokenization.
+
+    Bounds asserted (64-perm estimator at threshold 0.7):
+    * no wild false drop -- every dropped doc has exact J >= 0.5 with some
+      other doc (est >= 0.7 given true J < 0.5 is a >3-sigma event);
+    * no plausible miss -- every exact component at J >= 0.85 keeps at
+      most one member (band-match and estimator failure are both ~0 there);
+    * overall survivor disagreement vs exact-0.7 ground truth <= 5%.
+    """
+    import pyarrow.parquet as pq
+
+    from fluent_plugin_geoip_ray.stages.dedup import (
+        _shingle_hashes,
+        _token_hashes,
+        dedup_minhash,
+    )
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    hashes, offsets = _token_hashes(t, "text")
+    sh, sh_off = _shingle_hashes(hashes, offsets, k=3)
+    sets = [set(sh[sh_off[i]:sh_off[i + 1]].tolist()) for i in range(len(ids))]
+
+    def jac(i, j):
+        a, b = sets[i], sets[j]
+        if not a and not b:
+            return 1.0
+        u = len(a | b)
+        return len(a & b) / u if u else 0.0
+
+    n = len(ids)
+    # exact ground truth at the operator threshold and a high-confidence one
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    hi_pairs = []
+    max_j = np.zeros(n)
+    for i in range(n):
+        for j in range(i + 1, n):
+            v = jac(i, j)
+            max_j[i] = max(max_j[i], v)
+            max_j[j] = max(max_j[j], v)
+            if v >= 0.7:
+                parent[find(i)] = find(j)
+            if v >= 0.85:
+                hi_pairs.append((i, j))
+    comp = {}
+    exact_survivors = set()
+    for i in range(n):
+        r = find(i)
+        if r not in comp or ids[i] < ids[comp[r]]:
+            comp[r] = i
+    exact_survivors = {ids[comp[r]] for r in comp}
+
+    out = dedup_minhash(rd.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet")).to_pandas()
+    kept = set(out["doc_id"])
+    dropped_idx = [i for i in range(n) if ids[i] not in kept]
+
+    # (1) no wild false drops
+    wild = [ids[i] for i in dropped_idx if max_j[i] < 0.5]
+    assert wild == []
+    # (2) no plausible misses: each high-J component keeps <= 1 member
+    hi_parent = list(range(n))
+
+    def hfind(x):
+        while hi_parent[x] != x:
+            hi_parent[x] = hi_parent[hi_parent[x]]
+            x = hi_parent[x]
+        return x
+
+    for i, j in hi_pairs:
+        hi_parent[hfind(i)] = hfind(j)
+    from collections import Counter
+
+    kept_per_hi_comp = Counter(hfind(i) for i in range(n) if ids[i] in kept)
+    multi = {r: c for r, c in kept_per_hi_comp.items()
+             if c > 1 and sum(hfind(i) == r for i in range(n)) > 1}
+    assert not multi
+    # (3) bounded overall disagreement vs exact ground truth
+    assert len(kept ^ exact_survivors) <= 0.05 * n
