@@ -167,6 +167,43 @@ def q_enrich_mmdb(sf_dir: str):
     return ds.select_columns(_ENRICH_COLS)
 
 
+def q_enrich_dat(sf_dir: str):
+    """The LEGACY GeoIP .dat backend path (filter_geoip.rb:204-207 ->
+    GeoIP::City; test matrix test_filter_geoip.rb:818-1217): flat 9-key
+    legacy placeholders resolved through a REAL City-edition binary trie
+    built deterministically from the fixture truth (state/dat.py).  Scalar
+    string/int keys only -- lat/lon carry the format's intrinsic 4-decimal
+    precision and are round-trip-pinned in pytest instead."""
+    from fluent_plugin_geoip_ray.conf import record_spec_from_conf
+    from fluent_plugin_geoip_ray.sources.transcripts import DATA_ROOT
+    from fluent_plugin_geoip_ray.stages.enrich import enrich_dataset
+    from fluent_plugin_geoip_ray.stages.parse import parse_dataset
+    from fluent_plugin_geoip_ray.state.dat import ensure_fixture_dat
+
+    dat = ensure_fixture_dat(
+        _os.path.join(DATA_ROOT, "geo_fixture_legacy.dat"))
+    spec = record_spec_from_conf({
+        "geoip_lookup_keys": ["ip"],
+        "backend_library": "geoip",
+        "record": {
+            "city": "${city['ip']}",
+            "country_code": "${country_code['ip']}",
+            "country_code3": "${country_code3['ip']}",
+            "country_name": "${country_name['ip']}",
+            "region": "${region['ip']}",
+            "dma_code": "${dma_code['ip']}",
+        },
+    })
+    spec.placeholder_types = {"${dma_code['ip']}": "int64"}
+    ds = parse_dataset(_transcripts_ds(sf_dir), fields=("ip",))
+    ds = enrich_dataset(ds, spec,
+                        backend_spec={"library": "geoip_dat", "path": dat})
+    return ds.select_columns([
+        "conv_id", "turn_idx", "ip", "city", "country_code",
+        "country_code3", "country_name", "region", "dma_code",
+    ])
+
+
 def q_enrich_nested(sf_dir: str):
     """Nested record-accessor lookup paths (filter_geoip.rb:60;
     test_filter_geoip.rb:482-520): the lookup key is ``$.src.ip`` resolved
@@ -1708,6 +1745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_multi": q_enrich_multi,
         "enrich_nested": q_enrich_nested,
         "enrich_mmdb": q_enrich_mmdb,
+        "enrich_dat": q_enrich_dat,
         "events_extract": q_events_extract,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -1963,6 +2001,20 @@ def oracle_sql() -> dict[str, str]:
                   f" region, latitude, longitude FROM ({_ENRICHED})",
         "enrich_mmdb": f"SELECT conv_id, turn_idx, ip, city, country_code, country_name,"
                        f" region, latitude, longitude FROM ({_ENRICHED})",
+        # legacy .dat backend: flat 9-key docs; country_code3 / dma_code
+        # derived exactly as fixture_flat_docs("geoip") pins them
+        "enrich_dat": f"""
+            SELECT p.conv_id, p.turn_idx, p.ip,
+                   g.city_names_en AS city,
+                   g.country_iso_code AS country_code,
+                   CASE g.country_iso_code WHEN 'US' THEN 'USA'
+                        WHEN 'JP' THEN 'JPN' WHEN 'AF' THEN 'AFG' END
+                       AS country_code3,
+                   g.country_names_en AS country_name,
+                   g.subdiv0_iso_code AS region,
+                   CASE WHEN g.ip LIKE '66.102%' THEN 807 END AS dma_code
+            FROM ({_PARSED}) p
+            LEFT JOIN read_parquet('{_G_PATH}') g ON p.ip = g.ip""",
         "route_enriched": f"""
             SELECT conv_id, turn_idx,
                    'enriched.' || CASE ((turn_idx) % 3)

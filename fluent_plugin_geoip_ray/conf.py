@@ -67,24 +67,30 @@ def backend_spec_from_conf(conf: dict) -> dict | None:
     ``filter_geoip.rb:204-217``): the reference dispatches on
     ``backend_library``, not on which path param is present --
     ``geoip2_c`` / ``geoip2_compat`` read ``geoip2_database`` (MaxMind
-    binary .mmdb); ``geoip`` reads ``geoip_database``, a LEGACY GeoIP .dat
-    consumed via GeoIP::City, a format this engine does not implement -- a
-    configured legacy database raises a clear ConfigError up front instead
-    of MMDBReader's confusing 'not an mmdb file' at task time (ADVICE r2).
-    No database path -> None (the enrich stage defaults to the dict fixture
-    backend; the duck-typed ``geoip`` template-key restriction still
-    applies)."""
+    binary .mmdb); ``geoip`` reads ``geoip_database``, a LEGACY GeoIP City
+    .dat consumed via GeoIP::City -- served here by the bundled pure-Python
+    reader (``state/dat.py``).  A missing/unreadable .dat raises a clear
+    ConfigError at config time instead of a confusing parse error at task
+    time (ADVICE r2 convention).  No database path -> None (the enrich
+    stage defaults to the dict fixture backend; the duck-typed ``geoip``
+    template-key restriction still applies)."""
     lib = conf.get("backend_library", "geoip2_c")
     if lib in ("geoip2_c", "geoip2_compat"):
         path = conf.get("geoip2_database")
         return {"library": "maxmind", "path": path} if path else None
     if lib == "geoip":
-        if conf.get("geoip_database"):
-            raise ConfigError(
-                "backend_library 'geoip' reads legacy GeoIP .dat databases "
-                "(GeoIP::City), which this engine does not support; use "
-                "backend_library geoip2_c with geoip2_database instead"
-            )
+        path = conf.get("geoip_database")
+        if path:
+            try:
+                from .state.dat import DatReader
+
+                DatReader(path)
+            except (OSError, ValueError) as e:
+                raise ConfigError(
+                    f"backend_library 'geoip': cannot open legacy GeoIP "
+                    f".dat database {path!r}: {e}"
+                ) from e
+            return {"library": "geoip_dat", "path": path}
         return None
     raise ConfigError(f"unsupported backend_library {lib!r}")
 

@@ -3,8 +3,9 @@
 Analog of the reference's ``utils/dump.rb`` (``utils/dump.rb:8-27``, usage
 ``README.md:279-285``): ``python -m fluent_plugin_geoip_ray.dump <address>
 [backend_style]`` pretty-prints the backend document (fixture backend in this
-sandbox; pass a .mmdb path as third arg to use MaxmindBackend when the
-maxminddb wheel is available).  No Ray session needed.
+sandbox; pass a database path as third arg -- ``.mmdb`` opens
+MaxmindBackend, ``.dat`` opens the bundled legacy City reader).  No Ray
+session needed.
 """
 
 from __future__ import annotations
@@ -12,7 +13,7 @@ from __future__ import annotations
 import json
 import sys
 
-from .state.backends import DictBackend, MaxmindBackend
+from .state.backends import DictBackend, LegacyDatBackend, MaxmindBackend
 from .state.fixture import fixture_flat_docs
 
 
@@ -20,14 +21,15 @@ def main(argv: list[str]) -> int:
     if not argv:
         print(
             "usage: python -m fluent_plugin_geoip_ray.dump <address> "
-            "[geoip2_c|geoip2_compat|geoip] [mmdb_path]",
+            "[geoip2_c|geoip2_compat|geoip] [db_path(.mmdb|.dat)]",
             file=sys.stderr,
         )
         return 2
     address = argv[0]
     style = argv[1] if len(argv) > 1 else "geoip2_c"
     if len(argv) > 2:
-        backend = MaxmindBackend(argv[2])
+        backend = (LegacyDatBackend(argv[2]) if argv[2].endswith(".dat")
+                   else MaxmindBackend(argv[2]))
     elif style == "geoip2_c":
         backend = DictBackend()
     else:

@@ -70,8 +70,26 @@ class MaxmindBackend:
             return None
 
 
+class LegacyDatBackend:
+    """Legacy GeoIP City ``.dat`` backend (``backend_library geoip``,
+    ``filter_geoip.rb:204-207`` -> ``GeoIP::City.new(path)``): one reader
+    per actor, opened in ``__init__``, returning the flat 9-key legacy doc
+    (the GEOIP_KEYS contract) or None on miss -- the same duck-typed shape
+    as the flat dict fixture.  Pure-Python reader bundled in
+    :mod:`.dat` (written from public knowledge of the EOL format)."""
+
+    def __init__(self, dat_path: str):
+        from .dat import DatReader
+
+        self._reader = DatReader(dat_path)
+
+    def lookup(self, address: str) -> Optional[dict]:
+        return self._reader.record_by_addr(address)
+
+
 def make_backend(spec: dict) -> GeoBackend:
-    """Backend factory from a config dict: {"library": "dict"|"maxmind", ...}.
+    """Backend factory from a config dict:
+    {"library": "dict"|"maxmind"|"geoip_dat", ...}.
 
     Mirrors ``load_database``'s enum dispatch (``filter_geoip.rb:204-217``);
     unknown library -> ConfigError-equivalent ValueError.
@@ -81,4 +99,6 @@ def make_backend(spec: dict) -> GeoBackend:
         return DictBackend(spec.get("docs"))
     if lib == "maxmind":
         return MaxmindBackend(spec["path"])
+    if lib == "geoip_dat":
+        return LegacyDatBackend(spec["path"])
     raise ValueError(f"unsupported backend_library: {lib!r}")

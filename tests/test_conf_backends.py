@@ -129,12 +129,22 @@ def test_backend_spec_from_conf():
     }) == {"library": "maxmind", "path": "/x/a.mmdb"}
     # geoip2_* backends ignore the legacy path param (reference dispatch)
     assert backend_spec_from_conf({"geoip_database": "/x/b.dat"}) is None
-    # the legacy .dat backend is an explicit config-time error, not a
-    # confusing MMDBReader failure at task time
-    with pytest.raises(ConfigError, match="legacy GeoIP"):
+    # the legacy .dat backend dispatches to the bundled reader; an
+    # unreadable path is an explicit config-time error, not a confusing
+    # parse failure at task time
+    with pytest.raises(ConfigError, match="cannot open legacy GeoIP"):
         backend_spec_from_conf({
             "backend_library": "geoip", "geoip_database": "/x/b.dat"
         })
+    import tempfile
+
+    from fluent_plugin_geoip_ray.state.dat import ensure_fixture_dat
+
+    dat = ensure_fixture_dat(
+        tempfile.gettempdir() + "/graft_data/geo_fixture_legacy.dat")
+    assert backend_spec_from_conf({
+        "backend_library": "geoip", "geoip_database": dat
+    }) == {"library": "geoip_dat", "path": dat}
     assert backend_spec_from_conf({"backend_library": "geoip"}) is None
     with pytest.raises(ConfigError, match="unsupported backend_library"):
         backend_spec_from_conf({"backend_library": "mystery"})
