@@ -964,6 +964,47 @@ def q_vocab(sf_dir: str):
     return build_vocab(ds, top=20)
 
 
+def q_tfidf(sf_dir: str):
+    """Per-(doc, token) TF-IDF: the integer tf/df/n_docs surface is
+    oracle-checked exactly (the float tfidf column is ln()-based and ulp-
+    sensitive, so it stays consumer-facing; SURVEY exact-arithmetic
+    convention shared with lm_score/dsir)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import tfidf
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return tfidf(ds).select_columns(["doc_id", "token", "tf", "df", "n_docs"])
+
+
+def q_events_pivot(sf_dir: str):
+    """Pivot: per-user counts of each event_type as columns (the classic
+    dashboard reshape, COUNT(*) FILTER per category)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import pivot_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return pivot_counts(ds, "user_id", "event_type",
+                        values=["click", "view", "purchase"], other="other")
+
+
+def q_anomalous_events(sf_dir: str):
+    """Per-type z-score anomaly gate: events whose value deviates > 3
+    population standard deviations from their event_type mean."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import zscore_flag
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+    flagged = zscore_flag(ds, "event_type", "value", threshold=3.0)
+    return flagged.filter(expr="is_anomaly").select_columns(
+        ["event_id", "event_type", "value"])
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup (rows-only)."""
     import ray.data as rd
@@ -1784,6 +1825,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag": q_events_lag,
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
+        "tfidf": q_tfidf,
+        "events_pivot": q_events_pivot,
+        "anomalous_events": q_anomalous_events,
         "lm_score": q_lm_score,
         "profile": q_profile,
         "dedup_simhash": q_dedup_simhash,
@@ -2417,6 +2461,35 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT token, count(*) AS count FROM tok WHERE token <> ''
             GROUP BY token ORDER BY count DESC, token LIMIT 20""",
+        "tfidf": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(lower(text), '\s+')) AS token
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, token, count(*) AS tf FROM tok
+              WHERE token <> '' GROUP BY doc_id, token
+            ), df AS (
+              SELECT token, count(*) AS df FROM tf GROUP BY token
+            )
+            SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                   (SELECT count(*) FROM documents) AS n_docs
+            FROM tf JOIN df USING (token)""",
+        "events_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS click,
+                   count(*) FILTER (event_type = 'view') AS view,
+                   count(*) FILTER (event_type = 'purchase') AS purchase,
+                   count(*) FILTER (event_type NOT IN
+                                    ('click', 'view', 'purchase')) AS other
+            FROM events GROUP BY user_id""",
+        "anomalous_events": """
+            SELECT event_id, event_type, value FROM (
+              SELECT event_id, event_type, value,
+                     avg(value) OVER (PARTITION BY event_type) AS m,
+                     stddev_pop(value) OVER (PARTITION BY event_type) AS s
+              FROM events)
+            WHERE abs(value - m) > 3.0 * s""",
         # deterministic epoch shuffle: rank under the identical Knuth hash
         # (bijective on uint64 -> no ties), 0-based like the engine
         "epoch_shuffle": """

@@ -1133,3 +1133,107 @@ def winsorize_by(ds, key: str, value: str, lo_q: float = 0.01,
 
     return ds.map_batches(clamp, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def pivot_counts(ds, key, pivot_col: str, values: list[str],
+                 other: str | None = None, batch_size: int = 65536):
+    """Pivot categorical counts into one column per category (the classic
+    log-dashboard reshape: one row per key, ``count(*) FILTER (WHERE
+    pivot_col = v)`` per value).
+
+    Partial+final: per batch ONE Arrow group_by over the key sums boolean
+    indicator columns (each value's matches), so at most one row per key
+    per batch leaves the worker; partials merge through ``groupby_agg``'s
+    bucketed hash exchange.  ``other`` names an optional catch-all column
+    counting rows matching none of ``values``.  Algebraic (sums of sums),
+    so partial-of-partials is exact at any nesting.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = list(values) + ([other] if other else [])
+
+    def partial(t: pa.Table) -> pa.Table:
+        pv = t.column(pivot_col)
+        if isinstance(pv, pa.ChunkedArray):
+            pv = pv.combine_chunks()
+        out = t.select(keys)
+        rest = None
+        for v in values:
+            m = pc.equal(pv, v)
+            m = pc.fill_null(m, False)
+            out = out.append_column(v, pc.cast(m, pa.int64()))
+            rest = m if rest is None else pc.or_(rest, m)
+        if other:
+            inv = pc.invert(pc.fill_null(rest, False)) if rest is not None \
+                else pa.array(np.ones(t.num_rows, bool))
+            out = out.append_column(other, pc.cast(inv, pa.int64()))
+        g = out.group_by(keys).aggregate([(c, "sum") for c in cols])
+        return g.rename_columns(keys + cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+    return groupby_agg(partials, keys, [(c, "sum", c) for c in cols],
+                       merge="bucketed")
+
+
+def zscore_flag(ds, key: str, value: str, threshold: float = 3.0,
+                keep_cols: list[str] | None = None,
+                stats_broadcast_limit: int = 20_000_000,
+                batch_size: int = 65536):
+    """Per-group z-score anomaly flag: mark rows whose ``value`` deviates
+    more than ``threshold`` population standard deviations from their
+    group mean (the telemetry outlier gate).
+
+    Two streaming passes: (1) per-batch (n, sum, sum of squares) moment
+    partials per key merge through the bucketed exchange -- O(keys) rows
+    total; (2) the tiny (key, mean, std) table broadcasts (under
+    ``stats_broadcast_limit`` keys) and the flag is one vectorized
+    searchsorted probe + compare per batch.  Rows never shuffle.  The
+    flag formula is ``abs(v - mean) > threshold * stddev_pop`` with
+    ``mean = sum/n`` and ``stddev_pop = sqrt(sumsq/n - mean^2)`` --
+    replicable in SQL as AVG/STDDEV_POP (agreement to float rounding;
+    a boundary flip needs |z - threshold| at 1e-12, measure-zero for
+    continuous values).
+    """
+    import ray
+    import numpy as np
+
+    def moments(t: pa.Table) -> pa.Table:
+        v = t.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        sub = pa.table({key: t.column(key).filter(pa.array(ok)),
+                        "v": pa.array(v[ok]), "v2": pa.array(v[ok] ** 2)})
+        g = sub.group_by(key).aggregate(
+            [([], "count_all"), ("v", "sum"), ("v2", "sum")])
+        return g.rename_columns([key, "n", "s", "s2"])
+
+    parts = ds.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=batch_size)
+    stats = groupby_agg(parts, [key],
+                        [("n", "sum", "n"), ("s", "sum", "s"),
+                         ("s2", "sum", "s2")], merge="bucketed").materialize()
+    if stats.count() > stats_broadcast_limit:
+        raise ValueError(
+            f"zscore_flag: {stats.count()} distinct keys exceed "
+            f"stats_broadcast_limit={stats_broadcast_limit}; aggregate to "
+            "a coarser key or raise the limit")
+    sp = pa.concat_tables(
+        [t for t in ray.get(stats.to_arrow_refs()) if t.num_rows]
+    ).combine_chunks().to_pandas()
+    k = sp[key].to_numpy()
+    order = np.argsort(k)
+    n = sp["n"].to_numpy()[order].astype(np.float64)
+    mean = sp["s"].to_numpy()[order] / n
+    var = np.maximum(sp["s2"].to_numpy()[order] / n - mean ** 2, 0.0)
+    ref = ray.put((k[order], mean, np.sqrt(var)))
+
+    def flag(t: pa.Table) -> pa.Table:
+        ks, means, stds = ray.get(ref)
+        kv = t.column(key).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, kv)
+        v = t.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        z = np.abs(v - means[pos]) > threshold * stds[pos]
+        out = t.select(keep_cols) if keep_cols else t
+        return out.append_column("is_anomaly", pa.array(z))
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True,
+                          batch_size=batch_size)

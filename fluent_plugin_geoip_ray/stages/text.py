@@ -759,3 +759,85 @@ def normalize_text(batch: pa.Table, text_col: str = "text",
     if name in batch.column_names:
         return batch.set_column(batch.column_names.index(name), name, col)
     return batch.append_column(name, col)
+
+
+def tfidf(ds, key_col: str = "doc_id", text_col: str = "text",
+          df_broadcast_limit: int = 20_000_000, batch_size: int = 65536,
+          num_buckets: int = 32):
+    """Per-(doc, term) TF-IDF over whitespace-lowered tokens.
+
+    Output: one row per (doc, token) with ``tf`` (term count in the doc),
+    ``df`` (number of distinct docs containing the token), ``n_docs``, and
+    ``tfidf = tf * ln(n_docs / df)`` (float64, for consumers; the integer
+    tf/df/n_docs columns are the oracle-checked surface -- the exact-
+    integer-arithmetic convention of :func:`ngram_lm_affinity` /
+    :func:`dsir_importance`, since ln() ulps are libm-specific).
+
+    Scale shape: one row per doc means each batch's (doc, token) counts
+    are FINAL (no partials to merge); ``df`` is one bucketed groupby over
+    the tf rows (count of rows per token == distinct docs).  The df side
+    attaches by broadcast (sorted searchsorted probe) under
+    ``df_broadcast_limit`` distinct tokens, else through the bucketed
+    equi join -- text itself never shuffles either way.
+    """
+    import ray
+
+    from .aggregate import groupby_agg
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        flat, off = _text_tokens_flat(t, text_col)
+        keys = t.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        idx = pa.array(np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                                 np.diff(off)))
+        pairs = pa.table({key_col: keys.take(idx), "token": flat})
+        g = pairs.group_by([key_col, "token"]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "token", "tf"])
+
+    tf_ds = ds.map_batches(tf_partial, batch_format="pyarrow",
+                           zero_copy_batch=True,
+                           batch_size=batch_size).materialize()
+    n_docs = ds.count()
+    df_ds = groupby_agg(tf_ds, ["token"], [("tf", "count", "df")],
+                        merge="bucketed").materialize()
+
+    if df_ds.count() <= df_broadcast_limit:
+        tables = [t for t in ray.get(df_ds.to_arrow_refs()) if t.num_rows]
+        dfp = pa.concat_tables(tables).combine_chunks()
+        toks = dfp.column("token").to_numpy(zero_copy_only=False)
+        dfs = dfp.column("df").to_numpy(zero_copy_only=False)
+        order = np.argsort(toks)
+        ref = ray.put((toks[order], dfs[order]))
+
+        def attach(t: pa.Table) -> pa.Table:
+            toks_s, dfs_s = ray.get(ref)
+            tk = t.column("token").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(toks_s, tk)
+            d = dfs_s[pos]  # every token exists in the df table
+            return _with_idf(t, d, n_docs)
+
+        return tf_ds.map_batches(attach, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    from .join import bucketed_join
+
+    joined = bucketed_join(tf_ds, df_ds, on="token",
+                           num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.column("df").to_numpy(zero_copy_only=False)
+        return _with_idf(t.drop_columns(["df"]), d, n_docs)
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def _with_idf(t: pa.Table, df: "np.ndarray", n_docs: int) -> pa.Table:
+    tf_v = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+    d = df.astype(np.int64)
+    out = t.append_column("df", pa.array(d))
+    out = out.append_column("n_docs",
+                            pa.array(np.full(len(d), n_docs, np.int64)))
+    return out.append_column(
+        "tfidf", pa.array(tf_v * np.log(n_docs / d.astype(np.float64))))

@@ -1006,3 +1006,46 @@ def test_quantiles_by_rejects_unknown_mode():
     t = pa.table({"k": ["a"], "v": [1.0]})
     with pytest.raises(ValueError, match="auto|exact|sketch"):
         quantiles_by(rd.from_arrow(t), "k", "v", mode="nope")
+
+
+def test_pivot_counts_known_and_null_pivot():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import pivot_counts
+
+    t = pa.table({
+        "k": ["u", "u", "u", "v", "v", "u"],
+        "e": ["click", "view", "click", "weird", None, "click"],
+    })
+    out = (pivot_counts(rd.from_arrow(t).repartition(3), "k", "e",
+                        values=["click", "view"], other="other")
+           .to_pandas().set_index("k").sort_index())
+    assert out.loc["u"].tolist() == [3, 1, 0]
+    # null pivot value counts as "other" (matches NOT IN three-valued
+    # SQL? no -- NOT IN with NULL is NULL/excluded; the operator counts
+    # every non-matching row, so nulls land in other by design)
+    assert out.loc["v", "click"] == 0
+    assert out.loc["v", "other"] == 2
+
+
+def test_zscore_flag_plants_outlier():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import zscore_flag
+
+    rng = np.random.default_rng(31)
+    v = rng.normal(10, 1, 500)
+    v[7] = 50.0                       # way past 3 sigma
+    v[13] = 10.5                      # comfortably inside
+    t = pa.table({"id": pa.array(np.arange(500, dtype=np.int64)),
+                  "g": pa.array(["a"] * 500), "v": pa.array(v)})
+    out = zscore_flag(rd.from_arrow(t).repartition(5), "g", "v",
+                      threshold=3.0).to_pandas().set_index("id")
+    assert bool(out.loc[7, "is_anomaly"])
+    assert not bool(out.loc[13, "is_anomaly"])
+    # flags match a direct numpy computation for every row
+    z = np.abs(v - v.mean()) > 3.0 * v.std()
+    assert (out.sort_index()["is_anomaly"].to_numpy() == z).all()

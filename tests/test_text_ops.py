@@ -363,3 +363,29 @@ def test_normalize_text_matrix():
         "hello, world!! foo", "a_b c-d", ""]
     out_col = normalize_text(t, out_col="norm")
     assert out_col.column_names == ["text", "norm"]
+
+
+def test_tfidf_known_counts_and_join_paths():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import tfidf
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a b a", "b c", "c c  c"],
+    })
+    out = (tfidf(rd.from_arrow(t)).to_pandas()
+           .set_index(["doc_id", "token"]).sort_index())
+    assert out.loc[(1, "a"), "tf"] == 2
+    assert out.loc[(1, "b"), "df"] == 2          # docs 1 and 2
+    assert out.loc[(3, "c"), "tf"] == 3
+    assert out.loc[(3, "c"), "df"] == 2          # docs 2 and 3
+    assert (out["n_docs"] == 3).all()
+    # tfidf float column: tf * ln(n/df)
+    assert out.loc[(3, "c"), "tfidf"] == 3 * np.log(3 / 2)
+    # forced bucketed-join path == broadcast path
+    out2 = (tfidf(rd.from_arrow(t), df_broadcast_limit=0).to_pandas()
+            .set_index(["doc_id", "token"]).sort_index())
+    assert out2[["tf", "df", "n_docs"]].equals(out[["tf", "df", "n_docs"]])
