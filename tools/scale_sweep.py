@@ -6,8 +6,9 @@ memory-shaped -- exactly the probe that exposed four real scale bugs in
 round 2 (unbounded sketch matrices, per-band duplicate verification,
 per-key Python sessionization, multi-chunk if_else corruption).
 
-Usage: python tools/scale_sweep.py [K=10] [sf_dir=/root/testdata/sf0.1]
-Prints one line per operator; any traceback = a scale bug.
+Usage: python tools/scale_sweep.py [K=10] [sf_dir=/root/testdata/sf0.1] [op ...]
+Prints one line per operator (all when no op names given); any
+traceback = a scale bug.
 """
 
 from __future__ import annotations
@@ -207,6 +208,9 @@ def main() -> int:
         ("hll", lambda: approx_distinct_by(
             rd.from_arrow(events), "event_type", "user_id").count()),
     ]
+    only = set(sys.argv[3:])
+    if only:
+        runs = [(n, f) for n, f in runs if n in only]
     failures = 0
     for name, fn in runs:
         t0 = time.perf_counter()
