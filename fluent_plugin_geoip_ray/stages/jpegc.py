@@ -9,11 +9,16 @@ image payloads inside actor-pool ``map_batches`` stages, and a training-data
 pipeline hits JPEG constantly.  BMP/PPM/PNG are already real; this module
 makes JPEG real too.
 
-Scope (honest): baseline sequential DCT, Huffman entropy coding (SOF0/SOF1),
+Scope (honest): baseline sequential DCT (SOF0/SOF1) AND progressive DCT
+(SOF2: spectral selection + successive approximation, DC/AC first and
+refinement scans, EOB runs, per T.81 Annex G), Huffman entropy coding,
 grayscale + YCbCr with arbitrary sampling factors whose ratios divide Hmax/
-Vmax (covers 4:4:4, 4:2:2, 4:2:0), restart markers (DRI/RSTn).  Progressive
-(SOF2), arithmetic coding and 12-bit precision raise ``NotImplementedError``
--- a real gap is reported, never silently mis-decoded.
+Vmax (covers 4:4:4, 4:2:2, 4:2:0), restart markers (DRI/RSTn).  Arithmetic
+coding and 12-bit precision raise ``NotImplementedError`` -- a real gap is
+reported, never silently mis-decoded.  Progressive correctness is pinned by
+the bundled progressive ENCODER: it reuses the exact quantized coefficients
+of the baseline encoder, so progressive decode must equal baseline decode
+bit-for-bit across scan scripts (test_jpeg.py).
 
 Design notes for the hot path: Huffman symbol decoding is inherently
 sequential (bit-serial), so it runs as a tight Python loop per entropy
@@ -208,12 +213,14 @@ class _BitWriter:
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> (h, w, 3) uint8 RGB (grayscale replicated)."""
+    """JFIF bytes (baseline SOF0/1 or progressive SOF2) -> (h, w, 3) uint8
+    RGB (grayscale replicated)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple, dict] = {}  # (class, id) -> decode table
     frame = None
+    prog_grids = None  # progressive: per-comp (bh, bw, 64) coefficient grids
     restart_interval = 0
     pos = 2
     n = len(data)
@@ -250,7 +257,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[i + 17:i + 17 + nv])
                 htables[(tc, th)] = _canonical_decode_table(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline/extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision supported")
@@ -261,12 +268,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} (progressive/arithmetic/"
-                "hierarchical) not supported; baseline sequential only"
+                f"JPEG SOF marker 0xFF{marker:02X} (arithmetic/hierarchical/"
+                "lossless) not supported; sequential + progressive DCT only"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
@@ -279,10 +287,42 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(cc for cc in frame["comps"] if cc["id"] == cid)
                 scan.append({"comp": comp, "dc": tt >> 4, "ac": tt & 15})
-            end = data.find(b"\xff\xd9", pos)
-            ecs = data[pos:end if end >= 0 else n]
-            return _decode_scan(frame, scan, ecs, qtables, htables,
-                                restart_interval)
+            if not frame["progressive"]:
+                end = data.find(b"\xff\xd9", pos)
+                ecs = data[pos:end if end >= 0 else n]
+                return _decode_scan(frame, scan, ecs, qtables, htables,
+                                    restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            # entropy data runs to the next non-RST/non-stuffed marker
+            end = pos
+            while True:
+                j = data.find(b"\xff", end)
+                if j < 0 or j + 1 >= n:
+                    end = n
+                    break
+                nx = data[j + 1]
+                if nx == 0x00 or 0xD0 <= nx <= 0xD7:
+                    end = j + 2
+                    continue
+                end = j
+                break
+            if prog_grids is None:
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                mcux = -(-frame["w"] // (8 * hmax))
+                mcuy = -(-frame["h"] // (8 * vmax))
+                prog_grids = [
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+                    for c in frame["comps"]
+                ]
+            _decode_progressive_scan(frame, scan, ss, se, ah, al,
+                                     data[pos:end], htables,
+                                     restart_interval, prog_grids)
+            pos = end
+    if frame is not None and frame["progressive"] and prog_grids is not None:
+        return _assemble_progressive(frame, prog_grids, qtables)
     raise ValueError("no SOS segment found")
 
 
@@ -364,7 +404,10 @@ def _decode_scan(frame, scan, ecs, qtables, htables, restart_interval):
                 f"non-integer sampling ratio {cv}x{ch} vs {vmax}x{hmax}")
         plane = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)
         planes.append(plane[:h, :w])
-    out = np.stack(planes, axis=-1)
+    return _planes_to_rgb(np.stack(planes, axis=-1))
+
+
+def _planes_to_rgb(out: np.ndarray) -> np.ndarray:
     if out.shape[-1] == 1:
         rgb = np.repeat(out, 3, axis=-1)
     elif out.shape[-1] == 3:
@@ -377,6 +420,189 @@ def _decode_scan(frame, scan, ecs, qtables, htables, restart_interval):
     else:
         raise NotImplementedError(f"{out.shape[-1]}-component JPEG")
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoding (SOF2): coefficients accumulate across scans --
+# DC first/refinement via the point transform (arithmetic shift), AC
+# first scans with EOB runs, AC refinement with correction bits
+# (T.81 Annex G; control flow mirrors the spec's G.1.2.2/G.1.2.3).
+# ---------------------------------------------------------------------------
+
+def _split_restart_segments(ecs: bytes) -> list[bytes]:
+    segments = []
+    i, start = 0, 0
+    while True:
+        j = ecs.find(b"\xff", i)
+        if j < 0 or j + 1 >= len(ecs):
+            segments.append(ecs[start:].replace(b"\xff\x00", b"\xff"))
+            break
+        nxt = ecs[j + 1]
+        if 0xD0 <= nxt <= 0xD7:
+            segments.append(ecs[start:j].replace(b"\xff\x00", b"\xff"))
+            start = i = j + 2
+        else:
+            i = j + 2 if nxt == 0x00 else j + 1
+    return segments
+
+
+def _ac_first(br, row, ss, se, al, eobrun, act) -> int:
+    """AC first scan for one block's band; returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(br, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read(r)
+                return eobrun
+            k += 16
+            continue
+        k += r
+        if k > se:
+            raise ValueError("progressive AC run past band end")
+        row[k] = _extend(br.read(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, row, ss, se, al, eobrun, act) -> int:
+    """AC successive-approximation refinement for one block's band."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(br, act)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # r == 15 (ZRL): pass over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan symbol with s != 1")
+                val = p1 if br.read(1) else m1
+            while k <= se:
+                if row[k] != 0:
+                    if br.read(1) and (row[k] & p1) == 0:
+                        row[k] += p1 if row[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                row[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if row[k] != 0:
+                if br.read(1) and (row[k] & p1) == 0:
+                    row[k] += p1 if row[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(frame, scan, ss, se, ah, al, ecs, htables,
+                             restart_interval, grids):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    interleaved = len(scan) > 1
+    if interleaved:
+        if ss != 0:
+            raise ValueError("progressive AC scan must be single-component")
+        total_units = mcux * mcuy
+    else:
+        comp = scan[0]["comp"]
+        ci0 = comps.index(comp)
+        bw_i = -(-(-(-frame["w"] * comp["h"] // hmax)) // 8)
+        bh_i = -(-(-(-frame["h"] * comp["v"] // vmax)) // 8)
+        total_units = bw_i * bh_i
+    segments = iter(_split_restart_segments(ecs))
+    done = 0
+    while done < total_units:
+        try:
+            seg = next(segments)
+        except StopIteration:
+            raise ValueError("entropy data ended before scan completed")
+        br = _BitReader(seg)
+        preds = [0] * len(scan)
+        eobrun = 0
+        count = (min(restart_interval, total_units - done)
+                 if restart_interval else total_units - done)
+        for u in range(done, done + count):
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for si, sc in enumerate(scan):
+                    comp = sc["comp"]
+                    ci = comps.index(comp)
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            row = grids[ci][my * comp["v"] + by,
+                                            mx * comp["h"] + bx]
+                            if ah == 0:
+                                t = _decode_symbol(br, htables[(0, sc["dc"])])
+                                preds[si] += _extend(br.read(t), t)
+                                row[0] = preds[si] << al
+                            elif br.read(1):
+                                row[0] |= 1 << al
+            else:
+                by, bx = divmod(u, bw_i)
+                row = grids[ci0][by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        t = _decode_symbol(br, htables[(0, scan[0]["dc"])])
+                        preds[0] += _extend(br.read(t), t)
+                        row[0] = preds[0] << al
+                    elif br.read(1):
+                        row[0] |= 1 << al
+                elif ah == 0:
+                    eobrun = _ac_first(br, row, ss, se, al, eobrun,
+                                       htables[(1, scan[0]["ac"])])
+                else:
+                    eobrun = _ac_refine(br, row, ss, se, al, eobrun,
+                                        htables[(1, scan[0]["ac"])])
+        done += count
+
+
+def _assemble_progressive(frame, grids, qtables):
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    planes = []
+    for ci, comp in enumerate(comps):
+        q = qtables[comp["tq"]]
+        g = grids[ci]
+        bh, bw = g.shape[:2]
+        deq = g.reshape(-1, 64) * q[None, :]
+        raster = np.zeros_like(deq)
+        raster[:, ZIGZAG] = deq
+        blocks = raster.reshape(-1, 8, 8).astype(np.float64)
+        pix = np.einsum("ij,njk,kl->nil", _DCT_A.T, blocks, _DCT_A) + 128.0
+        plane = (pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw * 8))
+        if vmax % comp["v"] or hmax % comp["h"]:
+            raise NotImplementedError(
+                f"non-integer sampling ratio {comp['v']}x{comp['h']}"
+                f" vs {vmax}x{hmax}")
+        plane = np.repeat(np.repeat(plane, vmax // comp["v"], 0),
+                          hmax // comp["h"], 1)
+        planes.append(plane[:h, :w])
+    return _planes_to_rgb(np.stack(planes, axis=-1))
 
 
 # ---------------------------------------------------------------------------
@@ -529,5 +755,238 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
                                               *codes)
     bw.align()
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixture builder for the SOF2 decode path).
+#
+# Emits a spectral-selection + successive-approximation scan script using
+# the standard Annex-K Huffman tables; EOB runs are limited to length 1
+# (EOB0), which every decoder accepts and which keeps the standard tables
+# sufficient (EOBn symbols for n > 1 are absent from Annex K -- libjpeg
+# ships custom tables for them).  Quantized coefficients are IDENTICAL to
+# encode_jpeg's at the same quality, so progressive decode must reproduce
+# baseline decode bit-for-bit -- the round-trip correctness pin.
+# ---------------------------------------------------------------------------
+
+def _enc_ac_first_block(bw, band, al, ac_codes):
+    """AC first-scan encoding of one block's band (values >> al by
+    magnitude, sign preserved); EOB0 only."""
+    vals = [(-((-int(v)) >> al)) if v < 0 else (int(v) >> al) for v in band]
+    last = -1
+    for i, v in enumerate(vals):
+        if v:
+            last = i
+    run = 0
+    for i in range(last + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            run -= 16
+        s = int(abs(v)).bit_length()
+        c, ln = ac_codes[(run << 4) | s]
+        bw.write(c, ln)
+        bw.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < len(band) - 1:
+        c, ln = ac_codes[0x00]
+        bw.write(c, ln)
+
+
+def _enc_ac_refine_block(bw, band, al, ac_codes):
+    """AC refinement-scan encoding of one block's band at Al=al
+    (history = values visible at al+1); EOB0 only, correction bits
+    buffered and flushed after each symbol exactly as the decoder
+    consumes them."""
+    absv = [(-int(v) if v < 0 else int(v)) >> al for v in band]
+    eobpos = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eobpos = i
+    run = 0
+    pending = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        # flush ZRLs BEFORE handling any nonzero coefficient (history or
+        # new) so every pending correction bit's coefficient lies within
+        # the decoder's 16-zero ZRL window (T.81 G.1.2.3 ordering)
+        while run > 15 and i <= eobpos:
+            c, ln = ac_codes[0xF0]
+            bw.write(c, ln)
+            run -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if t > 1:  # history coefficient: one correction bit, run unbroken
+            pending.append(t & 1)
+            continue
+        # t == 1: newly visible coefficient
+        c, ln = ac_codes[(run << 4) | 1]
+        bw.write(c, ln)
+        bw.write(1 if band[i] > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        run = 0
+    if run > 0 or pending:
+        c, ln = ac_codes[0x00]
+        bw.write(c, ln)
+        for b in pending:
+            bw.write(b, 1)
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
+                            subsample: bool = False, dc_al: int = 1,
+                            ac_al: int = 1,
+                            bands: tuple = ((1, 5), (6, 63))) -> bytes:
+    """(h, w[, 3]) uint8 -> progressive (SOF2) JFIF bytes.
+
+    Scan script: interleaved DC first at Al=``dc_al`` -> per-component AC
+    first scans per spectral ``bands`` at Al=``ac_al`` -> DC refinements
+    down to Al=0 -> per-component AC refinements down to Al=0."""
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    ql, qc = _quality_tables(quality)
+    if gray:
+        comps = [("y", img.astype(np.float64), ql, 1, 1)]
+    else:
+        r, g, b = (img[..., c].astype(np.float64) for c in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            def down2(p):
+                hh, ww = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
+                p2 = np.pad(p, ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                            mode="edge")
+                return p2.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+            comps = [("y", y, ql, 2, 2), ("cb", down2(cb), qc, 1, 1),
+                     ("cr", down2(cr), qc, 1, 1)]
+        else:
+            comps = [("y", y, ql, 1, 1), ("cb", cb, qc, 1, 1),
+                     ("cr", cr, qc, 1, 1)]
+    hmax = max(c[3] for c in comps)
+    vmax = max(c[4] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    grids = []   # (bh_pad, bw_pad, 64) quantized zigzag coefficients
+    nominal = []  # (bh_i, bw_i) per comp for non-interleaved AC scans
+    for _, plane, qtab, ch, cv in comps:
+        ph, pw = mcuy * cv * 8, mcux * ch * 8
+        p = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                   mode="edge") - 128.0
+        grids.append(_fdct_quant(p, qtab).reshape(ph // 8, pw // 8, 64))
+        cw = -(-w * ch // hmax)
+        chp = -(-h * cv // vmax)
+        nominal.append((-(-chp // 8), -(-cw // 8)))
+
+    dc_l = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_l = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_c = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac_c = _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, q in ((0, ql),) + ((() if gray else ((1, qc),))):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(q[z]) for z in ZIGZAG)
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for i, (_, _, _, ch, cv) in enumerate(comps):
+        out += bytes([i + 1, (ch << 4) | cv, 0 if i == 0 else 1])
+    for tc, th, bits, vals in (
+        (0, 0, DC_LUM_BITS, DC_LUM_VALS), (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+        (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+        (1, 1, AC_CHROM_BITS, AC_CHROM_VALS),
+    )[: 2 if gray else 4]:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
+            + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        seg = bytearray()
+        seg += bytes([len(comp_ids)])
+        for cid in comp_ids:
+            td = 0 if cid == 1 else 1
+            seg += bytes([cid, (td << 4) | td])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + bytes(seg)
+
+    all_ids = list(range(1, ncomp + 1))
+
+    # 1) interleaved DC first scan at Al=dc_al
+    out += sos_header(all_ids, 0, 0, 0, dc_al)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for ci, (_, _, _, ch, cv) in enumerate(comps):
+            codes = dc_l if ci == 0 else dc_c
+            for by in range(cv):
+                for bx in range(ch):
+                    v = int(grids[ci][my * cv + by, mx * ch + bx, 0]) >> dc_al
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = int(diff != 0 and int(abs(diff)).bit_length())
+                    c, ln = codes[t]
+                    bw.write(c, ln)
+                    if t:
+                        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    bw.align()
+    out += bw.out
+
+    # 2) per-component AC first scans per spectral band at Al=ac_al
+    for ci in range(ncomp):
+        codes = ac_l if ci == 0 else ac_c
+        bh_i, bw_n = nominal[ci]
+        for ss, se in bands:
+            out += sos_header([ci + 1], ss, se, 0, ac_al)
+            bw = _BitWriter()
+            for u in range(bh_i * bw_n):
+                by, bx = divmod(u, bw_n)
+                _enc_ac_first_block(bw, grids[ci][by, bx, ss:se + 1],
+                                    ac_al, codes)
+            bw.align()
+            out += bw.out
+
+    # 3) DC refinement scans down to Al=0 (raw bits, interleaved)
+    for a in range(dc_al, 0, -1):
+        out += sos_header(all_ids, 0, 0, a, a - 1)
+        bw = _BitWriter()
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for ci, (_, _, _, ch, cv) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        v = int(grids[ci][my * cv + by, mx * ch + bx, 0])
+                        bw.write((v >> (a - 1)) & 1, 1)
+        bw.align()
+        out += bw.out
+
+    # 4) per-component AC refinement scans down to Al=0
+    for a in range(ac_al, 0, -1):
+        for ci in range(ncomp):
+            codes = ac_l if ci == 0 else ac_c
+            bh_i, bw_n = nominal[ci]
+            for ss, se in bands:
+                out += sos_header([ci + 1], ss, se, a, a - 1)
+                bw = _BitWriter()
+                for u in range(bh_i * bw_n):
+                    by, bx = divmod(u, bw_n)
+                    _enc_ac_refine_block(bw, grids[ci][by, bx, ss:se + 1],
+                                         a - 1, codes)
+                bw.align()
+                out += bw.out
+
     out += b"\xff\xd9"
     return bytes(out)

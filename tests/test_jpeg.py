@@ -113,10 +113,48 @@ def test_quality_monotone():
     assert err_hi < err_lo
 
 
-def test_progressive_raises_not_implemented():
+@pytest.mark.parametrize("shape,sub,kw", [
+    ((32, 32, 3), False, {}),                              # default script
+    ((33, 21, 3), False, {}),                              # odd dims
+    ((40, 24, 3), True, {}),                               # 4:2:0
+    ((16, 16), False, {}),                                 # grayscale
+    ((24, 24, 3), False, dict(dc_al=2, ac_al=2)),          # 3-level approx
+    ((24, 24, 3), False, dict(bands=((1, 63),))),          # single AC band
+    ((24, 24, 3), False, dict(bands=((1, 2), (3, 9), (10, 63)))),
+    ((37, 19, 3), True, dict(dc_al=0, ac_al=0)),           # spectral-only
+])
+def test_progressive_equals_baseline_bit_for_bit(shape, sub, kw):
+    """The progressive encoder reuses the baseline encoder's EXACT
+    quantized coefficients, so SOF2 decode (DC/AC first + refinement
+    scans, EOB runs, successive approximation) must reproduce the
+    baseline decode bit-for-bit -- any coefficient mis-reconstruction
+    shows up as a pixel diff."""
+    from fluent_plugin_geoip_ray.stages.jpegc import encode_jpeg_progressive
+
+    rng = np.random.default_rng(int(np.prod(shape)) % 97)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    data = encode_jpeg_progressive(img, quality=80, subsample=sub, **kw)
+    # really progressive: SOF2 marker present, several SOS scans
+    assert b"\xff\xc2" in data and data.count(b"\xff\xda") >= 3
+    base = decode_jpeg(encode_jpeg(img, quality=80, subsample=sub))
+    assert np.array_equal(decode_jpeg(data), base)
+
+
+def test_progressive_smooth_image_eob_runs():
+    """A smooth gradient maximizes EOB-run and zero-run paths in the AC
+    first/refinement scans."""
+    from fluent_plugin_geoip_ray.stages.jpegc import encode_jpeg_progressive
+
+    img = _gradient(48, 40)
+    base = decode_jpeg(encode_jpeg(img, quality=90))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+    assert np.array_equal(base, prog)
+
+
+def test_arithmetic_coding_still_raises():
     data = bytearray(encode_jpeg(_gradient(16, 16)))
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    data[i + 1] = 0xC9  # SOF9: arithmetic sequential
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
 
