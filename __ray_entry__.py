@@ -964,6 +964,18 @@ def q_vocab(sf_dir: str):
     return build_vocab(ds, top=20)
 
 
+def q_distinct_pairs(sf_dir: str):
+    """SELECT DISTINCT (user_id, event_type): per-batch local distinct +
+    one composite-hash exchange final."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import distinct_rows
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    return distinct_rows(ds)
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered funnel (view -> click -> purchase) per user: earliest ts of
     each step strictly after the previous step's completion -- the SQL
@@ -1861,6 +1873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab": q_vocab,
         "tfidf": q_tfidf,
         "events_funnel": q_events_funnel,
+        "distinct_pairs": q_distinct_pairs,
         "role_transitions": q_role_transitions,
         "events_pivot": q_events_pivot,
         "anomalous_events": q_anomalous_events,
@@ -2511,6 +2524,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT tf.doc_id, tf.token, tf.tf, df.df,
                    (SELECT count(*) FROM documents) AS n_docs
             FROM tf JOIN df USING (token)""",
+        "distinct_pairs": "SELECT DISTINCT user_id, event_type FROM events",
         "events_funnel": """
             WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
                         WHERE event_type = 'view' GROUP BY user_id),

@@ -1237,3 +1237,39 @@ def zscore_flag(ds, key: str, value: str, threshold: float = 3.0,
 
     return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True,
                           batch_size=batch_size)
+
+
+def distinct_rows(ds, cols: list[str] | None = None, num_buckets: int = 32,
+                  batch_size: int = 65536):
+    """SELECT DISTINCT over ``cols`` (default: all columns).
+
+    Partial+final: per batch ONE Arrow group_by collapses to at most one
+    row per distinct tuple per batch; partials co-locate through a hash
+    exchange on the composite row hash and collapse once more per bucket.
+    Null-safe (Arrow group_by keys nulls as their own group; the exchange
+    hashes, never sorts)."""
+    import numpy as np
+    import pandas as pd
+
+    keys = cols or list(ds.schema().names)
+
+    def local(t: pa.Table) -> pa.Table:
+        return t.select(keys).group_by(keys).aggregate([])
+
+    partials = ds.map_batches(local, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=batch_size)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = None
+        for k in keys:
+            hv = pd.util.hash_array(t.column(k).to_pandas()
+                                    .to_numpy(dtype=object))
+            h = hv if h is None else h ^ hv
+        return t.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int32)))
+
+    from .exchange import hash_exchange
+
+    bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return hash_exchange(bucketed, num_buckets, local)

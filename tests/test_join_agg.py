@@ -1049,3 +1049,22 @@ def test_zscore_flag_plants_outlier():
     # flags match a direct numpy computation for every row
     z = np.abs(v - v.mean()) > 3.0 * v.std()
     assert (out.sort_index()["is_anomaly"].to_numpy() == z).all()
+
+
+def test_distinct_rows_with_nulls_and_partitioning():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import distinct_rows
+
+    t = pa.table({
+        "a": ["x", "x", None, None, "y", "x"],
+        "b": pa.array([1, 1, 2, 2, None, 2], pa.int64()),
+    })
+    out = distinct_rows(rd.from_arrow(t).repartition(3)).to_pandas()
+    got = set(map(tuple, out.astype(object).where(out.notna(), None)
+                  .itertuples(index=False)))
+    assert got == {("x", 1), (None, 2), ("y", None), ("x", 2)}
+    # subset of columns
+    out_a = distinct_rows(rd.from_arrow(t), cols=["a"]).to_pandas()
+    assert set(out_a["a"].where(out_a["a"].notna(), None)) == {"x", None, "y"}
