@@ -72,13 +72,13 @@ def dedup_exact(ds, key_col: str = "doc_id", text_col: str = "text",
 
     if mode == "shuffle":
         winners = groupby_agg(
-            hashed, ["fingerprint"], [(key_col, "min", "__winner")], merge="ray"
+            hashed, ["fingerprint"], [(key_col, "min", "__winner")], merge="bucketed"
         )
         return _dedup_exact_semijoin(hashed, winners, key_col, list(ds.schema().names))
 
     if mode == "auto":
         winners_ds = groupby_agg(
-            hashed, ["fingerprint"], [(key_col, "min", "__winner")], merge="ray"
+            hashed, ["fingerprint"], [(key_col, "min", "__winner")], merge="bucketed"
         ).materialize()
         if winners_ds.count() > broadcast_limit:
             return _dedup_exact_semijoin(
@@ -858,7 +858,7 @@ def connected_components_distributed(edges_ds, max_iters: int = 20,
 
     labels = groupby_agg(
         edges.map_batches(_endpoints, batch_format="pyarrow", zero_copy_batch=True),
-        ["node"], [("node", "min", "label")], merge="ray",
+        ["node"], [("node", "min", "label")], merge="bucketed",
     ).materialize()
     prev_sum = labels.sum("label")
 
@@ -889,7 +889,7 @@ def connected_components_distributed(edges_ds, max_iters: int = 20,
         )
         allp = n_a.union(n_b).union(self_l)
         labels = groupby_agg(
-            allp, ["node"], [("nlabel", "min", "label")], merge="ray"
+            allp, ["node"], [("nlabel", "min", "label")], merge="bucketed"
         ).select_columns(["node", "label"]).materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
