@@ -964,6 +964,25 @@ def q_vocab(sf_dir: str):
     return build_vocab(ds, top=20)
 
 
+def q_dedup_images(sf_dir: str):
+    """Image near-dup removal by DCT perceptual hash (pHash) through the
+    text family's verified-edge machinery.  KNOWN-ANSWER oracle: the
+    corpus is 40 distinct smooth images as baseline-q90 JPEGs (ids 0..39)
+    plus a progressive-q75 re-encode of each (ids 10000+i); measured
+    duplicate hamming <= 2 (band collision guaranteed at <= 3) and
+    distinct-pair hamming >= 14 > max_hamming=10, so survivors are
+    provably exactly ids 0..39 -- independent of the engine."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.multimodal import (
+        dedup_images,
+        synthesize_image_corpus,
+    )
+
+    ds = rd.from_arrow(synthesize_image_corpus(n_base=40)).repartition(4)
+    return dedup_images(ds).select_columns(["media_id"])
+
+
 def q_distinct_pairs(sf_dir: str):
     """SELECT DISTINCT (user_id, event_type): per-batch local distinct +
     one composite-hash exchange final."""
@@ -1874,6 +1893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": q_tfidf,
         "events_funnel": q_events_funnel,
         "distinct_pairs": q_distinct_pairs,
+        "dedup_images": q_dedup_images,
         "role_transitions": q_role_transitions,
         "events_pivot": q_events_pivot,
         "anomalous_events": q_anomalous_events,
@@ -2525,6 +2545,9 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM documents) AS n_docs
             FROM tf JOIN df USING (token)""",
         "distinct_pairs": "SELECT DISTINCT user_id, event_type FROM events",
+        # known-answer construction (see q_dedup_images docstring)
+        "dedup_images": "SELECT CAST(range AS BIGINT) AS media_id"
+                        " FROM range(0, 40)",
         "events_funnel": """
             WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
                         WHERE event_type = 'view' GROUP BY user_id),

@@ -5,14 +5,15 @@ Image/audio/video payloads are opaque ``binary`` columns with typed metadata
 plumbing -- schemas, actor-pool signatures, small-batch sizing for large
 binary rows, output layout -- is real and tested.  Decode is REAL for
 24-bit BMP + binary PPM images (pure-numpy parsers), PNG (stdlib ``zlib``
-inflate + spec unfiltering), baseline JPEG (``jpegc.py``: spec-based Huffman
-+ batched IDCT, validated against real libjpeg output), and PCM WAV audio
-(stdlib ``wave``), including nearest-neighbor resize and genuine acoustic
-features -- no imaging library anywhere.  Progressive JPEG / mp4 need
-libraries absent from this container and fall back to a clearly-marked
-deterministic stand-in (or ``NotImplementedError`` with ``strict=True``).
-Video frame-sampling is REAL for MJPEG-in-AVI (``avic.py``); other
-containers keep the documented chunking stand-in.
+inflate + spec unfiltering), JPEG both baseline and progressive SOF2
+(``jpegc.py``: spec-based Huffman + batched IDCT, validated against real
+libjpeg output and a bit-exact progressive/baseline cross-pin), and PCM
+WAV audio (stdlib ``wave``), including nearest-neighbor resize, genuine
+acoustic features, and DCT perceptual hashing (pHash) -- no imaging
+library anywhere.  Arithmetic-coded JPEG and unknown formats fall back to
+a clearly-marked deterministic stand-in (or ``NotImplementedError`` with
+``strict=True``).  Video frame-sampling is REAL for MJPEG-in-AVI
+(``avic.py``) and MP4/ISO BMFF sample tables (``mp4c.py``).
 
 Usage pattern (the important part at 100 TB): binary rows are large, so these
 stages run with SMALL ``batch_size`` (e.g. 64) and an actor pool whose
@@ -541,3 +542,159 @@ def decode_pipeline(ds, batch_size: int = 64, concurrency=(1, 4)):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (pHash) + image near-dup
+# ---------------------------------------------------------------------------
+
+def _dct_mat(n: int) -> np.ndarray:
+    """Orthonormal n-point DCT-II matrix (the classic pHash transform)."""
+    x = np.arange(n)
+    a = np.sqrt(2.0 / n) * np.cos((2 * x[None, :] + 1) * x[:, None]
+                                  * np.pi / (2 * n))
+    a[0, :] = np.sqrt(1.0 / n)
+    return a
+
+
+_DCT32 = _dct_mat(32)
+
+
+def _box_resize(m: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Area-mean (box) downscale of a 2D float array -- the antialiasing
+    resize pHash needs (nearest-neighbor sampling aliases high-frequency
+    content and destroys hash stability under re-encoding)."""
+    h, w = m.shape
+    ri = np.arange(oh + 1) * h // oh
+    ci = np.arange(ow + 1) * w // ow
+    rows = np.add.reduceat(m, ri[:-1], axis=0)
+    cells = np.add.reduceat(rows, ci[:-1], axis=1)
+    return cells / np.outer(np.diff(ri), np.diff(ci))
+
+
+def image_phash(rgb: np.ndarray, hash_size: int = 8) -> int:
+    """64-bit DCT perceptual hash of an (h, w, 3) uint8 image (the public
+    pHash construction: luma -> box-downscale to 32x32 -> 2D DCT -> sign
+    of the top-left hash_size^2 low-frequency coefficients vs their
+    median).  Stable under re-encoding / mild noise, far apart for
+    distinct content."""
+    luma = (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+            + 0.114 * rgb[..., 2]).astype(np.float64)
+    small = _box_resize(luma, 32, 32)
+    d = _DCT32 @ small @ _DCT32.T
+    low = d[:hash_size, :hash_size].ravel()
+    med = np.median(low)
+    bits = (low > med).astype(np.uint64)
+    return int((bits << np.arange(hash_size * hash_size,
+                                  dtype=np.uint64)).sum())
+
+
+class PHashSketch:
+    """Actor-pool callable: image payload rows -> the dedup sketch contract
+    (key, sig FixedSizeList<int64>[1] = the 64-bit phash, bucket
+    FixedSizeList<int64>[4] = 16-bit bands tagged with the band index) --
+    the SAME table shape :func:`dedup.lsh_verified_edges` consumes, so
+    image near-dup shares the text family's verified-edge machinery.
+
+    Decode state (the codec dispatch) lives per actor; per row the decode
+    itself is vectorized numpy (payloads are large, rows per batch few).
+    """
+
+    def __init__(self, key_col: str = "media_id",
+                 payload_col: str = "payload", strict: bool = True):
+        self.key_col, self.payload_col = key_col, payload_col
+        self.decoder = DecodeImage(out_hw=(32, 32), strict=strict)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import _matrix_to_fixed_list
+
+        payloads = batch.column(self.payload_col)
+        n = batch.num_rows
+        ph = np.empty(n, dtype=np.uint64)
+        for i in range(n):
+            rgb = self.decoder._decode_one(payloads[i].as_py() or b"")
+            ph[i] = image_phash(rgb)
+        bucket = np.empty((n, 4), dtype=np.int64)
+        for b in range(4):
+            band = ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(
+                np.int64)
+            bucket[:, b] = (np.int64(b) << np.int64(48)) | band
+        return pa.table({
+            self.key_col: batch.column(self.key_col),
+            "sig": _matrix_to_fixed_list(ph.astype(np.int64).reshape(-1, 1), 1),
+            "bucket": _matrix_to_fixed_list(bucket, 4),
+        })
+
+
+def dedup_images(ds, key_col: str = "media_id", payload_col: str = "payload",
+                 max_hamming: int = 10, mode: str = "auto", strict: bool = True,
+                 hot_bucket_limit: int = 2_000_000,
+                 edge_driver_limit: int = 20_000_000):
+    """Image near-dup removal by perceptual hash: decode + pHash in an
+    actor pool, band-bucket candidates, XOR-popcount verification at
+    ``max_hamming``, keep the min-key representative per connected group.
+
+    Caveat (documented): 4x16-bit pigeonhole bucketing GUARANTEES a
+    candidate only for hamming <= 3; above that it is best-effort LSH
+    (same stance as ``dedup_simhash``).  Re-encodes of the same image
+    land within a few bits; distinct structured content sits near ~32.
+    """
+    from .dedup import (
+        _hamming64,
+        _resolve_clusters_and_drop,
+        lsh_verified_edges,
+    )
+
+    sketches = ds.map_batches(
+        PHashSketch,
+        fn_constructor_kwargs=dict(key_col=key_col, payload_col=payload_col,
+                                   strict=strict),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).materialize()
+
+    def verify(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+        return _hamming64(sa[:, 0], sb[:, 0]) <= max_hamming
+
+    edge_mode = {"auto": "auto", "distributed": "distributed",
+                 "driver": "broadcast"}[mode]
+    edges = lsh_verified_edges(sketches, key_col, verify, edge_mode=edge_mode,
+                               hot_bucket_limit=hot_bucket_limit)
+    return _resolve_clusters_and_drop(ds, edges, key_col, mode=mode,
+                                      edge_driver_limit=edge_driver_limit)
+
+
+def smooth_test_image(i: int, h: int = 48, w: int = 64) -> np.ndarray:
+    """Deterministic photo-like test image: low-res random noise upsampled
+    and box-smoothed -> a dense low-frequency spectrum (what pHash keys
+    on; pure sinusoids are adversarial -- sparse DCT puts most low-freq
+    coefficients at the median and the sign bits turn into coin flips)."""
+    rng = np.random.default_rng(1000 + i)
+    base = rng.integers(30, 226, (6, 8, 3)).astype(np.float64)
+    up = np.kron(base, np.ones((-(-h // 6), -(-w // 8), 1)))[:h, :w]
+    k = np.ones(9) / 9
+    for ax in (0, 1):
+        up = np.apply_along_axis(
+            lambda v: np.convolve(v, k, mode="same"), ax, up)
+    return np.clip(up, 0, 255).astype(np.uint8)
+
+
+def synthesize_image_corpus(n_base: int = 40, seed: int = 42) -> pa.Table:
+    """Image-dedup fixture: ``n_base`` distinct smooth images as baseline
+    q90 JPEGs (media_id 0..n-1) plus one progressive-q75 re-encode of each
+    (media_id 10000+i).  Constructed so the dedup answer is PROVABLE:
+    measured duplicate pHash hamming <= 2 (band collision guaranteed at
+    <= 3 by pigeonhole) and distinct-pair hamming >= 14 > any sane
+    threshold -- survivors are exactly the n_base originals."""
+    ids, payloads = [], []
+    for i in range(n_base):
+        img = smooth_test_image(i)
+        ids.append(i)
+        payloads.append(jpegc.encode_jpeg(img, quality=90))
+        ids.append(10000 + i)
+        payloads.append(jpegc.encode_jpeg_progressive(img, quality=75))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })

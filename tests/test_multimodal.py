@@ -295,3 +295,64 @@ def test_decode_image_stage_strict_progressive_jpeg():
     from fluent_plugin_geoip_ray.stages.multimodal import resize_nearest
 
     assert np.array_equal(pix.reshape(8, 8, 3), resize_nearest(direct, (8, 8)))
+
+
+def test_image_phash_stability_and_separation():
+    """pHash margins on photo-like content: re-encodes (different quality,
+    subsampling, progressive) stay within a few bits; distinct images sit
+    far apart; identical bytes hash identically."""
+    import numpy as np
+
+    from fluent_plugin_geoip_ray.stages import jpegc
+    from fluent_plugin_geoip_ray.stages.multimodal import (
+        image_phash,
+        smooth_test_image,
+    )
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    hashes = []
+    for i in range(12):
+        img = smooth_test_image(i)
+        h0 = image_phash(jpegc.decode_jpeg(jpegc.encode_jpeg(img, quality=90)))
+        h1 = image_phash(jpegc.decode_jpeg(
+            jpegc.encode_jpeg(img, quality=50, subsample=True)))
+        h2 = image_phash(jpegc.decode_jpeg(
+            jpegc.encode_jpeg_progressive(img, quality=75)))
+        assert ham(h0, h1) <= 8
+        assert ham(h0, h2) <= 4
+        hashes.append(h0)
+        # identical bytes -> identical hash
+        assert image_phash(
+            jpegc.decode_jpeg(jpegc.encode_jpeg(img, quality=90))) == h0
+    for i in range(12):
+        for j in range(i + 1, 12):
+            assert ham(hashes[i], hashes[j]) >= 12, (i, j)
+
+
+def test_dedup_images_known_answer_and_band_guarantee():
+    """The driver corpus's provability conditions, asserted directly:
+    every duplicate pair shares a 16-bit band (pigeonhole at hamming <= 3)
+    and verifies at the threshold; survivors are exactly the originals."""
+    import numpy as np
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages import jpegc
+    from fluent_plugin_geoip_ray.stages.multimodal import (
+        dedup_images,
+        image_phash,
+        synthesize_image_corpus,
+    )
+
+    t = synthesize_image_corpus(n_base=12)
+    payload_by_id = dict(zip(t.column("media_id").to_pylist(),
+                             t.column("payload").to_pylist()))
+    for i in range(12):
+        h0 = image_phash(jpegc.decode_jpeg(payload_by_id[i]))
+        h1 = image_phash(jpegc.decode_jpeg(payload_by_id[10000 + i]))
+        assert bin(h0 ^ h1).count("1") <= 3
+        assert any(((h0 >> (16 * b)) & 0xFFFF) == ((h1 >> (16 * b)) & 0xFFFF)
+                   for b in range(4))
+    out = dedup_images(rd.from_arrow(t).repartition(3)).to_pandas()
+    assert sorted(out["media_id"]) == list(range(12))
