@@ -983,6 +983,24 @@ def q_dedup_images(sf_dir: str):
     return dedup_images(ds).select_columns(["media_id"])
 
 
+def q_dedup_audio(sf_dir: str):
+    """Audio near-dup removal by Haitsma-Kalker spectral fingerprint.
+    KNOWN-ANSWER oracle: 30 distinct clips (ids 0..29) plus a -6 dB
+    gain-scaled re-quantized copy each (ids 10000+i); the fingerprint is
+    gain-invariant by construction and int16 re-quantization costs <= ~1
+    bit while distinct pairs sit >= 19 apart -- survivors are provably the
+    originals."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.multimodal import (
+        dedup_audio,
+        synthesize_audio_corpus,
+    )
+
+    ds = rd.from_arrow(synthesize_audio_corpus(n_base=30)).repartition(4)
+    return dedup_audio(ds).select_columns(["media_id"])
+
+
 def q_distinct_pairs(sf_dir: str):
     """SELECT DISTINCT (user_id, event_type): per-batch local distinct +
     one composite-hash exchange final."""
@@ -1894,6 +1912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": q_events_funnel,
         "distinct_pairs": q_distinct_pairs,
         "dedup_images": q_dedup_images,
+        "dedup_audio": q_dedup_audio,
         "role_transitions": q_role_transitions,
         "events_pivot": q_events_pivot,
         "anomalous_events": q_anomalous_events,
@@ -2548,6 +2567,9 @@ def oracle_sql() -> dict[str, str]:
         # known-answer construction (see q_dedup_images docstring)
         "dedup_images": "SELECT CAST(range AS BIGINT) AS media_id"
                         " FROM range(0, 40)",
+        # known-answer construction (see q_dedup_audio docstring)
+        "dedup_audio": "SELECT CAST(range AS BIGINT) AS media_id"
+                       " FROM range(0, 30)",
         "events_funnel": """
             WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
                         WHERE event_type = 'view' GROUP BY user_id),

@@ -698,3 +698,145 @@ def synthesize_image_corpus(n_base: int = 40, seed: int = 42) -> pa.Table:
         "media_id": pa.array(ids, pa.int64()),
         "payload": pa.array(payloads, pa.binary()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting (Haitsma-Kalker-style) + audio near-dup
+# ---------------------------------------------------------------------------
+
+def audio_fingerprint_frames(samples: np.ndarray, frame: int = 2048,
+                             hop: int = 512, bands: int = 17) -> np.ndarray:
+    """Per-frame 16-bit audio fingerprint words (the public
+    Haitsma-Kalker construction): windowed FFT -> log-spaced band
+    energies -> sign of the time-and-band double difference.  GAIN
+    INVARIANT by construction: scaling all samples multiplies every band
+    energy by the same positive constant, leaving the difference signs
+    unchanged -- the property the dedup known-answer relies on."""
+    x = np.asarray(samples, dtype=np.float64)
+    if len(x) < frame:
+        x = np.pad(x, (0, frame - len(x)))
+    n_frames = 1 + (len(x) - frame) // hop
+    idx = np.arange(frame)[None, :] + hop * np.arange(n_frames)[:, None]
+    win = np.hanning(frame)
+    spec = np.abs(np.fft.rfft(x[idx] * win[None, :], axis=1)) ** 2
+    # log-spaced band edges over [300 Hz-ish bin .. Nyquist)
+    lo, hi = 8, spec.shape[1] - 1
+    edges = np.unique(np.round(
+        lo * (hi / lo) ** (np.arange(bands + 1) / bands)).astype(np.int64))
+    e = np.add.reduceat(spec, edges[:-1], axis=1)[:, :bands]
+    d = np.diff(e, axis=1)                       # band difference
+    dd = d[1:] - d[:-1]                          # time difference
+    bits = (dd > 0).astype(np.uint16)
+    return (bits << np.arange(bits.shape[1], dtype=np.uint16)).sum(
+        axis=1, dtype=np.uint16)
+
+
+def audio_phash(samples: np.ndarray) -> int:
+    """64-bit whole-clip signature: 4 evenly spaced 16-bit fingerprint
+    words.  Exactly invariant to positive gain scaling; a few bits of
+    jitter under int16 re-quantization (measured in tests)."""
+    words = audio_fingerprint_frames(samples)
+    if len(words) == 0:
+        return 0
+    pick = np.linspace(0, len(words) - 1, 4).astype(np.int64)
+    w = words[pick].astype(np.uint64)
+    return int(w[0] | (w[1] << np.uint64(16)) | (w[2] << np.uint64(32))
+               | (w[3] << np.uint64(48)))
+
+
+class AudioPHashSketch:
+    """Actor-pool callable: WAV payload rows -> the dedup sketch contract
+    (key, sig FixedSizeList<int64>[1], bucket FixedSizeList<int64>[4] of
+    16-bit bands) -- audio near-dup rides the same verified-edge
+    machinery as text/image."""
+
+    def __init__(self, key_col: str = "media_id",
+                 payload_col: str = "payload"):
+        self.key_col, self.payload_col = key_col, payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import _matrix_to_fixed_list
+
+        payloads = batch.column(self.payload_col)
+        n = batch.num_rows
+        ph = np.empty(n, dtype=np.uint64)
+        for i in range(n):
+            samples, _ = decode_wav(payloads[i].as_py() or b"")
+            ph[i] = audio_phash(samples)
+        bucket = np.empty((n, 4), dtype=np.int64)
+        for b in range(4):
+            band = ((ph >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(
+                np.int64)
+            bucket[:, b] = (np.int64(b) << np.int64(48)) | band
+        return pa.table({
+            self.key_col: batch.column(self.key_col),
+            "sig": _matrix_to_fixed_list(ph.astype(np.int64).reshape(-1, 1), 1),
+            "bucket": _matrix_to_fixed_list(bucket, 4),
+        })
+
+
+def dedup_audio(ds, key_col: str = "media_id", payload_col: str = "payload",
+                max_hamming: int = 6, mode: str = "auto",
+                hot_bucket_limit: int = 2_000_000,
+                edge_driver_limit: int = 20_000_000):
+    """Audio near-dup removal by spectral fingerprint: decode + fingerprint
+    in an actor pool, band-bucket, XOR-popcount verification, min-key
+    survivor -- :func:`dedup_images`'s shape over WAV payloads."""
+    from .dedup import (
+        _hamming64,
+        _resolve_clusters_and_drop,
+        lsh_verified_edges,
+    )
+
+    sketches = ds.map_batches(
+        AudioPHashSketch,
+        fn_constructor_kwargs=dict(key_col=key_col, payload_col=payload_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).materialize()
+
+    def verify(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+        return _hamming64(sa[:, 0], sb[:, 0]) <= max_hamming
+
+    edge_mode = {"auto": "auto", "distributed": "distributed",
+                 "driver": "broadcast"}[mode]
+    edges = lsh_verified_edges(sketches, key_col, verify, edge_mode=edge_mode,
+                               hot_bucket_limit=hot_bucket_limit)
+    return _resolve_clusters_and_drop(ds, edges, key_col, mode=mode,
+                                      edge_driver_limit=edge_driver_limit)
+
+
+def synthesize_audio_clip(i: int, n: int = 16000,
+                          rate: int = 16000) -> np.ndarray:
+    """Deterministic test clip: a few random sinusoids + noise, int16."""
+    rng = np.random.default_rng(500 + i)
+    t = np.arange(n) / rate
+    sig = np.zeros(n)
+    for _ in range(6):
+        f = rng.uniform(200, 3000)
+        sig += rng.uniform(0.3, 1.0) * np.sin(
+            2 * np.pi * f * t + rng.uniform(0, 6))
+    sig += 0.05 * rng.standard_normal(n)
+    return (sig / np.abs(sig).max() * 20000).astype(np.int16)
+
+
+def synthesize_audio_corpus(n_base: int = 30, seed: int = 42) -> pa.Table:
+    """Audio-dedup fixture: ``n_base`` distinct clips (media_id 0..n-1)
+    plus a -6 dB gain-scaled re-quantized copy of each (media_id
+    10000+i).  The fingerprint is gain-invariant by construction
+    (difference signs); int16 re-quantization costs at most ~1 bit
+    (measured), so with distinct-pair hamming >= 19 the survivors are
+    provably the originals at max_hamming=6."""
+    ids, payloads = [], []
+    for i in range(n_base):
+        s = synthesize_audio_clip(i)
+        ids.append(i)
+        payloads.append(encode_wav(s))
+        half = (s.astype(np.int32) // 2).astype(np.int16)
+        ids.append(10000 + i)
+        payloads.append(encode_wav(half))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })

@@ -356,3 +356,45 @@ def test_dedup_images_known_answer_and_band_guarantee():
                    for b in range(4))
     out = dedup_images(rd.from_arrow(t).repartition(3)).to_pandas()
     assert sorted(out["media_id"]) == list(range(12))
+
+
+def test_audio_fingerprint_gain_invariance_and_separation():
+    import numpy as np
+
+    from fluent_plugin_geoip_ray.stages.multimodal import (
+        audio_phash,
+        decode_wav,
+        encode_wav,
+        synthesize_audio_clip,
+    )
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    hs = []
+    for i in range(10):
+        s = synthesize_audio_clip(i)
+        h0 = audio_phash(decode_wav(encode_wav(s))[0])
+        # exact float gain scaling: identical fingerprint
+        assert audio_phash(decode_wav(encode_wav(s))[0] * 0.25) == h0
+        # int16 -6 dB / -20 dB requantization: <= 2 bits of jitter
+        for div in (2, 10):
+            sq = (s.astype(np.int32) // div).astype(np.int16)
+            assert ham(audio_phash(decode_wav(encode_wav(sq))[0]), h0) <= 2
+        hs.append(h0)
+    for i in range(10):
+        for j in range(i + 1, 10):
+            assert ham(hs[i], hs[j]) >= 12, (i, j)
+
+
+def test_dedup_audio_known_answer():
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.multimodal import (
+        dedup_audio,
+        synthesize_audio_corpus,
+    )
+
+    t = synthesize_audio_corpus(n_base=10)
+    out = dedup_audio(rd.from_arrow(t).repartition(3)).to_pandas()
+    assert sorted(out["media_id"]) == list(range(10))
