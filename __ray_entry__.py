@@ -1001,6 +1001,24 @@ def q_dedup_audio(sf_dir: str):
     return dedup_audio(ds).select_columns(["media_id"])
 
 
+def q_dedup_videos(sf_dir: str):
+    """Video near-dup removal by frame-sampled pHash sequence (real AVI
+    demux + real JPEG decode).  KNOWN-ANSWER oracle: 12 distinct MJPEG
+    clips (ids 0..11) plus a quality-75 re-encode each (ids 10000+i);
+    measured duplicate total hamming <= 8 over 4 sampled frames with
+    frame0 <= 3 (band collision guaranteed) and distinct pairs >= 48 --
+    survivors are provably the originals."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.multimodal import (
+        dedup_videos,
+        synthesize_video_corpus,
+    )
+
+    ds = rd.from_arrow(synthesize_video_corpus(n_base=12)).repartition(4)
+    return dedup_videos(ds).select_columns(["media_id"])
+
+
 def q_distinct_pairs(sf_dir: str):
     """SELECT DISTINCT (user_id, event_type): per-batch local distinct +
     one composite-hash exchange final."""
@@ -1913,6 +1931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_pairs": q_distinct_pairs,
         "dedup_images": q_dedup_images,
         "dedup_audio": q_dedup_audio,
+        "dedup_videos": q_dedup_videos,
         "role_transitions": q_role_transitions,
         "events_pivot": q_events_pivot,
         "anomalous_events": q_anomalous_events,
@@ -2570,6 +2589,9 @@ def oracle_sql() -> dict[str, str]:
         # known-answer construction (see q_dedup_audio docstring)
         "dedup_audio": "SELECT CAST(range AS BIGINT) AS media_id"
                        " FROM range(0, 30)",
+        # known-answer construction (see q_dedup_videos docstring)
+        "dedup_videos": "SELECT CAST(range AS BIGINT) AS media_id"
+                        " FROM range(0, 12)",
         "events_funnel": """
             WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
                         WHERE event_type = 'view' GROUP BY user_id),

@@ -840,3 +840,120 @@ def synthesize_audio_corpus(n_base: int = 30, seed: int = 42) -> pa.Table:
         "media_id": pa.array(ids, pa.int64()),
         "payload": pa.array(payloads, pa.binary()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: frame-sampled perceptual-hash sequence
+# ---------------------------------------------------------------------------
+
+def video_phash_words(data: bytes, n_frames: int = 4) -> np.ndarray:
+    """``n_frames`` evenly spaced per-frame 64-bit pHashes of an MJPEG-AVI
+    or (M)JPEG-MP4 payload (real demux via the container walkers + real
+    JPEG decode).  Fewer frames than requested repeat the last one, so the
+    signature width is fixed."""
+    if avic.is_avi(data):
+        frames = avic.extract_frames(data)
+    elif mp4c.is_mp4(data):
+        frames = mp4c.extract_frames(data)
+    else:
+        raise NotImplementedError("video_phash needs an AVI or MP4 payload")
+    if not frames:
+        return np.zeros(n_frames, dtype=np.uint64)
+    pick = np.linspace(0, len(frames) - 1, n_frames).astype(np.int64)
+    out = np.empty(n_frames, dtype=np.uint64)
+    for j, fi in enumerate(pick):
+        out[j] = image_phash(jpegc.decode_jpeg(frames[fi]))
+    return out
+
+
+class VideoPHashSketch:
+    """Actor-pool callable: video payload rows -> the dedup sketch
+    contract with a WIDTH-4 signature (one 64-bit pHash per sampled
+    frame).  Buckets = the FIRST frame's 16-bit bands, so a duplicate
+    whose first-frame hamming is <= 3 is guaranteed a candidate
+    (pigeonhole); verification compares ALL sampled frames."""
+
+    def __init__(self, key_col: str = "media_id",
+                 payload_col: str = "payload", n_frames: int = 4):
+        self.key_col, self.payload_col = key_col, payload_col
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import _matrix_to_fixed_list
+
+        payloads = batch.column(self.payload_col)
+        n = batch.num_rows
+        sig = np.empty((n, self.n_frames), dtype=np.uint64)
+        for i in range(n):
+            sig[i] = video_phash_words(payloads[i].as_py() or b"",
+                                       self.n_frames)
+        first = sig[:, 0]
+        bucket = np.empty((n, 4), dtype=np.int64)
+        for b in range(4):
+            band = ((first >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(
+                np.int64)
+            bucket[:, b] = (np.int64(b) << np.int64(48)) | band
+        return pa.table({
+            self.key_col: batch.column(self.key_col),
+            "sig": _matrix_to_fixed_list(sig.astype(np.int64), self.n_frames),
+            "bucket": _matrix_to_fixed_list(bucket, 4),
+        })
+
+
+def dedup_videos(ds, key_col: str = "media_id", payload_col: str = "payload",
+                 max_total_hamming: int = 24, n_frames: int = 4,
+                 mode: str = "auto", hot_bucket_limit: int = 2_000_000,
+                 edge_driver_limit: int = 20_000_000):
+    """Video near-dup removal: frame-sampled pHash sequence, bucketed on
+    the first frame's bands, verified by TOTAL hamming over all sampled
+    frames (<= ``max_total_hamming`` across ``n_frames`` x 64 bits)."""
+    from .dedup import (
+        _hamming64,
+        _resolve_clusters_and_drop,
+        lsh_verified_edges,
+    )
+
+    sketches = ds.map_batches(
+        VideoPHashSketch,
+        fn_constructor_kwargs=dict(key_col=key_col, payload_col=payload_col,
+                                   n_frames=n_frames),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).materialize()
+
+    def verify(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+        total = np.zeros(len(sa), dtype=np.uint64)
+        for j in range(sa.shape[1]):
+            total += _hamming64(sa[:, j], sb[:, j])  # uint64 accumulator
+        return total <= max_total_hamming
+
+    edge_mode = {"auto": "auto", "distributed": "distributed",
+                 "driver": "broadcast"}[mode]
+    edges = lsh_verified_edges(sketches, key_col, verify, edge_mode=edge_mode,
+                               hot_bucket_limit=hot_bucket_limit)
+    return _resolve_clusters_and_drop(ds, edges, key_col, mode=mode,
+                                      edge_driver_limit=edge_driver_limit)
+
+
+def synthesize_video_corpus(n_base: int = 12, frames_per: int = 8,
+                            seed: int = 42) -> pa.Table:
+    """Video-dedup fixture: ``n_base`` distinct MJPEG-AVI clips (smooth
+    per-frame content drifting over time; media_id 0..n-1) plus a
+    quality-75 re-encode of each (media_id 10000+i)."""
+    ids, payloads = [], []
+    h, w = 48, 64
+    for i in range(n_base):
+        frames_hi, frames_lo = [], []
+        for f in range(frames_per):
+            img = smooth_test_image(i * 100 + f, h, w)
+            frames_hi.append(jpegc.encode_jpeg(img, quality=90))
+            frames_lo.append(jpegc.encode_jpeg(img, quality=75))
+        ids.append(i)
+        payloads.append(avic.encode_avi(frames_hi, w, h))
+        ids.append(10000 + i)
+        payloads.append(avic.encode_avi(frames_lo, w, h))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "payload": pa.array(payloads, pa.binary()),
+    })

@@ -398,3 +398,34 @@ def test_dedup_audio_known_answer():
     t = synthesize_audio_corpus(n_base=10)
     out = dedup_audio(rd.from_arrow(t).repartition(3)).to_pandas()
     assert sorted(out["media_id"]) == list(range(10))
+
+
+def test_dedup_videos_known_answer_and_margins():
+    import numpy as np
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.multimodal import (
+        dedup_videos,
+        synthesize_video_corpus,
+        video_phash_words,
+    )
+
+    t = synthesize_video_corpus(n_base=6)
+    p = dict(zip(t.column("media_id").to_pylist(),
+                 t.column("payload").to_pylist()))
+
+    def tot(a, b):
+        return sum(bin(int(x) ^ int(y)).count("1") for x, y in zip(a, b))
+
+    sigs = {i: video_phash_words(p[i]) for i in range(6)}
+    for i in range(6):
+        dup = video_phash_words(p[10000 + i])
+        assert tot(sigs[i], dup) <= 8
+        # frame0 within pigeonhole band guarantee
+        assert bin(int(sigs[i][0]) ^ int(dup[0])).count("1") <= 3
+    for i in range(6):
+        for j in range(i + 1, 6):
+            assert tot(sigs[i], sigs[j]) >= 48
+
+    out = dedup_videos(rd.from_arrow(t).repartition(3)).to_pandas()
+    assert sorted(out["media_id"]) == list(range(6))
