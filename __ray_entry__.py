@@ -1019,6 +1019,35 @@ def q_dedup_videos(sf_dir: str):
     return dedup_videos(ds).select_columns(["media_id"])
 
 
+def q_spike_windows(sf_dir: str):
+    """Windowed spike detection (the alerting composition): tumbling 1h
+    counts per event_type, per-type LAG over consecutive windows, flag
+    windows whose count more than doubles the previous one -- pure
+    composition of tumbling_window + lag_lead_by, integer-exact."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import (
+        lag_lead_by,
+        tumbling_window,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    counts = tumbling_window(ds, size_sec=3600, keys=["event_type"])
+    lagged = lag_lead_by(counts, "event_type", order_by=["window_start"],
+                         cols={"n": ("lag", "prev_n")})
+
+    def flag(t):
+        keep = pc.and_(pc.is_valid(t.column("prev_n")),
+                       pc.greater(t.column("n"),
+                                  pc.multiply(t.column("prev_n"), 2)))
+        return t.filter(pc.fill_null(keep, False))
+
+    return lagged.map_batches(flag, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_distinct_pairs(sf_dir: str):
     """SELECT DISTINCT (user_id, event_type): per-batch local distinct +
     one composite-hash exchange final."""
@@ -1932,6 +1961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_images": q_dedup_images,
         "dedup_audio": q_dedup_audio,
         "dedup_videos": q_dedup_videos,
+        "spike_windows": q_spike_windows,
         "role_transitions": q_role_transitions,
         "events_pivot": q_events_pivot,
         "anomalous_events": q_anomalous_events,
@@ -2835,6 +2865,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY event_type, window_start""",
+        "spike_windows": """
+            SELECT event_type, window_start, n, prev_n FROM (
+              SELECT event_type, window_start, n,
+                     LAG(n) OVER (PARTITION BY event_type
+                                  ORDER BY window_start) AS prev_n
+              FROM (SELECT event_type,
+                           CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                               AS window_start,
+                           count(*) AS n
+                    FROM events GROUP BY event_type, window_start))
+            WHERE prev_n IS NOT NULL AND n > 2 * prev_n""",
         "anomaly": """
             WITH m AS (
                 SELECT event_type,
