@@ -1019,6 +1019,54 @@ def q_dedup_videos(sf_dir: str):
     return dedup_videos(ds).select_columns(["media_id"])
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed spherical k-means (maxmin farthest-point seeding +
+    Lloyd partials; rows never move).  KNOWN-ANSWER construction from the
+    embeddings table: centers = the 10 lowest vec_id vectors (pairwise
+    |cos| <= 0.30 measured); member i (id 100+i, i in 0..489) =
+    0.95*center[i%10] + 0.05*center[(i%10+3)%10] (own-cos >= 0.998,
+    other-cos <= 0.34).  With those margins maxmin provably seeds one
+    point per planted cluster and Lloyd converges to the planted
+    partition, so every member co-assigns with its generating center --
+    the oracle is the literal expected table."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    base = (rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+            .filter(expr="vec_id < 10").to_pandas().sort_values("vec_id"))
+    centers = np.stack(base["embedding"].to_numpy()).astype(np.float64)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    gen = np.arange(490) % 10
+    mix = (gen + 3) % 10
+    members = 0.95 * centers[gen] + 0.05 * centers[mix]
+    all_ids = np.concatenate([np.arange(10), 100 + np.arange(490)])
+    all_vecs = np.vstack([centers, members]).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(all_ids, pa.int64()),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(all_vecs.ravel(), pa.float32()), all_vecs.shape[1]
+        ).cast(pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    cents = kmeans_fit(ds, k=10, iters=5)
+    assigned = kmeans_assign(ds, cents).to_pandas()
+    cl = dict(zip(assigned["vec_id"], assigned["cluster"]))
+    member_ids = 100 + np.arange(490)
+    co = np.array([cl[mid] == cl[g] for mid, g in zip(member_ids, gen)])
+    return pa.table({
+        "member_id": pa.array(member_ids, pa.int64()),
+        "generator": pa.array(gen.astype(np.int64)),
+        "co_assigned": pa.array(co),
+    })
+
+
 def q_spike_windows(sf_dir: str):
     """Windowed spike detection (the alerting composition): tumbling 1h
     counts per event_type, per-type LAG over consecutive windows, flag
@@ -1962,6 +2010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_audio": q_dedup_audio,
         "dedup_videos": q_dedup_videos,
         "spike_windows": q_spike_windows,
+        "kmeans": q_kmeans,
         "role_transitions": q_role_transitions,
         "events_pivot": q_events_pivot,
         "anomalous_events": q_anomalous_events,
@@ -2865,6 +2914,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY event_type, window_start""",
+        # known-answer construction (see q_kmeans docstring)
+        "kmeans": "SELECT CAST(100 + range AS BIGINT) AS member_id,"
+                  " CAST(range % 10 AS BIGINT) AS generator,"
+                  " TRUE AS co_assigned FROM range(0, 490)",
         "spike_windows": """
             SELECT event_type, window_start, n, prev_n FROM (
               SELECT event_type, window_start, n,

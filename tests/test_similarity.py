@@ -377,3 +377,59 @@ def test_uniform_sample_small_input_returns_all():
     m = make_vectors(n=20)
     s = uniform_sample_matrix(vec_ds(m), "vec_id", "embedding", 64, seed=3)
     assert s.shape == (20, 16)
+
+
+def _planted_clusters(k=6, per=40, dim=32, seed=17):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, truth = [], []
+    for c in range(k):
+        noise = rng.standard_normal((per, dim)) * 0.05
+        m = centers[c][None, :] + noise
+        vecs.append(m)
+        truth += [c] * per
+    m = np.vstack(vecs).astype(np.float32)
+    return m, np.array(truth)
+
+
+def test_kmeans_fit_recovers_planted_partition():
+    """Distributed spherical k-means with maxmin seeding recovers planted
+    separated clusters exactly (up to cluster relabeling), independent of
+    partitioning."""
+    from fluent_plugin_geoip_ray.stages.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    m, truth = _planted_clusters()
+    ds = vec_ds(m)
+    cents = kmeans_fit(ds, k=6, iters=5)
+    assert cents.shape == (6, 32)
+    out = (kmeans_assign(ds, cents).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assign = out["cluster"].to_numpy()
+    # exact partition match up to relabeling: each truth group maps to
+    # exactly one cluster and vice versa
+    mapping = {}
+    for t, a in zip(truth, assign):
+        mapping.setdefault(t, a)
+        assert mapping[t] == a
+    assert len(set(mapping.values())) == 6
+    # partitioning invariance of the assignments
+    out2 = (kmeans_assign(vec_ds(m).repartition(7),
+                          kmeans_fit(vec_ds(m).repartition(7), k=6, iters=5))
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert (out2["cluster"].to_numpy() == assign).all()
+
+
+def test_kmeans_fit_sample_init_and_validation():
+    import pytest
+
+    from fluent_plugin_geoip_ray.stages.similarity import kmeans_fit
+
+    m, _ = _planted_clusters(k=3, per=30)
+    cents = kmeans_fit(vec_ds(m), k=3, iters=4, init="sample")
+    assert cents.shape == (3, 32)
+    with pytest.raises(ValueError, match="maxmin|sample"):
+        kmeans_fit(vec_ds(m), k=3, init="nope")
