@@ -1019,6 +1019,19 @@ def q_dedup_videos(sf_dir: str):
     return dedup_videos(ds).select_columns(["media_id"])
 
 
+def q_sample_k(sf_dir: str):
+    """Exact global uniform 100-sample of documents: the 100 smallest
+    Knuth doc_id hashes -- deterministic set property, replicated exactly
+    in SQL."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.sample import sample_k
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source"])
+    return sample_k(ds, "doc_id", 100, seed=13)
+
+
 def q_kmeans(sf_dir: str):
     """Distributed spherical k-means (maxmin farthest-point seeding +
     Lloyd partials; rows never move).  KNOWN-ANSWER construction from the
@@ -2011,6 +2024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_videos": q_dedup_videos,
         "spike_windows": q_spike_windows,
         "kmeans": q_kmeans,
+        "sample_k": q_sample_k,
         "role_transitions": q_role_transitions,
         "events_pivot": q_events_pivot,
         "anomalous_events": q_anomalous_events,
@@ -2947,6 +2961,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events CROSS JOIN (SELECT unnest(range(4)) AS j) j
             GROUP BY event_type, window_start""",
         "sample_docs": _SAMPLE_DOCS_SQL,
+        "sample_k": f"""
+            SELECT doc_id, lang, source FROM documents
+            ORDER BY {_shx("doc_id", 13)}, doc_id LIMIT 100""",
         "sample_split": _SAMPLE_SPLIT_SQL,
         "sample_per_user": _SAMPLE_PER_USER_SQL,
         "sample_mix": _SAMPLE_MIX_SQL,

@@ -502,3 +502,23 @@ def stratified_sample(ds, stratum_col: str, key_col: str, fraction: float,
     bucketed = partial.map_batches(add_bucket, batch_format="pyarrow",
                                    zero_copy_batch=True)
     return hash_exchange(bucketed, num_buckets, select)
+
+
+def sample_k(ds, key_col: str, k: int, seed: int = 0,
+             batch_size: int = 65536):
+    """Exact global uniform k-sample: the k rows with the smallest Knuth
+    key hashes (a set property -- deterministic across runs, block
+    layouts, and cluster sizes; the fixed-SIZE counterpart of
+    :func:`hash_sample`'s fixed-fraction).  Per batch only the local
+    top-k leave the worker (:func:`aggregate.top_k` partials); no
+    shuffle, no RNG state.  Oracle: ``ORDER BY <hash>, key LIMIT k``."""
+    from .aggregate import top_k
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        return batch.append_column("__h", pa.array(key_hash(keys, seed)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=batch_size)
+    out = top_k(hashed, "__h", k, descending=False, tie_breakers=[key_col])
+    return out.drop_columns(["__h"]) if hasattr(out, "drop_columns") else out

@@ -357,3 +357,25 @@ def test_stratified_sample_partition_invariant_and_edges():
     assert stratified_sample(rd.from_arrow(t), "cls", "id", 0.0).count() == 0
     assert stratified_sample(rd.from_arrow(t), "cls", "id",
                              1.0).count() == t.num_rows
+
+
+def test_sample_k_exact_membership_and_determinism():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.sample import key_hash, sample_k
+
+    ids = np.arange(500, dtype=np.int64)
+    t = pa.table({"id": pa.array(ids), "v": pa.array(ids * 3)})
+    out = sample_k(rd.from_arrow(t).repartition(7), "id", 20, seed=5)
+    got = sorted(out.to_pandas()["id"] if hasattr(out, "to_pandas")
+                 else out["id"].to_pylist())
+    h = key_hash(ids, 5)
+    expect = sorted(ids[np.argsort(h)][:20].tolist())
+    assert got == expect
+    # k >= n returns everything
+    all_out = sample_k(rd.from_arrow(t), "id", 1000, seed=5)
+    n = (len(all_out.to_pandas()) if hasattr(all_out, "to_pandas")
+         else all_out.num_rows)
+    assert n == 500
