@@ -1019,6 +1019,39 @@ def q_dedup_videos(sf_dir: str):
     return dedup_videos(ds).select_columns(["media_id"])
 
 
+def q_tool_usage(sf_dir: str):
+    """Per-conversation tool-usage stats (the transcript analytics shape):
+    turn count + exact COUNT(DISTINCT tool) over non-empty tool cells --
+    groupby_agg + count_distinct_by + a bucketed left join, all existing
+    operators."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_plugin_geoip_ray.stages.aggregate import (
+        count_distinct_by,
+        groupby_agg,
+    )
+    from fluent_plugin_geoip_ray.stages.join import bucketed_join
+
+    ds = _transcripts_ds(sf_dir).select_columns(["conv_id", "tool"])
+    base = groupby_agg(ds, ["conv_id"], [("tool", "count_star", "n_turns")])
+    tools = ds.map_batches(
+        lambda t: t.filter(pc.and_(pc.is_valid(t.column("tool")),
+                                   pc.not_equal(t.column("tool"), ""))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    nd = count_distinct_by(tools, ["conv_id"], "tool", out_col="n_tools")
+    joined = bucketed_join(base, nd, on="conv_id", how="left")
+
+    def fill(t: pa.Table) -> pa.Table:
+        col = t.column("n_tools")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return t.set_column(t.column_names.index("n_tools"), "n_tools",
+                            pc.fill_null(col.cast(pa.int64()), 0))
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
 def q_sample_k(sf_dir: str):
     """Exact global uniform 100-sample of documents: the 100 smallest
     Knuth doc_id hashes -- deterministic set property, replicated exactly
@@ -2025,6 +2058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spike_windows": q_spike_windows,
         "kmeans": q_kmeans,
         "sample_k": q_sample_k,
+        "tool_usage": q_tool_usage,
         "role_transitions": q_role_transitions,
         "events_pivot": q_events_pivot,
         "anomalous_events": q_anomalous_events,
@@ -2964,6 +2998,10 @@ def oracle_sql() -> dict[str, str]:
         "sample_k": f"""
             SELECT doc_id, lang, source FROM documents
             ORDER BY {_shx("doc_id", 13)}, doc_id LIMIT 100""",
+        "tool_usage": f"""
+            SELECT conv_id, count(*) AS n_turns,
+                   count(DISTINCT nullif(tool, '')) AS n_tools
+            FROM read_parquet('{_T_PATH}') GROUP BY conv_id""",
         "sample_split": _SAMPLE_SPLIT_SQL,
         "sample_per_user": _SAMPLE_PER_USER_SQL,
         "sample_mix": _SAMPLE_MIX_SQL,
