@@ -207,6 +207,37 @@ def main() -> int:
             mode="sketch").count()),
         ("hll", lambda: approx_distinct_by(
             rd.from_arrow(events), "event_type", "user_id").count()),
+        # ---- round-4 operators ----
+        ("tfidf", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.text", fromlist=["tfidf"]
+        ).tfidf(rd.from_arrow(docs)).count()),
+        ("funnel", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.window", fromlist=["funnel"]
+        ).funnel(rd.from_arrow(events), "user_id", "ts", "event_type",
+                 steps=["view", "click", "purchase"]).count()),
+        ("pivot", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.aggregate",
+            fromlist=["pivot_counts"]
+        ).pivot_counts(rd.from_arrow(events), "user_id", "event_type",
+                       values=["click", "view", "purchase"],
+                       other="other").count()),
+        ("zscore", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.aggregate", fromlist=["zscore_flag"]
+        ).zscore_flag(rd.from_arrow(events), "event_type", "value").count()),
+        ("distinct", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.aggregate",
+            fromlist=["distinct_rows"]
+        ).distinct_rows(rd.from_arrow(events),
+                        cols=["user_id", "event_type"]).count()),
+        # sample-init keeps the sweep to Lloyd's per-round cost (maxmin's
+        # k seeding passes are the documented deterministic-init price)
+        ("kmeans", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.similarity", fromlist=["kmeans_fit"]
+        ).kmeans_fit(rd.from_arrow(embs), k=16, iters=3,
+                     init="sample").shape[0]),
+        ("sample_k", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.sample", fromlist=["sample_k"]
+        ).sample_k(rd.from_arrow(docs), "doc_id", 1000).num_rows),
     ]
     only = set(sys.argv[3:])
     if only:
