@@ -432,6 +432,7 @@ def funnel(ds, key: str, ts_col: str, type_col: str, steps: list[str],
     # resolve the timestamp type once from the dataset schema
     sch = ds.schema()
     ts_type = sch.types[sch.names.index(ts_col)]
+    key_type = sch.types[sch.names.index(key)]
 
     def project(t: pa.Table) -> pa.Table:
         types = t.column(type_col)
@@ -471,7 +472,7 @@ def funnel(ds, key: str, ts_col: str, type_col: str, steps: list[str],
             mins.append(m)
             prev_seg = m  # sentinel propagates: later steps can't qualify
         reached1 = mins[0] != sentinel
-        out = {key: pa.array(uniques[cs[starts][reached1]])}
+        out = {key: pa.array(uniques[cs[starts][reached1]], type=key_type)}
         for si in range(n_steps):
             m = pa.array(mins[si][reached1], pa.int64())
             m = pc.if_else(pc.equal(m, pa.scalar(sentinel, pa.int64())),
@@ -479,4 +480,19 @@ def funnel(ds, key: str, ts_col: str, type_col: str, steps: list[str],
             out[f"t{si + 1}"] = m.cast(ts_type)
         return pa.table(out)
 
-    return hash_exchange(projected, num_buckets, per_bucket)
+    out = hash_exchange(projected, num_buckets, per_bucket)
+    # a funnel can collapse to EMPTY from non-empty input (no key reaches
+    # step 1); the empty exchange loses its schema, so rebuild a typed
+    # empty result instead of returning a zero-column dataset
+    try:
+        names = out.schema().names
+    except Exception:  # noqa: BLE001 - schema of empty dataset
+        names = []
+    if key not in (names or []):
+        import ray.data as rd
+
+        empty = {key: pa.array([], sch.types[sch.names.index(key)])}
+        for si in range(n_steps):
+            empty[f"t{si + 1}"] = pa.array([], ts_type)
+        return rd.from_arrow(pa.table(empty))
+    return out
