@@ -1065,6 +1065,48 @@ def q_sample_k(sf_dir: str):
     return sample_k(ds, "doc_id", 100, seed=13)
 
 
+def q_knn_pq(sf_dir: str):
+    """Product-quantization ANN (Jegou et al. 2011): codebooks from a
+    seeded uniform sample, uint8 codes, asymmetric LUT search.
+    KNOWN-ANSWER oracle: for member queries the top-1 hit is provably the
+    query itself (its own code maximizes its own LUT), and recall@10 vs
+    the oracle-verified brute force stays above a wide-margin bound
+    (measured 0.57 at m=16/ksub=16 on this table; pinned >= 0.3 --
+    deterministic for fixed data/seed)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.similarity import (
+        knn_brute_force,
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = ds.filter(expr="vec_id < 3").to_pandas().sort_values("vec_id")
+    q = np.stack(qrows["embedding"].to_numpy())
+    exact = knn_brute_force(ds, q, k=10).to_pandas()
+    books = pq_train(ds, m=16, ksub=16)
+    enc = pq_encode(ds, books).materialize()
+    approx = pq_search(enc, books, q, k=10).to_pandas()
+    qids, self_top1, recall_ok = [], [], []
+    for qid in range(len(q)):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        top1 = int(approx[(approx["query_id"] == qid)
+                          & (approx["rank"] == 1)]["vec_id"].iloc[0])
+        qids.append(qid)
+        self_top1.append(top1 == int(qrows["vec_id"].iloc[qid]))
+        recall_ok.append(len(e & a) / len(e) >= 0.3)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "self_top1": pa.array(self_top1),
+        "recall_ok": pa.array(recall_ok),
+    })
+
+
 def q_kmeans(sf_dir: str):
     """Distributed spherical k-means (maxmin farthest-point seeding +
     Lloyd partials; rows never move).  KNOWN-ANSWER construction from the
@@ -2057,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_videos": q_dedup_videos,
         "spike_windows": q_spike_windows,
         "kmeans": q_kmeans,
+        "knn_pq": q_knn_pq,
         "sample_k": q_sample_k,
         "tool_usage": q_tool_usage,
         "role_transitions": q_role_transitions,
@@ -2962,6 +3005,9 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY event_type, window_start""",
+        # known-answer construction (see q_knn_pq docstring)
+        "knn_pq": "SELECT CAST(range AS BIGINT) AS query_id,"
+                  " TRUE AS self_top1, TRUE AS recall_ok FROM range(0, 3)",
         # known-answer construction (see q_kmeans docstring)
         "kmeans": "SELECT CAST(100 + range AS BIGINT) AS member_id,"
                   " CAST(range % 10 AS BIGINT) AS generator,"

@@ -738,3 +738,125 @@ def kmeans_assign(ds, centroids: np.ndarray, id_col: str = "vec_id",
         return t.append_column(out_col, pa.array(a))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) -- the memory-side ANN path (public method of
+# Jegou et al., "Product Quantization for Nearest Neighbor Search", 2011)
+# --------------------------------------------------------------------------
+
+def pq_train(ds, m: int = 8, ksub: int = 16, id_col: str = "vec_id",
+             emb_col: str = "embedding", sample_n: int = 4096,
+             seed: int = 42, iters: int = 10) -> np.ndarray:
+    """Train PQ codebooks: split the (normalized) vector into ``m``
+    contiguous subspaces and run seeded k-means with ``ksub`` centroids in
+    each -- all on ONE seeded-uniform sample (:func:`uniform_sample_matrix`,
+    never first-N).  Returns (m, ksub, d//m) float64 codebooks."""
+    sample = _normalize(uniform_sample_matrix(ds, id_col, emb_col, sample_n,
+                                              seed=seed))
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.empty((m, ksub, dsub))
+    rng = np.random.default_rng(seed)
+    for j in range(m):
+        sub = sample[:, j * dsub:(j + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=min(ksub, len(sub)),
+                               replace=False)]
+        if len(cents) < ksub:  # tiny sample: pad by repetition
+            cents = cents[np.arange(ksub) % len(cents)]
+        for _ in range(iters):
+            # plain L2 Lloyd's per subspace (subvectors are not unit norm)
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ksub):
+                mem = sub[assign == c]
+                if len(mem):
+                    cents[c] = mem.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(ds, codebooks: np.ndarray, id_col: str = "vec_id",
+              emb_col: str = "embedding", out_col: str = "pq_code"):
+    """Encode every vector to ``m`` uint8 code indices (nearest subspace
+    centroid; broadcast codebooks, one streaming pass).  At 100 TB this is
+    the memory story: d float32 -> m bytes per vector (e.g. 64x4 B ->
+    8 B), and search never touches the raw vectors again."""
+    import ray
+
+    cb_ref = ray.put(np.asarray(codebooks))
+
+    def fn(t: pa.Table) -> pa.Table:
+        cb = ray.get(cb_ref)
+        m_, ksub, dsub = cb.shape
+        x = _normalize(_embedding_matrix(t, emb_col))
+        codes = np.empty((len(x), m_), dtype=np.uint8)
+        for j in range(m_):
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pa.table({
+            id_col: t.column(id_col),
+            out_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), pa.uint8()), m_),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_search(encoded_ds, codebooks: np.ndarray, queries: np.ndarray,
+              k: int = 10, id_col: str = "vec_id",
+              code_col: str = "pq_code"):
+    """Asymmetric-distance PQ top-k: per query ONE (m, ksub) inner-product
+    lookup table against the codebooks; per batch the score of every code
+    is ``sum_j LUT[j, code_j]`` -- a pure table gather, no vector math on
+    the data side.  Same partial-top-k merge shape as
+    :func:`knn_brute_force`.  Returns (query_id, id, score, rank)."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    cb = np.asarray(codebooks)
+    m_, ksub, dsub = cb.shape
+    # LUT[qi, j, c] = <q_sub, centroid>; score = sum over j
+    luts = np.einsum("qjd,jcd->qjc",
+                     q.reshape(len(q), m_, dsub), cb)
+    lut_ref = ray.put(luts)
+
+    def scorer(t: pa.Table) -> pa.Table:
+        lt = ray.get(lut_ref)
+        codes = _fixed_list_to_uint8(t.column(code_col), m_)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        nq = lt.shape[0]
+        # scores (nq, n): gather per subspace and sum
+        scores = np.zeros((nq, len(ids)))
+        for j in range(m_):
+            scores += lt[:, j, :][:, codes[:, j]]
+        kk = min(k, len(ids))
+        idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+        rows = np.take_along_axis(scores, idx, axis=1)
+        return pa.table({
+            "query_id": pa.array(np.repeat(np.arange(nq, dtype=np.int64), kk)),
+            id_col: pa.array(ids[idx.ravel()]),
+            "score": pa.array(rows.ravel().astype(np.float64)),
+        })
+
+    partials = encoded_ds.map_batches(scorer, batch_format="pyarrow",
+                                      zero_copy_batch=True).to_pandas()
+    out = {"query_id": [], id_col: [], "score": [], "rank": []}
+    for qid, g in partials.groupby("query_id"):
+        top = g.sort_values(["score", id_col],
+                            ascending=[False, True]).head(k)
+        out["query_id"].extend([qid] * len(top))
+        out[id_col].extend(top[id_col])
+        out["score"].extend(top["score"])
+        out["rank"].extend(range(1, len(top) + 1))
+    return pa.table({kk: pa.array(v) for kk, v in out.items()})
+
+
+def _fixed_list_to_uint8(col, width: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return (col.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.uint8).reshape(-1, width))

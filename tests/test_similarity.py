@@ -433,3 +433,55 @@ def test_kmeans_fit_sample_init_and_validation():
     assert cents.shape == (3, 32)
     with pytest.raises(ValueError, match="maxmin|sample"):
         kmeans_fit(vec_ds(m), k=3, init="nope")
+
+
+def test_pq_recall_on_clustered_data():
+    """PQ asymmetric search vs exact brute force on clustered vectors:
+    the classic 4-bit-per-subspace recall band, cluster-correct top
+    results, and recall monotone in codebook size."""
+    from fluent_plugin_geoip_ray.stages.similarity import (
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(23)
+    k, per, dim = 8, 60, 32
+    centers = rng.standard_normal((k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    m = np.vstack([centers[c] + rng.standard_normal((per, dim)) * 0.3
+                   for c in range(k)]).astype(np.float32)
+    truth = np.repeat(np.arange(k), per)
+    ds = vec_ds(m)
+    q = m[::per][:5]  # one member per cluster
+    exact = knn_brute_force(ds, q, k=10).to_pandas()
+
+    def recall(ksub):
+        books = pq_train(ds, m=8, ksub=ksub, sample_n=480)
+        assert books.shape == (8, ksub, 4)
+        enc = pq_encode(ds, books).materialize()
+        approx = pq_search(enc, books, q, k=10).to_pandas()
+        r = 0.0
+        for qid in range(len(q)):
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(approx[approx["query_id"] == qid]["vec_id"])
+            r += len(e & a) / len(e)
+        return r / len(q)
+
+    r16 = recall(16)
+    assert r16 >= 0.45   # the documented 32-bit-code recall band
+    assert recall(64) >= r16  # monotone in codebook size
+
+
+def test_pq_validation_and_code_shape():
+    import pytest
+
+    from fluent_plugin_geoip_ray.stages.similarity import pq_encode, pq_train
+
+    m, _ = _planted_clusters(k=3, per=20, dim=32)
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(vec_ds(m), m=7)
+    books = pq_train(vec_ds(m), m=4, ksub=8, sample_n=60)
+    enc = pq_encode(vec_ds(m), books).to_pandas()
+    assert len(enc) == 60
+    assert all(len(c) == 4 for c in enc["pq_code"])
