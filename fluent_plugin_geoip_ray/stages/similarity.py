@@ -860,3 +860,48 @@ def _fixed_list_to_uint8(col, width: int) -> np.ndarray:
         col = col.combine_chunks()
     return (col.flatten().to_numpy(zero_copy_only=False)
             .astype(np.uint8).reshape(-1, width))
+
+
+def pq_search_rerank(encoded_ds, codebooks: np.ndarray, raw_ds,
+                     queries: np.ndarray, k: int = 10,
+                     shortlist_mult: int = 4, id_col: str = "vec_id",
+                     emb_col: str = "embedding", code_col: str = "pq_code"):
+    """Two-stage PQ retrieval (the standard production shape): the cheap
+    LUT pass shortlists ``shortlist_mult * k`` candidates per query from
+    the CODES, then ONE streaming pass over ``raw_ds`` exact-scores only
+    shortlisted rows (broadcast id set; everything else never decodes).
+    Per query the final top-k is exact within its shortlist, so recall is
+    bounded below by the plain PQ pass and converges to brute force as
+    the shortlist grows."""
+    import ray
+
+    c = shortlist_mult * k
+    short = pq_search(encoded_ds, codebooks, queries, k=c,
+                      id_col=id_col, code_col=code_col).to_pandas()
+    per_query = {int(qid): set(g[id_col].astype(np.int64))
+                 for qid, g in short.groupby("query_id")}
+    union_ids = np.array(sorted(set().union(*per_query.values())), np.int64)
+    ids_ref = ray.put(union_ids)
+
+    def keep(t: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        ids = t.column(id_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(wanted, ids)
+        pos = np.minimum(pos, len(wanted) - 1)
+        return t.filter(pa.array(wanted[pos] == ids))
+
+    pruned = raw_ds.map_batches(keep, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    exact = knn_brute_force(pruned, queries, k=len(union_ids),
+                            id_col=id_col, emb_col=emb_col).to_pandas()
+    out = {"query_id": [], id_col: [], "score": [], "rank": []}
+    for qid, g in exact.groupby("query_id"):
+        mine = g[g[id_col].isin(per_query[int(qid)])]
+        top = mine.sort_values(["score", id_col],
+                               ascending=[False, True]).head(k)
+        out["query_id"].extend([qid] * len(top))
+        out[id_col].extend(top[id_col])
+        out["score"].extend(top["score"])
+        out["rank"].extend(range(1, len(top) + 1))
+    return pa.table({kk: pa.array(v) for kk, v in out.items()})

@@ -485,3 +485,40 @@ def test_pq_validation_and_code_shape():
     enc = pq_encode(vec_ds(m), books).to_pandas()
     assert len(enc) == 60
     assert all(len(c) == 4 for c in enc["pq_code"])
+
+
+def test_pq_rerank_beats_plain_and_converges_to_exact():
+    from fluent_plugin_geoip_ray.stages.similarity import (
+        pq_encode,
+        pq_search,
+        pq_search_rerank,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(29)
+    m = rng.standard_normal((400, 32)).astype(np.float32)
+    ds = vec_ds(m)
+    q = m[:3]
+    books = pq_train(ds, m=8, ksub=16, sample_n=400)
+    enc = pq_encode(ds, books).materialize()
+    exact = knn_brute_force(ds, q, k=10).to_pandas()
+    plain = pq_search(enc, books, q, k=10).to_pandas()
+    rerank = pq_search_rerank(enc, books, ds, q, k=10,
+                              shortlist_mult=4).to_pandas()
+
+    def rec(df):
+        r = 0.0
+        for qid in range(3):
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(df[df["query_id"] == qid]["vec_id"])
+            r += len(e & a) / len(e)
+        return r / 3
+
+    assert rec(rerank) >= rec(plain)
+    # a shortlist covering the whole dataset IS brute force
+    full = pq_search_rerank(enc, books, ds, q, k=10,
+                            shortlist_mult=40).to_pandas()
+    for qid in range(3):
+        e = list(exact[exact["query_id"] == qid].sort_values("rank")["vec_id"])
+        f = list(full[full["query_id"] == qid].sort_values("rank")["vec_id"])
+        assert e == f
