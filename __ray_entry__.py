@@ -1065,6 +1065,27 @@ def q_sample_k(sf_dir: str):
     return sample_k(ds, "doc_id", 100, seed=13)
 
 
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training (Sennrich semantics) via the distributed
+    word-count path.  KNOWN-ANSWER oracle on a hand-computable corpus
+    (word counts aaab x3, ab x1): pair counts force merge order
+    (a,a) -> (a,b) (4-4 tie, lexicographic min) -> (ab,</w>) -- see
+    tests/test_text_ops.py::test_train_bpe_hand_computed_merges for the
+    full derivation."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import train_bpe
+
+    t = pa.table({"text": ["aaab aaab", "aaab ab"]})
+    merges = train_bpe(rd.from_arrow(t).repartition(2), num_merges=3)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left_sym": pa.array([a for a, _ in merges]),
+        "right_sym": pa.array([b for _, b in merges]),
+    })
+
+
 def q_knn_pq(sf_dir: str):
     """Product-quantization ANN (Jegou et al. 2011): codebooks from a
     seeded uniform sample, uint8 codes, asymmetric LUT search.
@@ -2100,6 +2121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spike_windows": q_spike_windows,
         "kmeans": q_kmeans,
         "knn_pq": q_knn_pq,
+        "bpe_merges": q_bpe_merges,
         "sample_k": q_sample_k,
         "tool_usage": q_tool_usage,
         "role_transitions": q_role_transitions,
@@ -3005,6 +3027,11 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY event_type, window_start""",
+        # known-answer construction (see q_bpe_merges docstring)
+        "bpe_merges": "SELECT * FROM (VALUES"
+                      " (CAST(0 AS BIGINT), 'a', 'a'),"
+                      " (1, 'a', 'b'), (2, 'ab', '</w>'))"
+                      " t(rank, left_sym, right_sym)",
         # known-answer construction (see q_knn_pq docstring)
         "knn_pq": "SELECT CAST(range AS BIGINT) AS query_id,"
                   " TRUE AS self_top1, TRUE AS recall_ok FROM range(0, 3)",

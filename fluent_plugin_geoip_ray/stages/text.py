@@ -841,3 +841,138 @@ def _with_idf(t: pa.Table, df: "np.ndarray", n_docs: int) -> pa.Table:
                             pa.array(np.full(len(d), n_docs, np.int64)))
     return out.append_column(
         "tfidf", pa.array(tf_v * np.log(n_docs / d.astype(np.float64))))
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (the standard pretokenized scheme: distributed
+# word counts, driver-side merge learning over the tiny frequency table)
+# ---------------------------------------------------------------------------
+
+_EOW = "</w>"
+
+
+def train_bpe(ds, text_col: str = "text", num_merges: int = 100,
+              min_count: int = 1, batch_size: int = 65536) -> list[tuple]:
+    """Learn BPE merges (Sennrich et al. 2016 semantics, ``</w>``
+    end-of-word marker) from the corpus.
+
+    Scale shape -- the standard production design (pretokenized BPE):
+    the ONLY corpus-sized pass is the distributed word count
+    (:func:`build_vocab`: per-batch Arrow group_by partials, bucketed
+    merge; text never shuffles).  Merge learning then runs driver-side
+    over the tiny (word, count) table -- O(vocab) per merge, independent
+    of corpus size.  Deterministic: ties break on the lexicographically
+    smallest pair.
+
+    Returns the ordered merge list ``[(left, right), ...]``.
+    """
+    vocab_ds = build_vocab(ds, text_col=text_col, min_count=min_count)
+    wf = (vocab_ds.to_pandas() if hasattr(vocab_ds, "to_pandas")
+          else vocab_ds)
+    words = {tuple(w) + (_EOW,): int(c)
+             for w, c in zip(wf["token"], wf["count"])}
+    merges: list[tuple] = []
+    for _ in range(num_merges):
+        pairs: dict = {}
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        # deterministic: max count, then lexicographically SMALLEST pair
+        top_n = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top_n)
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_words = {}
+        for syms, c in words.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+        words = new_words
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict) -> list[str]:
+    """Encode one word with learned merges: repeatedly merge the
+    lowest-rank adjacent pair (the standard greedy application)."""
+    syms = list(word) + [_EOW]
+    while len(syms) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i < 0:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+class BPEEncoder:
+    """Actor-pool callable: tokenize ``text_col`` with learned merges.
+
+    Merge ranks load ONCE per actor (``__init__``); per batch only the
+    UNIQUE lowered words are encoded (cache persists across batches), so
+    hot words cost one encode per actor regardless of corpus size.
+    Output: ``n_bpe_tokens`` int64 per doc (token count -- the budget
+    signal packing/chunking consume)."""
+
+    def __init__(self, merges, text_col: str = "text"):
+        import ray
+
+        m = ray.get(merges) if not isinstance(merges, list) else merges
+        self.ranks = {tuple(p): i for i, p in enumerate(m)}
+        self.text_col = text_col
+        self.cache: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(self.text_col)), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        off = off - off[0]
+        flat = toks.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        words = flat.to_pylist()
+        n_tok = np.zeros(len(words), dtype=np.int64)
+        for i, w in enumerate(words):
+            if not w:
+                continue
+            n = self.cache.get(w)
+            if n is None:
+                n = len(bpe_encode_word(w, self.ranks))
+                self.cache[w] = n
+            n_tok[i] = n
+        per_doc = (np.add.reduceat(n_tok, off[:-1])
+                   * (np.diff(off) > 0) if len(off) > 1 and len(n_tok)
+                   else np.zeros(max(len(off) - 1, 0), np.int64))
+        return batch.append_column("n_bpe_tokens",
+                                   pa.array(per_doc.astype(np.int64)))
+
+
+def bpe_token_counts(ds, merges: list[tuple], text_col: str = "text",
+                     batch_size: int = 65536):
+    """Dataset stage: per-doc BPE token counts under learned merges."""
+    import ray
+
+    m_ref = ray.put(list(merges))
+    return ds.map_batches(
+        BPEEncoder,
+        fn_constructor_kwargs=dict(merges=m_ref, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )

@@ -389,3 +389,91 @@ def test_tfidf_known_counts_and_join_paths():
     out2 = (tfidf(rd.from_arrow(t), df_broadcast_limit=0).to_pandas()
             .set_index(["doc_id", "token"]).sort_index())
     assert out2[["tf", "df", "n_docs"]].equals(out[["tf", "df", "n_docs"]])
+
+
+def test_train_bpe_hand_computed_merges():
+    """BPE merges on a hand-computable corpus.  Word counts: aaab x3,
+    ab x1.  Pair counts round 1: (a,a)=6, (a,b)=4, (b,</w>)=4 ->
+    merge (a,a).  Round 2: (aa,a)=3, (a,b)=4, (b,</w>)=4 -> tie at 4,
+    lexicographic min is ('a','b') -> merge (a,b).  Round 3: aaab =
+    [aa, ab, </w>], ab = [ab, </w>]: (aa,ab)=3, (ab,</w>)=4 -> merge
+    (ab, </w>)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import train_bpe
+
+    t = pa.table({"text": ["aaab aaab", "aaab ab"]})
+    merges = train_bpe(rd.from_arrow(t), num_merges=3)
+    assert merges == [("a", "a"), ("a", "b"), ("ab", "</w>")]
+
+
+def test_bpe_encode_and_counts():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import (
+        bpe_encode_word,
+        bpe_token_counts,
+        train_bpe,
+    )
+
+    t = pa.table({"doc_id": [1, 2], "text": ["aaab aaab", "aaab ab"]})
+    merges = train_bpe(rd.from_arrow(t), num_merges=3)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    # aaab -> aa + ab</w> (merge (a,a) then (a,b) then (ab,</w>))
+    assert bpe_encode_word("aaab", ranks) == ["aa", "ab</w>"]
+    assert bpe_encode_word("ab", ranks) == ["ab</w>"]
+    assert bpe_encode_word("zq", ranks) == ["z", "q", "</w>"]
+    out = (bpe_token_counts(rd.from_arrow(t).repartition(2), merges)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[1, "n_bpe_tokens"] == 4   # two aaab = 2+2
+    assert out.loc[2, "n_bpe_tokens"] == 3   # aaab + ab = 2+1
+
+
+def test_train_bpe_matches_reference_implementation():
+    """Distributed-word-count BPE == a clean-room single-process referee
+    on a larger random corpus (same tie rules)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.text import train_bpe
+
+    rng = np.random.default_rng(47)
+    alphabet = list("abcdef")
+    docs = [" ".join("".join(rng.choice(alphabet,
+                                        rng.integers(1, 7)).tolist())
+                     for _ in range(30)) for _ in range(20)]
+    t = pa.table({"text": docs})
+    got = train_bpe(rd.from_arrow(t).repartition(4), num_merges=12)
+
+    # referee: plain-python BPE over exact word counts
+    from collections import Counter
+
+    wc = Counter(w for d in docs for w in d.lower().split())
+    words = {tuple(w) + ("</w>",): c for w, c in wc.items()}
+    expect = []
+    for _ in range(12):
+        pairs = Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        expect.append(best)
+        nw = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(best[0] + best[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nw[tuple(out)] = nw.get(tuple(out), 0) + c
+        words = nw
+    assert got == expect
