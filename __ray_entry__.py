@@ -1065,6 +1065,41 @@ def q_sample_k(sf_dir: str):
     return sample_k(ds, "doc_id", 100, seed=13)
 
 
+def q_quality_classifier(sf_dir: str):
+    """Distributed logistic-regression quality filter (the fastText-
+    style curation classifier shape).  KNOWN-ANSWER construction: label
+    = 1 iff n_chars > 356, 0 iff n_chars < 256, margin rows dropped --
+    linearly separable in (n_chars/100) with a wide margin, so full-batch
+    GD reaches >= 99% train accuracy (deterministic for fixed data).
+    Output: one summary row the literal oracle pins."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.ml import logreg_fit, logreg_predict
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+
+    def label(t: pa.Table) -> pa.Table:
+        n = t.column("n_chars").to_numpy(zero_copy_only=False)
+        keep = (n > 356) | (n < 256)
+        t = t.filter(pa.array(keep))
+        n = t.column("n_chars").to_numpy(zero_copy_only=False)
+        t = t.append_column("f0", pa.array(n.astype("float64") / 100.0))
+        return t.append_column("y", pa.array((n > 356).astype("int64")))
+
+    labeled = ds.map_batches(label, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+    w = logreg_fit(labeled, ["f0"], "y", iters=300, lr=0.5)
+    scored = logreg_predict(labeled, w, ["f0"]).to_pandas()
+    acc = float((scored["pred"] == scored["y"]).mean())
+    return pa.table({
+        "n_rows": pa.array([len(scored)], pa.int64()),
+        "accuracy_ok": pa.array([acc >= 0.99]),
+    })
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training (Sennrich semantics) via the distributed
     word-count path.  KNOWN-ANSWER oracle on a hand-computable corpus
@@ -2122,6 +2157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": q_kmeans,
         "knn_pq": q_knn_pq,
         "bpe_merges": q_bpe_merges,
+        "quality_classifier": q_quality_classifier,
         "sample_k": q_sample_k,
         "tool_usage": q_tool_usage,
         "role_transitions": q_role_transitions,
@@ -3027,6 +3063,12 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
             FROM events GROUP BY event_type, window_start""",
+        # known-answer construction (see q_quality_classifier docstring);
+        # n_rows is independently SQL-derived, accuracy_ok pinned TRUE
+        "quality_classifier": """
+            SELECT (SELECT count(*) FROM documents
+                    WHERE n_chars > 356 OR n_chars < 256) AS n_rows,
+                   TRUE AS accuracy_ok""",
         # known-answer construction (see q_bpe_merges docstring)
         "bpe_merges": "SELECT * FROM (VALUES"
                       " (CAST(0 AS BIGINT), 'a', 'a'),"
