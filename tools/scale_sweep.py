@@ -61,6 +61,36 @@ def _run_incremental(sf_dir: str, docs):
     return dedup_incremental(rd.from_arrow(docs), index_dir).count()
 
 
+def _run_pq(ds):
+    import numpy as np
+
+    from fluent_plugin_geoip_ray.stages.similarity import (
+        pq_encode,
+        pq_search,
+        pq_train,
+    )
+
+    books = pq_train(ds, m=8, ksub=16)
+    enc = pq_encode(ds, books).materialize()
+    q = np.stack(ds.limit(3).to_pandas()["embedding"].to_numpy())
+    return pq_search(enc, books, q, k=10).num_rows
+
+
+def _run_logreg(ds):
+    import pyarrow as pa
+
+    from fluent_plugin_geoip_ray.stages.ml import logreg_fit
+
+    def label(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        t = t.append_column("f0", pa.array(v.astype("float64")))
+        return t.append_column("y", pa.array((v > 50).astype("int64")))
+
+    labeled = ds.map_batches(label, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return len(logreg_fit(labeled, ["f0"], "y", iters=20))
+
+
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -238,6 +268,11 @@ def main() -> int:
         ("sample_k", lambda: __import__(
             "fluent_plugin_geoip_ray.stages.sample", fromlist=["sample_k"]
         ).sample_k(rd.from_arrow(docs), "doc_id", 1000).num_rows),
+        ("pq", lambda: _run_pq(rd.from_arrow(embs))),
+        ("bpe", lambda: len(__import__(
+            "fluent_plugin_geoip_ray.stages.text", fromlist=["train_bpe"]
+        ).train_bpe(rd.from_arrow(docs), num_merges=50))),
+        ("logreg", lambda: _run_logreg(rd.from_arrow(events))),
     ]
     only = set(sys.argv[3:])
     if only:
