@@ -977,3 +977,96 @@ def test_dedup_minhash_cross_verified_against_exact_jaccard():
     assert not multi
     # (3) bounded overall disagreement vs exact ground truth
     assert len(kept ^ exact_survivors) <= 0.05 * n
+
+
+def test_dedup_simhash_cross_verified_against_exact_token_cosine():
+    """Independent verification for the SimHash family (beyond the golden
+    pin): SimHash approximates the cosine between token-count vectors, so
+    survivors are checked against EXACT token-multiset cosine ground
+    truth on the sf0.01 corpus.
+
+    Bounds asserted, calibrated to the 64-bit sketch's real resolution
+    (hamming ~ Binomial(64, theta/pi); at cos 0.6 expected hamming ~ 19
+    with sigma ~ 3.8, so hamming <= 3 is a >4-sigma event -- while
+    hamming-3 collisions at cos ~ 0.75 DO occur at ~10^-5 pair rate,
+    the sketch's documented coarseness):
+    * no IMPOSSIBLE false drop -- every dropped doc has exact token
+      cosine >= 0.6 with some other doc;
+    * estimator-variance drops (0.6 <= cos < 0.95) bounded to <= 1% of
+      the corpus;
+    * no plausible miss -- every exact component at cosine >= 0.999
+      keeps at most one member;
+    * bounded overall disagreement vs the exact-0.99 ground truth.
+    """
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_simhash
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = t.column("text").to_pylist()
+    counts = [Counter(s.lower().split()) for s in texts]
+    norms = [np.sqrt(sum(v * v for v in c.values())) or 1.0 for c in counts]
+
+    def cos(i, j):
+        a, b = counts[i], counts[j]
+        if len(b) < len(a):
+            a, b = b, a
+        dot = sum(v * b.get(k, 0) for k, v in a.items())
+        return dot / (norms[i] * norms[j])
+
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    hi_pairs = []
+    max_c = np.zeros(n)
+    for i in range(n):
+        for j in range(i + 1, n):
+            v = cos(i, j)
+            max_c[i] = max(max_c[i], v)
+            max_c[j] = max(max_c[j], v)
+            if v >= 0.99:
+                parent[find(i)] = find(j)
+            if v >= 0.999:
+                hi_pairs.append((i, j))
+    comp = {}
+    for i in range(n):
+        r = find(i)
+        if r not in comp or ids[i] < ids[comp[r]]:
+            comp[r] = i
+    exact_survivors = {ids[comp[r]] for r in comp}
+
+    out = dedup_simhash(rd.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet")).to_pandas()
+    kept = set(out["doc_id"])
+    dropped_idx = [i for i in range(n) if ids[i] not in kept]
+
+    impossible = [ids[i] for i in dropped_idx if max_c[i] < 0.6]
+    assert impossible == []
+    variance_band = [ids[i] for i in dropped_idx if 0.6 <= max_c[i] < 0.95]
+    assert len(variance_band) <= 0.01 * n
+    hi_parent = list(range(n))
+
+    def hfind(x):
+        while hi_parent[x] != x:
+            hi_parent[x] = hi_parent[hi_parent[x]]
+            x = hi_parent[x]
+        return x
+
+    for i, j in hi_pairs:
+        hi_parent[hfind(i)] = hfind(j)
+    from collections import Counter as C2
+
+    kept_per = C2(hfind(i) for i in range(n) if ids[i] in kept)
+    multi = {r: c for r, c in kept_per.items()
+             if c > 1 and sum(hfind(i) == r for i in range(n)) > 1}
+    assert not multi
+    assert len(kept ^ exact_survivors) <= 0.06 * n
