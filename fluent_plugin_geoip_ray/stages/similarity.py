@@ -905,3 +905,95 @@ def pq_search_rerank(encoded_ds, codebooks: np.ndarray, raw_ds,
         out["score"].extend(top["score"])
         out["rank"].extend(range(1, len(top) + 1))
     return pa.table({kk: pa.array(v) for kk, v in out.items()})
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ composite index -- the canonical 100 TB ANN layout (coarse
+# partition pruning x PQ code compression, faiss-IVFPQ shaped)
+# --------------------------------------------------------------------------
+
+def build_ivfpq_index(ds, index_dir: str, n_clusters: int = 16, m: int = 8,
+                      ksub: int = 16, sample_n: int = 4096,
+                      id_col: str = "vec_id", emb_col: str = "embedding",
+                      seed: int = 42) -> str:
+    """Persist an IVF-PQ index: ONE full pass assigns the coarse bucket,
+    PQ-encodes every vector, and writes Parquet PARTITIONED BY
+    ``ivf_bucket`` carrying (id, raw embedding, pq_code).  Queries then
+    compose BOTH scale levers: directory pruning (only ``nprobe`` bucket
+    dirs are read) and columnar pruning (the LUT pass reads ONLY the
+    id+code columns -- m bytes/vector; raw embeddings load only for an
+    explicit re-rank shortlist).
+
+    Simplification vs faiss, documented: codes quantize the RAW vector,
+    not the residual to its coarse centroid (residual encoding would
+    need per-bucket LUTs; the layout and pruning story are identical).
+    """
+    import os
+
+    import ray
+
+    sample = uniform_sample_matrix(ds, id_col, emb_col, sample_n, seed=seed)
+    cents = train_centroids(sample, min(n_clusters, len(sample)), seed=seed)
+    books = pq_train(ds, m=m, ksub=ksub, id_col=id_col, emb_col=emb_col,
+                     sample_n=sample_n, seed=seed)
+    cents_ref = ray.put(cents)
+    books_ref = ray.put(books)
+
+    def enrich(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        cb = ray.get(books_ref)
+        m_, _, dsub = cb.shape
+        x = _normalize(_embedding_matrix(t, emb_col))
+        bucket = (x @ np.asarray(c, np.float64).T).argmax(axis=1).astype(
+            np.int32)
+        codes = np.empty((len(x), m_), dtype=np.uint8)
+        for j in range(m_):
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d2.argmin(axis=1)
+        return pa.table({
+            id_col: t.column(id_col),
+            emb_col: t.column(emb_col),
+            "pq_code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), pa.uint8()), m_),
+            "ivf_bucket": pa.array(bucket),
+        })
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(enrich, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        index_dir, partition_cols=["ivf_bucket"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    np.save(os.path.join(index_dir, "codebooks.npy"), books)
+    return index_dir
+
+
+def query_ivfpq_index(index_dir: str, queries: np.ndarray, k: int = 10,
+                      nprobe: int = 4, rerank: bool = False,
+                      shortlist_mult: int = 4, id_col: str = "vec_id",
+                      emb_col: str = "embedding"):
+    """Query a persisted IVF-PQ index: pick ``nprobe`` bucket DIRECTORIES
+    per query, LUT-score only the id+code columns of those partitions,
+    and (``rerank=True``) exact-score only the shortlist against the raw
+    embedding column of the same partitions."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    books = np.load(os.path.join(index_dir, "codebooks.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ np.asarray(cents, np.float64).T),
+                       axis=1)[:, :nprobe]
+    wanted = sorted(set(np.unique(probe).tolist()))
+    files = [f for b in wanted
+             for f in glob.glob(os.path.join(index_dir, f"ivf_bucket={b}",
+                                             "*.parquet"))]
+    codes_ds = rd.read_parquet(files, columns=[id_col, "pq_code"])
+    if not rerank:
+        return pq_search(codes_ds, books, q, k=k, id_col=id_col)
+    raw_ds = rd.read_parquet(files, columns=[id_col, emb_col])
+    return pq_search_rerank(codes_ds.materialize(), books, raw_ds, q, k=k,
+                            shortlist_mult=shortlist_mult, id_col=id_col,
+                            emb_col=emb_col)

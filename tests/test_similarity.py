@@ -522,3 +522,49 @@ def test_pq_rerank_beats_plain_and_converges_to_exact():
         e = list(exact[exact["query_id"] == qid].sort_values("rank")["vec_id"])
         f = list(full[full["query_id"] == qid].sort_values("rank")["vec_id"])
         assert e == f
+
+
+def test_ivfpq_index_roundtrip_and_rerank(tmp_path):
+    """IVF-PQ persisted index: partitioned layout on disk, LUT search over
+    only the probed partitions' code columns, and re-rank recall at least
+    matching the plain LUT pass."""
+    import glob
+    import os
+
+    from fluent_plugin_geoip_ray.stages.similarity import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    rng = np.random.default_rng(41)
+    n, dim = 800, 32
+    centers = rng.standard_normal((8, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    emb = np.vstack([centers[i % 8] + rng.standard_normal(dim) * 0.25
+                     for i in range(n)]).astype(np.float32)
+    ds = vec_ds(emb)
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(ds, idx, n_clusters=8, m=8, ksub=16, sample_n=800)
+    assert os.path.exists(os.path.join(idx, "codebooks.npy"))
+    assert len(glob.glob(os.path.join(idx, "ivf_bucket=*"))) >= 4
+
+    q = emb[:3]
+    exact = knn_brute_force(ds, q, k=10).to_pandas()
+
+    def rec(df):
+        r = 0.0
+        for qid in range(3):
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(df[df["query_id"] == qid]["vec_id"])
+            r += len(e & a) / len(e)
+        return r / 3
+
+    plain = query_ivfpq_index(idx, q, k=10, nprobe=4).to_pandas()
+    rr = query_ivfpq_index(idx, q, k=10, nprobe=4, rerank=True,
+                           shortlist_mult=8).to_pandas()
+    assert rec(rr) >= rec(plain)
+    assert rec(rr) >= 0.5
+    # member queries retrieve themselves at rank 1 through the full stack
+    for qid in range(3):
+        assert int(rr[(rr["query_id"] == qid)
+                      & (rr["rank"] == 1)]["vec_id"].iloc[0]) == qid
