@@ -1100,6 +1100,34 @@ def q_quality_classifier(sf_dir: str):
     })
 
 
+def q_entity_match(sf_dir: str):
+    """Two-table fuzzy join (entity matching): even-doc_id documents vs
+    odd-doc_id documents at exact word-3-gram Jaccard >= 0.5 -- the
+    cross-table sibling of dedup_ngram, fully SQL-replicated including
+    the similarity value (one exact integer division each side)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.dedup import similarity_join
+
+    import pyarrow.compute as pc
+
+    def parity(p):
+        def fn(t):
+            keep = pc.equal(
+                pc.bit_wise_and(t.column("doc_id"), 1), p)
+            return t.filter(keep)
+
+        return fn
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    left = docs.map_batches(parity(0), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = docs.map_batches(parity(1), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return similarity_join(left, right, threshold=0.5)
+
+
 def q_knn_ivfpq(sf_dir: str):
     """IVF-PQ persisted index end-to-end (directory pruning x code
     compression x exact re-rank).  KNOWN-ANSWER oracle: member queries
@@ -2203,6 +2231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q_bpe_merges,
         "quality_classifier": q_quality_classifier,
         "knn_ivfpq": q_knn_ivfpq,
+        "entity_match": q_entity_match,
         "sample_k": q_sample_k,
         "tool_usage": q_tool_usage,
         "role_transitions": q_role_transitions,
@@ -2475,6 +2504,56 @@ def oracle_sql() -> dict[str, str]:
         # text), word-3-grams (whole doc if < 3 tokens), drop iff an
         # EARLIER doc has |intersect| >= t * |union| -- the engine computes
         # the identical predicate over hashed gram sets
+        "entity_match": r"""
+            WITH tokL AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents WHERE doc_id % 2 = 0
+            ),
+            tokexpL AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos, len(toks) AS n
+              FROM tokL
+            ),
+            gramsL AS (
+              SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+              FROM tokexpL a
+              JOIN tokexpL b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN tokexpL c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+              UNION ALL
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos)
+              FROM tokexpL WHERE n < 3 GROUP BY doc_id
+            ),
+            gsetL AS (SELECT DISTINCT doc_id, gram FROM gramsL),
+            szL AS (SELECT doc_id, count(*) AS s FROM gsetL GROUP BY doc_id),
+            tokR AS (
+              SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+              FROM documents WHERE doc_id % 2 = 1
+            ),
+            tokexpR AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     generate_subscripts(toks, 1) AS pos, len(toks) AS n
+              FROM tokR
+            ),
+            gramsR AS (
+              SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+              FROM tokexpR a
+              JOIN tokexpR b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              JOIN tokexpR c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+              UNION ALL
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos)
+              FROM tokexpR WHERE n < 3 GROUP BY doc_id
+            ),
+            gsetR AS (SELECT DISTINCT doc_id, gram FROM gramsR),
+            szR AS (SELECT doc_id, count(*) AS s FROM gsetR GROUP BY doc_id),
+            inter AS (
+              SELECT l.doc_id AS lk, r.doc_id AS rk, count(*) AS i
+              FROM gsetL l JOIN gsetR r ON r.gram = l.gram GROUP BY 1, 2
+            )
+            SELECT i.lk AS left_key, i.rk AS right_key,
+                   CAST(i.i AS DOUBLE) / (s1.s + s2.s - i.i) AS jaccard
+            FROM inter i JOIN szL s1 ON s1.doc_id = i.lk
+                         JOIN szR s2 ON s2.doc_id = i.rk
+            WHERE CAST(i.i AS DOUBLE) / (s1.s + s2.s - i.i) >= 0.5""",
         "dedup_ngram": r"""
             WITH tok AS (
               SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks

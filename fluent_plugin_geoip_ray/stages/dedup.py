@@ -2432,3 +2432,132 @@ def dedup_incremental(new_ds, index_dir: str, key_col: str = "doc_id",
             survivors = _drop_losers_ds(new_sketches, kept_pred, key_col)
         survivors.write_parquet(index_dir)
     return out
+
+
+def similarity_join(left_ds, right_ds, threshold: float = 0.5,
+                    left_key: str = "doc_id", right_key: str = "doc_id",
+                    text_col: str = "text", shingle_k: int = 3,
+                    num_buckets: int = 32, max_group_pairs: int = 5_000_000,
+                    size_broadcast_limit: int = 5_000_000):
+    """EXACT two-table fuzzy join (entity matching): emit every
+    (left, right) pair whose word-``shingle_k``-gram Jaccard >= t, with
+    the exact similarity -- :func:`dedup_ngram`'s intersection-COUNTING
+    scheme crossed over two tables.
+
+    Scale shape: both corpora sketch to sorted gram-hash sets (text goes
+    no further); (gram, key, side) rows hash-exchange on the gram; inside
+    each identical-gram run only CROSS-side pairs emit (16-byte rows,
+    ``max_group_pairs`` skew guard); grouped COUNT = exact intersection;
+    the per-side (key, sz) tables broadcast as sorted arrays under
+    ``size_broadcast_limit``.  Output: (left_key_out, right_key_out,
+    jaccard) -- jaccard is one exact integer division, so the SQL oracle
+    matches it bit-for-bit."""
+    import pandas as pd
+    import ray
+
+    from .exchange import hash_exchange
+
+    def sketch(ds, key_col):
+        return ds.map_batches(
+            lambda t: gram_set_sketch(t, key_col=key_col, text_col=text_col,
+                                      shingle_k=shingle_k),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).materialize()
+
+    sk_l = sketch(left_ds, left_key)
+    sk_r = sketch(right_ds, right_key)
+
+    def sizes(sk, key_col):
+        tabs = [t for t in ray.get(sk.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        t = pa.concat_tables(tabs).combine_chunks()
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        s = t.column("sz").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(k)
+        return k[o], s[o]
+
+    n_docs = sk_l.count() + sk_r.count()
+    if n_docs > size_broadcast_limit:
+        raise ValueError(
+            f"similarity_join: {n_docs} rows exceed size_broadcast_limit="
+            f"{size_broadcast_limit}; raise the limit (the (key, sz) "
+            "broadcast is 16 B/row) or pre-partition the corpora")
+    lk_s, lsz_s = sizes(sk_l, left_key)
+    rk_s, rsz_s = sizes(sk_r, right_key)
+    sz_ref = ray.put((lk_s, lsz_s, rk_s, rsz_s))
+
+    def explode(side):
+        def fn(t: pa.Table) -> pa.Table:
+            vals, off = _list_col_parts(t.column("grams"))
+            key_col = left_key if side == 0 else right_key
+            keys = t.column(key_col).to_numpy(zero_copy_only=False)
+            idx = np.repeat(np.arange(t.num_rows), np.diff(off))
+            g = vals.view(np.uint64)
+            out = pa.table({
+                "gram": pa.array(g.view(np.int64)),
+                "key": pa.array(keys[idx].astype(np.int64)),
+                "side": pa.array(np.full(len(g), side, np.int8)),
+            })
+            b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
+            return out.append_column("__bucket", pa.array(b))
+
+        return fn
+
+    exploded = sk_l.map_batches(explode(0), batch_format="pyarrow").union(
+        sk_r.map_batches(explode(1), batch_format="pyarrow"))
+
+    def cross_pairs(t: pa.Table) -> pa.Table:
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        s = t.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, s, g))
+        gs, ks, ss = g[order], k[order], s[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        ends = np.append(starts[1:], len(gs))
+        # per run: left block first (side sorted), then right block
+        n_left = np.add.reduceat((ss == 0).astype(np.int64), starts)
+        n_left[ends - starts == 0] = 0
+        n_right = (ends - starts) - n_left
+        per_run = n_left * n_right
+        total = int(per_run.sum())
+        if total > max_group_pairs:
+            raise ValueError(
+                f"similarity_join: {total} candidate pairs in one bucket >"
+                f" max_group_pairs={max_group_pairs}; raise the guard or"
+                " use a sketch-based matcher for this skew")
+        if total == 0:
+            return pa.table({"lk": pa.array([], pa.int64()),
+                             "rk": pa.array([], pa.int64())})
+        run_of = np.repeat(np.arange(len(starts)), per_run)
+        base = np.concatenate([[0], np.cumsum(per_run)[:-1]])
+        ordinal = np.arange(total) - base[run_of]
+        li = starts[run_of] + ordinal // np.maximum(n_right[run_of], 1)
+        ri = (starts[run_of] + n_left[run_of]
+              + ordinal % np.maximum(n_right[run_of], 1))
+        return pa.table({"lk": pa.array(ks[li]), "rk": pa.array(ks[ri])})
+
+    pairs = hash_exchange(exploded, num_buckets, cross_pairs)
+
+    from .aggregate import groupby_agg
+
+    counts = groupby_agg(pairs, ["lk", "rk"], [("lk", "count_star", "c")],
+                         merge="bucketed")
+
+    def verify(t: pa.Table) -> pa.Table:
+        lks, lszs, rks, rszs = ray.get(sz_ref)
+        lk = t.column("lk").to_numpy(zero_copy_only=False)
+        rk = t.column("rk").to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = lszs[np.searchsorted(lks, lk)].astype(np.float64)
+        sb = rszs[np.searchsorted(rks, rk)].astype(np.float64)
+        j = c / (sa + sb - c)
+        keep = j >= threshold
+        return pa.table({
+            "left_key": pa.array(lk[keep]),
+            "right_key": pa.array(rk[keep]),
+            "jaccard": pa.array(j[keep]),
+        })
+
+    return counts.map_batches(verify, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -1070,3 +1070,53 @@ def test_dedup_simhash_cross_verified_against_exact_token_cosine():
              if c > 1 and sum(hfind(i) == r for i in range(n)) > 1}
     assert not multi
     assert len(kept ^ exact_survivors) <= 0.06 * n
+
+
+def test_similarity_join_known_pairs_and_referee():
+    """Cross-table fuzzy join: hand-checkable pairs plus a python-set
+    referee computing exact gram-set Jaccard for every cross pair."""
+    from fluent_plugin_geoip_ray.stages.dedup import (
+        _gram_sets,
+        similarity_join,
+    )
+
+    left = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["the quick brown fox jumps high",
+                 "completely different words here now",
+                 "the quick brown fox jumps"],
+    })
+    right = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": ["the quick brown fox jumps high today",
+                 "unrelated content entirely"],
+    })
+    out = (similarity_join(rd.from_arrow(left).repartition(2),
+                           rd.from_arrow(right), threshold=0.3)
+           .to_pandas().sort_values(["left_key", "right_key"])
+           .reset_index(drop=True))
+
+    # referee: exact gram sets per side
+    def sets(t):
+        gs, off = _gram_sets(t, "text", 3)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return {int(ids[i]): set(gs[off[i]:off[i + 1]].tolist())
+                for i in range(len(ids))}
+
+    L, R = sets(left), sets(right)
+    expect = []
+    for lk, a in L.items():
+        for rk, b in R.items():
+            u = len(a | b)
+            j = len(a & b) / u if u else 0.0
+            if j >= 0.3:
+                expect.append((lk, rk, j))
+    expect.sort()
+    got = list(map(tuple, out[["left_key", "right_key", "jaccard"]]
+                   .itertuples(index=False)))
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in expect]
+    for (_, _, gj), (_, _, ej) in zip(got, expect):
+        assert gj == ej          # one exact division: bit-identical
+    # the near-identical pair is present, the unrelated ones are not
+    assert (1, 10) in {(a, b) for a, b, _ in got}
+    assert all(b != 11 for _, b, _ in got)
