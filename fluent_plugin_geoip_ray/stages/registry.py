@@ -177,3 +177,42 @@ def _stratified_sample_stage(ds, stratum_col: str, key_col: str,
     from .sample import stratified_sample
 
     return stratified_sample(ds, stratum_col, key_col, fraction, seed=seed)
+
+
+@register_stage("zscore_flag")
+def _zscore_stage(ds, key: str, value: str, threshold: float = 3.0):
+    from .aggregate import zscore_flag
+
+    return zscore_flag(ds, key, value, threshold=threshold)
+
+
+@register_stage("pivot_counts")
+def _pivot_stage(ds, key: str, pivot_col: str, values: list,
+                 other: str | None = None):
+    from .aggregate import pivot_counts
+
+    return pivot_counts(ds, key, pivot_col, values=list(values), other=other)
+
+
+@register_stage("distinct")
+def _distinct_stage(ds, cols: list | None = None):
+    from .aggregate import distinct_rows
+
+    return distinct_rows(ds, cols=list(cols) if cols else None)
+
+
+@register_stage("sample_k")
+def _sample_k_stage(ds, key_col: str, k: int, seed: int = 0):
+    import ray.data as rd
+
+    from .sample import sample_k
+
+    out = sample_k(ds, key_col, k, seed=seed)
+    return out if hasattr(out, "map_batches") else rd.from_arrow(out)
+
+
+@register_stage("funnel")
+def _funnel_stage(ds, key: str, ts_col: str, type_col: str, steps: list):
+    from .window import funnel
+
+    return funnel(ds, key, ts_col, type_col, steps=list(steps))

@@ -126,3 +126,28 @@ def test_rate_limit_and_sample_stages_from_conf():
     ]).to_pandas()
     assert len(out) <= 5 * 2 * 2   # 5 users x 2 windows x k=2
     assert len(out) > 0
+
+
+def test_round4_registry_stages():
+    """The round-4 operators are conf-composable: a declared stage chain
+    drives zscore + distinct end-to-end."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.registry import apply_stages, list_stages
+
+    for name in ("zscore_flag", "pivot_counts", "distinct", "sample_k",
+                 "funnel"):
+        assert name in list_stages()
+
+    rng = np.random.default_rng(3)
+    t = pa.table({
+        "g": pa.array(["a"] * 200),
+        "v": pa.array(np.r_[rng.normal(0, 1, 199), [40.0]]),
+    })
+    out = apply_stages(rd.from_arrow(t), [
+        {"use": "zscore_flag", "key": "g", "value": "v"},
+        {"use": "distinct", "cols": ["g", "is_anomaly"]},
+    ]).to_pandas()
+    assert sorted(out["is_anomaly"]) == [False, True]
