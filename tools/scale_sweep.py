@@ -91,6 +91,28 @@ def _run_logreg(ds):
     return len(logreg_fit(labeled, ["f0"], "y", iters=20))
 
 
+def _run_simjoin(rd, docs):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_plugin_geoip_ray.stages.dedup import similarity_join
+
+    def parity(p):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(
+                pc.bit_wise_and(t.column("doc_id"), 1), p))
+
+        return fn
+
+    base = rd.from_arrow(docs)
+    left = base.map_batches(parity(0), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    right = base.map_batches(parity(1), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return similarity_join(left, right, threshold=0.5,
+                           max_group_pairs=50_000_000).count()
+
+
 def main() -> int:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -273,6 +295,22 @@ def main() -> int:
             "fluent_plugin_geoip_ray.stages.text", fromlist=["train_bpe"]
         ).train_bpe(rd.from_arrow(docs), num_merges=50))),
         ("logreg", lambda: _run_logreg(rd.from_arrow(events))),
+        ("similarity_join", lambda: _run_simjoin(rd, docs)),
+        # media corpora scale with K directly (decode-bound, actor pool)
+        ("dedup_images", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.multimodal",
+            fromlist=["dedup_images", "synthesize_image_corpus"]
+        ).dedup_images(rd.from_arrow(__import__(
+            "fluent_plugin_geoip_ray.stages.multimodal",
+            fromlist=["synthesize_image_corpus"]
+        ).synthesize_image_corpus(n_base=10 * k)).repartition(8)).count()),
+        ("dedup_audio", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.multimodal",
+            fromlist=["dedup_audio"]
+        ).dedup_audio(rd.from_arrow(__import__(
+            "fluent_plugin_geoip_ray.stages.multimodal",
+            fromlist=["synthesize_audio_corpus"]
+        ).synthesize_audio_corpus(n_base=10 * k)).repartition(8)).count()),
     ]
     only = set(sys.argv[3:])
     if only:
