@@ -1216,22 +1216,30 @@ def zscore_flag(ds, key: str, value: str, threshold: float = 3.0,
             f"zscore_flag: {stats.count()} distinct keys exceed "
             f"stats_broadcast_limit={stats_broadcast_limit}; aggregate to "
             "a coarser key or raise the limit")
-    sp = pa.concat_tables(
-        [t for t in ray.get(stats.to_arrow_refs()) if t.num_rows]
-    ).combine_chunks().to_pandas()
-    k = sp[key].to_numpy()
-    order = np.argsort(k)
-    n = sp["n"].to_numpy()[order].astype(np.float64)
-    mean = sp["s"].to_numpy()[order] / n
-    var = np.maximum(sp["s2"].to_numpy()[order] / n - mean ** 2, 0.0)
-    ref = ray.put((k[order], mean, np.sqrt(var)))
+    stat_tabs = [t for t in ray.get(stats.to_arrow_refs()) if t.num_rows]
+    if stat_tabs:
+        sp = pa.concat_tables(stat_tabs).combine_chunks().to_pandas()
+        k = sp[key].to_numpy()
+        order = np.argsort(k)
+        n = sp["n"].to_numpy()[order].astype(np.float64)
+        mean = sp["s"].to_numpy()[order] / n
+        var = np.maximum(sp["s2"].to_numpy()[order] / n - mean ** 2, 0.0)
+        ref = ray.put((k[order], mean, np.sqrt(var)))
+    else:  # every value null: no stats, nothing can be an anomaly
+        ref = ray.put((np.empty(0, object), np.empty(0), np.empty(0)))
 
     def flag(t: pa.Table) -> pa.Table:
         ks, means, stds = ray.get(ref)
         kv = t.column(key).to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ks, kv)
         v = t.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
-        z = np.abs(v - means[pos]) > threshold * stds[pos]
+        if len(ks):
+            pos = np.minimum(np.searchsorted(ks, kv), len(ks) - 1)
+            # keys with no non-null values never entered the stats table:
+            # such rows (and null-value rows) are not anomalies
+            found = ks[pos] == kv
+            z = found & (np.abs(v - means[pos]) > threshold * stds[pos])
+        else:
+            z = np.zeros(len(kv), dtype=bool)
         out = t.select(keep_cols) if keep_cols else t
         return out.append_column("is_anomaly", pa.array(z))
 

@@ -2485,6 +2485,18 @@ def similarity_join(left_ds, right_ds, threshold: float = 0.5,
             "broadcast is 16 B/row) or pre-partition the corpora")
     lk_s, lsz_s = sizes(sk_l, left_key)
     rk_s, rsz_s = sizes(sk_r, right_key)
+
+    def _empty_result():
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "left_key": pa.array([], pa.int64()),
+            "right_key": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
+
+    if len(lk_s) == 0 or len(rk_s) == 0:
+        return _empty_result()
     sz_ref = ray.put((lk_s, lsz_s, rk_s, rsz_s))
 
     def explode(side):
@@ -2538,6 +2550,8 @@ def similarity_join(left_ds, right_ds, threshold: float = 0.5,
         return pa.table({"lk": pa.array(ks[li]), "rk": pa.array(ks[ri])})
 
     pairs = hash_exchange(exploded, num_buckets, cross_pairs)
+    if pairs.count() == 0:  # no shared gram anywhere: no candidates
+        return _empty_result()
 
     from .aggregate import groupby_agg
 

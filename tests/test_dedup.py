@@ -1120,3 +1120,23 @@ def test_similarity_join_known_pairs_and_referee():
     # the near-identical pair is present, the unrelated ones are not
     assert (1, 10) in {(a, b) for a, b, _ in got}
     assert all(b != 11 for _, b, _ in got)
+
+
+def test_similarity_join_empty_and_disjoint_inputs():
+    from fluent_plugin_geoip_ray.stages.dedup import similarity_join
+
+    left = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                     "text": ["a b c d", "e f g h"]})
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    out_ds = similarity_join(rd.from_arrow(left), rd.from_arrow(empty))
+    # the BLOCK schema is typed (Ray's to_pandas drops columns of empty
+    # datasets, so assert on the dataset schema)
+    assert out_ds.schema().names == ["left_key", "right_key", "jaccard"]
+    assert out_ds.count() == 0
+    # disjoint vocabularies: candidates exist nowhere
+    right = pa.table({"doc_id": pa.array([9], pa.int64()),
+                      "text": ["x y z w"]})
+    out2_ds = similarity_join(rd.from_arrow(left), rd.from_arrow(right))
+    assert out2_ds.count() == 0
+    assert out2_ds.schema().names == ["left_key", "right_key", "jaccard"]

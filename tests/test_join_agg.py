@@ -1068,3 +1068,22 @@ def test_distinct_rows_with_nulls_and_partitioning():
     # subset of columns
     out_a = distinct_rows(rd.from_arrow(t), cols=["a"]).to_pandas()
     assert set(out_a["a"].where(out_a["a"].notna(), None)) == {"x", None, "y"}
+
+
+def test_zscore_flag_all_null_key_and_empty_stats():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import zscore_flag
+
+    t = pa.table({"k": ["a"] * 5 + ["b"] * 3,
+                  "v": pa.array([1.0, 2.0, 3.0, 2.0, 1.5,
+                                 None, None, None])})
+    out = zscore_flag(rd.from_arrow(t), "k", "v").to_pandas()
+    # all-null key "b": never an anomaly; "a" rows are within 3 sigma
+    assert not out["is_anomaly"].any()
+    # fully-null values: no stats at all, nothing flagged
+    t2 = pa.table({"k": ["x", "x"], "v": pa.array([None, None],
+                                                  pa.float64())})
+    out2 = zscore_flag(rd.from_arrow(t2), "k", "v").to_pandas()
+    assert not out2["is_anomaly"].any()
