@@ -1283,6 +1283,19 @@ def q_kmeans(sf_dir: str):
     })
 
 
+def q_dense_windows(sf_dir: str):
+    """Gap-filled tumbling counts per event_type: every hourly window
+    between each type's first and last event, zero rows included (the
+    dashboard/alerting shape plain tumbling counts silently skip)."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import dense_tumbling
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return dense_tumbling(ds, keys=["event_type"])
+
+
 def q_spike_windows(sf_dir: str):
     """Windowed spike detection (the alerting composition): tumbling 1h
     counts per event_type, per-type LAG over consecutive windows, flag
@@ -2226,6 +2239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_audio": q_dedup_audio,
         "dedup_videos": q_dedup_videos,
         "spike_windows": q_spike_windows,
+        "dense_windows": q_dense_windows,
         "kmeans": q_kmeans,
         "knn_pq": q_knn_pq,
         "bpe_merges": q_bpe_merges,
@@ -3208,6 +3222,26 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": "SELECT CAST(100 + range AS BIGINT) AS member_id,"
                   " CAST(range % 10 AS BIGINT) AS generator,"
                   " TRUE AS co_assigned FROM range(0, 490)",
+        "dense_windows": """
+            WITH sparse AS (
+              SELECT event_type,
+                     CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                         AS window_start,
+                     count(*) AS n
+              FROM events GROUP BY event_type, window_start
+            ), bounds AS (
+              SELECT event_type, min(window_start) AS lo,
+                     max(window_start) AS hi
+              FROM sparse GROUP BY event_type
+            ), dense AS (
+              SELECT b.event_type,
+                     CAST(unnest(generate_series(b.lo, b.hi, 3600))
+                          AS BIGINT) AS window_start
+              FROM bounds b
+            )
+            SELECT d.event_type, d.window_start, COALESCE(s.n, 0) AS n
+            FROM dense d LEFT JOIN sparse s
+              USING (event_type, window_start)""",
         "spike_windows": """
             SELECT event_type, window_start, n, prev_n FROM (
               SELECT event_type, window_start, n,

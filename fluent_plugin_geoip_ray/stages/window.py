@@ -496,3 +496,69 @@ def funnel(ds, key: str, ts_col: str, type_col: str, steps: list[str],
             empty[f"t{si + 1}"] = pa.array([], ts_type)
         return rd.from_arrow(pa.table(empty))
     return out
+
+
+def dense_tumbling(ds, ts_col: str = "ts", size_sec: int = 3600,
+                   keys: list[str] | None = None,
+                   count_col: str = "n", num_buckets: int = 32):
+    """Gap-filled tumbling counts: one row per (key..., window) for EVERY
+    window between each key's first and last event -- empty windows emit
+    ``n = 0`` (what dashboards and rate alerting need; plain tumbling
+    counts silently skip quiet windows).
+
+    Scale shape: the sparse counts come from :func:`tumbling_window`
+    (partial+final, O(keys x windows-with-data) rows); the per-key
+    [min, max] window ranges are a tiny aggregate; dense rows generate
+    inside ONE hash exchange on the key where each bucket zero-fills its
+    own keys' ranges vectorized (repeat + arange) and stitches the sparse
+    counts in with a searchsorted probe.  Only count rows move -- never
+    events.  Skew note: one key's windows live in one bucket; a key
+    spanning W windows costs O(W) rows there (bounded by time range /
+    size, not data volume)."""
+    keys = keys or []
+    if len(keys) != 1:
+        raise ValueError("dense_tumbling currently supports exactly one key")
+    key = keys[0]
+
+    from .exchange import hash_exchange
+
+    sparse = tumbling_window(ds, ts_col=ts_col, size_sec=size_sec,
+                             keys=keys)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        kv = t.column(key).to_pandas().to_numpy(dtype=object)
+        b = (pd.util.hash_array(kv) % num_buckets).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    bucketed = sparse.map_batches(add_bucket, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def densify(t: pa.Table) -> pa.Table:
+        kv = t.column(key).to_pandas().to_numpy()
+        w = t.column("window_start").to_numpy(zero_copy_only=False)
+        n = t.column(count_col).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(kv, sort=True)
+        order = np.lexsort((w, codes))
+        cs, ws, ns = codes[order], w[order], n[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        ends = np.append(starts[1:], len(cs))
+        lo, hi = ws[starts], ws[ends - 1]
+        n_win = ((hi - lo) // size_sec + 1).astype(np.int64)
+        total = int(n_win.sum())
+        seg = np.repeat(np.arange(len(starts)), n_win)
+        base = np.concatenate([[0], np.cumsum(n_win)[:-1]])
+        ordinal = np.arange(total) - base[seg]
+        dense_w = lo[seg] + ordinal * size_sec
+        # stitch sparse counts with one vectorized scatter: sparse row r in
+        # segment s lands at dense position base[s] + (w - lo[s]) / size
+        seg_id = np.cumsum(np.r_[False, cs[1:] != cs[:-1]])
+        dense_n = np.zeros(total, dtype=np.int64)
+        posd = base[seg_id] + (ws - lo[seg_id]) // size_sec
+        dense_n[posd] = ns
+        return pa.table({
+            key: pa.array(uniq[cs[starts]][seg]),
+            "window_start": pa.array(dense_w),
+            count_col: pa.array(dense_n),
+        })
+
+    return hash_exchange(bucketed, num_buckets, densify)

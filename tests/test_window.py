@@ -336,3 +336,38 @@ def test_funnel_ordered_steps_and_broken_chains():
     out1 = (funnel(rd.from_arrow(t), "k", "ts", "e", steps=["a", "b", "c"])
             .to_pandas().set_index("k").sort_index())
     assert out1.equals(out)
+
+
+def test_dense_tumbling_gap_fill():
+    import datetime
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import dense_tumbling
+
+    def ts(h):
+        return datetime.datetime(2026, 1, 1, h)
+
+    # key a: events in hours 0, 0, 3 -> dense windows 0..3 with 2,0,0,1
+    # key b: one event -> a single window, no fill
+    t = pa.table({
+        "k": ["a", "a", "a", "b"],
+        "ts": pa.array([ts(0), ts(0), ts(3), ts(7)], pa.timestamp("us")),
+    })
+    out = (dense_tumbling(rd.from_arrow(t).repartition(2), keys=["k"])
+           .to_pandas().sort_values(["k", "window_start"])
+           .reset_index(drop=True))
+    a = out[out["k"] == "a"]
+    base = int(pa.scalar(ts(0), pa.timestamp("us")).cast(pa.int64())
+               .as_py() // 1_000_000)
+    assert a["window_start"].tolist() == [base, base + 3600, base + 7200,
+                                          base + 10800]
+    assert a["n"].tolist() == [2, 0, 0, 1]
+    b = out[out["k"] == "b"]
+    assert len(b) == 1 and b["n"].iloc[0] == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one key"):
+        dense_tumbling(rd.from_arrow(t), keys=[])
