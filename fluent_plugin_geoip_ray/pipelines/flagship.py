@@ -533,3 +533,59 @@ def run_partitioned(
         merged = merged.set_column(merged.column_names.index("key"), "key", key_col)
         fsio.write_parquet_atomic(ofs, merged, fsio.join(obase, "aggregates.parquet"))
     return {"ran": ran, "skipped": skipped, "aggregates": merged}
+
+
+def compact_sink(sink_dir: str, target_rows_per_file: int = 1_000_000,
+                 pattern: str = "part=*"):
+    """Small-file compaction for a fan-out sink directory (the operational
+    follow-up to resumable partitioned writes: many small ``batch-*``
+    files per partition merge into few large ones, preserving rows
+    exactly and the ``part=`` layout).
+
+    Per partition: read -> ONE streaming rewrite into
+    ``ceil(rows / target_rows_per_file)`` files -> atomically swap (new
+    files land under a deterministic ``compact-`` prefix, the old batch
+    files are removed only after every new file is written; a crash
+    mid-compaction leaves either the old or the mixed-but-complete state,
+    and re-running converges).  Partitions compact independently, so a
+    resumed run skips ones already reduced to compact files."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    parts = sorted(glob.glob(os.path.join(sink_dir, pattern)))
+    report = {}
+    for part in parts:
+        old = sorted(glob.glob(os.path.join(part, "batch-*.parquet")))
+        if not old:
+            report[os.path.basename(part)] = {"files_before": 0,
+                                              "files_after": len(glob.glob(
+                                                  os.path.join(
+                                                      part, "*.parquet")))}
+            continue
+        existing_compact = glob.glob(os.path.join(part, "compact-*.parquet"))
+        ds = rd.read_parquet(old + existing_compact)
+        n = ds.count()
+        n_files = max(1, -(-n // target_rows_per_file))
+        tmp_dir = os.path.join(part, "_compact_tmp")
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir)
+        ds.repartition(n_files).write_parquet(tmp_dir)
+        new_files = sorted(glob.glob(os.path.join(tmp_dir, "*.parquet")))
+        finals = []
+        for i, f in enumerate(new_files):
+            dst = os.path.join(part, f"compact-{i:05d}.parquet")
+            os.replace(f, dst)
+            finals.append(dst)
+        for f in old + existing_compact:
+            if f not in finals:
+                os.remove(f)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        report[os.path.basename(part)] = {
+            "files_before": len(old) + len(existing_compact),
+            "files_after": len(finals), "rows": n,
+        }
+    return report

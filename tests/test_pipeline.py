@@ -397,3 +397,34 @@ def test_hive_partitioned_write_and_pruned_read(tmp_path):
     # full read restores the partition column from the path
     full = rd.read_parquet(out).to_pandas()
     assert len(full) == 6 and set(full["lang"]) == {"en", "de", "fr"}
+
+
+def test_compact_sink_preserves_rows(sf_path, tmp_path):
+    """Small-file compaction: per-partition batch files merge into few
+    compact files with exact row preservation; re-running is idempotent."""
+    import glob
+
+    from fluent_plugin_geoip_ray.pipelines.flagship import (
+        compact_sink,
+        run_flagship,
+    )
+
+    out = str(tmp_path / "compact_out")
+    run_flagship(sf_path, out_dir=out)
+    raw = os.path.join(out, "raw")
+    before_files = glob.glob(os.path.join(raw, "part=*", "batch-*.parquet"))
+    assert before_files
+    rows_before = sum(pq.read_table(f).num_rows for f in before_files)
+
+    report = compact_sink(raw, target_rows_per_file=10_000_000)
+    after = glob.glob(os.path.join(raw, "part=*", "*.parquet"))
+    assert all(os.path.basename(f).startswith("compact-") for f in after)
+    assert len(after) < len(before_files) or len(before_files) == 1
+    assert sum(pq.read_table(f).num_rows for f in after) == rows_before
+    assert sum(r["rows"] for r in report.values()) == rows_before
+
+    # idempotent: a second run keeps rows and file count stable
+    report2 = compact_sink(raw, target_rows_per_file=10_000_000)
+    after2 = glob.glob(os.path.join(raw, "part=*", "*.parquet"))
+    assert sum(pq.read_table(f).num_rows for f in after2) == rows_before
+    assert len(after2) == len(after)
