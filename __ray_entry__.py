@@ -2183,26 +2183,65 @@ def q_conv_stats(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Order matters: the driver correctness-checks ~the first 50 entries per
+    # round. Round-5 ordering leads with the 21 queries that had never
+    # appeared in a CORRECTNESS_r*.json (VERDICT r4 item 1), then a
+    # representative one-per-family core sample, then the remainder.
     return {
-        "parse_extract": q_parse_extract,
+        "distinct_pairs": q_distinct_pairs,
+        "dedup_images": q_dedup_images,
+        "dedup_audio": q_dedup_audio,
+        "dedup_videos": q_dedup_videos,
+        "spike_windows": q_spike_windows,
+        "dense_windows": q_dense_windows,
+        "kmeans": q_kmeans,
+        "knn_pq": q_knn_pq,
+        "knn_ivfpq": q_knn_ivfpq,
+        "bpe_merges": q_bpe_merges,
+        "quality_classifier": q_quality_classifier,
+        "entity_match": q_entity_match,
+        "sample_k": q_sample_k,
+        "tool_usage": q_tool_usage,
+        "role_transitions": q_role_transitions,
+        "events_pivot": q_events_pivot,
+        "anomalous_events": q_anomalous_events,
+        "semantic_dedup": q_semantic_dedup,
+        "multimodal_frames": q_multimodal_frames,
+        "events_asof_big": q_events_asof_big,
+        "events_range_big": q_events_range_big,
         "enrich": q_enrich,
         "route_enriched": q_route_enriched,
+        "parse_extract": q_parse_extract,
+        "enrich_mmdb": q_enrich_mmdb,
+        "enrich_dat": q_enrich_dat,
         "agg_country": q_agg_country,
         "agg_conv": q_agg_conv,
         "sorted_text": q_sorted_text,
-        "enrich_multi": q_enrich_multi,
-        "enrich_nested": q_enrich_nested,
-        "enrich_mmdb": q_enrich_mmdb,
-        "enrich_dat": q_enrich_dat,
-        "events_extract": q_events_extract,
         "dedup_exact": q_dedup_exact,
-        "token_count": q_token_count,
-        "quality": q_quality,
-        "bpe_tokens": q_bpe_tokens,
-        "lang_id": q_lang_id,
         "dedup_minhash": q_dedup_minhash,
         "dedup_ngram": q_dedup_ngram,
         "decontaminate": q_decontaminate,
+        "dedup_simhash": q_dedup_simhash,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "knn": q_knn,
+        "knn_ivf": q_knn_ivf,
+        "pca": q_pca,
+        "mean_pool": q_mean_pool,
+        "events_tumbling": q_events_tumbling,
+        "events_sessions": q_events_sessions,
+        "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
+        "left_join": q_left_join,
+        "quantiles_events": q_quantiles_events,
+        "topk_per_user": q_topk_per_user,
+        "pricing_summary": q_pricing_summary,
+        "curation": q_curation,
+        "enrich_multi": q_enrich_multi,
+        "enrich_nested": q_enrich_nested,
+        "events_extract": q_events_extract,
+        "bpe_tokens": q_bpe_tokens,
         "chunk_docs": q_chunk_docs,
         "epoch_shuffle": q_epoch_shuffle,
         "select_top": q_select_top,
@@ -2212,11 +2251,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_spans": q_dedup_spans,
         "doc_rank": q_doc_rank,
         "rollup_events": q_rollup_events,
-        "left_join": q_left_join,
         "users_per_type": q_users_per_type,
         "dedup_incr": q_dedup_incr,
-        "pca": q_pca,
-        "mean_pool": q_mean_pool,
         "validated_events": q_validated_events,
         "full_join": q_full_join,
         "composite_join": q_composite_join,
@@ -2234,38 +2270,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab": q_vocab,
         "tfidf": q_tfidf,
         "events_funnel": q_events_funnel,
-        "distinct_pairs": q_distinct_pairs,
-        "dedup_images": q_dedup_images,
-        "dedup_audio": q_dedup_audio,
-        "dedup_videos": q_dedup_videos,
-        "spike_windows": q_spike_windows,
-        "dense_windows": q_dense_windows,
-        "kmeans": q_kmeans,
-        "knn_pq": q_knn_pq,
-        "bpe_merges": q_bpe_merges,
-        "quality_classifier": q_quality_classifier,
-        "knn_ivfpq": q_knn_ivfpq,
-        "entity_match": q_entity_match,
-        "sample_k": q_sample_k,
-        "tool_usage": q_tool_usage,
-        "role_transitions": q_role_transitions,
-        "events_pivot": q_events_pivot,
-        "anomalous_events": q_anomalous_events,
         "lm_score": q_lm_score,
         "profile": q_profile,
-        "dedup_simhash": q_dedup_simhash,
-        "knn": q_knn,
-        "knn_ivf": q_knn_ivf,
         "embedding_near_dup": q_embedding_near_dup,
-        "semantic_dedup": q_semantic_dedup,
         "events_topk": q_events_topk,
         "events_join": q_events_join,
-        "pricing_summary": q_pricing_summary,
         "grok": q_grok,
         "role_pivot": q_role_pivot,
         "distinct": q_distinct,
         "multimodal": q_multimodal,
-        "multimodal_frames": q_multimodal_frames,
         "corpus_pipeline": q_corpus_pipeline,
         "salted_agg": q_salted_agg,
         "bucketed_join": q_bucketed_join,
@@ -2277,17 +2290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_user": q_sample_per_user,
         "sample_mix": q_sample_mix,
         "pack_docs": q_pack_docs,
-        "quantiles_events": q_quantiles_events,
-        "topk_per_user": q_topk_per_user,
         "compact_latest": q_compact_latest,
-        "curation": q_curation,
         "redact": q_redact,
-        "events_asof": q_events_asof,
-        "events_asof_big": q_events_asof_big,
-        "events_range_join": q_events_range_join,
-        "events_range_big": q_events_range_big,
-        "events_tumbling": q_events_tumbling,
-        "events_sessions": q_events_sessions,
         "events_sliding": q_events_sliding,
         "conv_stats": q_conv_stats,
     }

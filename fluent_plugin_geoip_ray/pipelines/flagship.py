@@ -535,57 +535,199 @@ def run_partitioned(
     return {"ran": ran, "skipped": skipped, "aggregates": merged}
 
 
+_COMPACT_MANIFEST = "_compaction.json"
+
+
+def partition_live_files(part: str):
+    """The committed view of one fan-out sink partition directory.
+
+    The compaction manifest (``_compaction.json``, atomically replaced) is
+    the single commit point: readers trust ONLY (a) compact files listed in
+    the manifest and (b) ``batch-*`` files NOT recorded as absorbed by it.
+    Uncommitted ``compact-g*`` files from a crashed compaction and
+    already-absorbed-but-not-yet-deleted batch files are both invisible, so
+    a crash at ANY point between writing new compact files and removing old
+    inputs never double-counts a row.  Directories with no manifest (never
+    compacted, or written by older versions) fall back to all files.
+
+    Returns ``(live_compact, live_batch, manifest_dict_or_None)``.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    batch = sorted(glob.glob(os.path.join(part, "batch-*.parquet")))
+    compact = sorted(glob.glob(os.path.join(part, "compact-*.parquet")))
+    mpath = os.path.join(part, _COMPACT_MANIFEST)
+    if not os.path.exists(mpath):
+        # generation-named compact files are ONLY visible through a
+        # manifest: with none present they are leftovers of a compaction
+        # that crashed before its commit point (legacy un-generationed
+        # compact files from older layouts remain visible)
+        legacy = [f for f in compact
+                  if not re.match(r"compact-g\d+-", os.path.basename(f))]
+        return legacy, batch, None
+    with open(mpath) as fh:
+        man = json.load(fh)
+    committed = set(man["files"])
+    absorbed = set(man["absorbed"])
+    live_compact = [f for f in compact if os.path.basename(f) in committed]
+    live_batch = [f for f in batch if os.path.basename(f) not in absorbed]
+    return live_compact, live_batch, man
+
+
+def read_sink_partition(part: str):
+    """Read one sink partition through the committed manifest view (safe
+    against a crashed compaction mid-swap)."""
+    import ray.data as rd
+
+    live_compact, live_batch, _ = partition_live_files(part)
+    return rd.read_parquet(live_compact + live_batch)
+
+
+def _fsync_dir(path: str) -> None:
+    import os
+
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _compact_one_partition(part: str, target_rows_per_file: int) -> dict:
+    """Compact one partition: stream-merge its live files into
+    ``ceil(rows/target)`` generation-named ``compact-g{G:04d}-{i:05d}``
+    files, then COMMIT by atomically replacing the manifest (fsync'd), then
+    clean up absorbed inputs.  Bounded memory: one row group at a time
+    through a rotating ParquetWriter -- never materializes a partition."""
+    import glob
+    import json
+    import os
+    import re
+
+    import pyarrow.parquet as pqmod
+
+    live_compact, live_batch, man = partition_live_files(part)
+    base = os.path.basename(part)
+    if not live_batch:
+        n = sum(pqmod.ParquetFile(f).metadata.num_rows for f in live_compact)
+        return {base: {"files_before": len(live_compact),
+                       "files_after": len(live_compact), "rows": n,
+                       "skipped": True}}
+
+    gen = (int(man["generation"]) + 1) if man else 0
+    for f in glob.glob(os.path.join(part, "compact-g*.parquet")):
+        m = re.match(r"compact-g(\d+)-", os.path.basename(f))
+        if m:
+            gen = max(gen, int(m.group(1)) + 1)
+
+    inputs = live_compact + live_batch
+    schema = pqmod.ParquetFile(inputs[0]).schema_arrow
+    writer = None
+    out_files: list[str] = []
+    tmp_path = ""
+    rows_in_file = 0
+    rows_total = 0
+
+    def rotate():
+        nonlocal writer, tmp_path, rows_in_file
+        if writer is not None:
+            writer.close()
+            final = os.path.join(
+                part, f"compact-g{gen:04d}-{len(out_files):05d}.parquet")
+            os.replace(tmp_path, final)
+            out_files.append(final)
+        writer = None
+        rows_in_file = 0
+
+    try:
+        for f in inputs:
+            pf = pqmod.ParquetFile(f)
+            for rg in range(pf.num_row_groups):
+                t = pf.read_row_group(rg)
+                if t.schema != schema:
+                    t = t.select(schema.names).cast(schema)
+                if writer is None:
+                    tmp_path = os.path.join(
+                        part,
+                        f"_compact-g{gen:04d}-{len(out_files):05d}.tmp")
+                    writer = pqmod.ParquetWriter(tmp_path, schema)
+                writer.write_table(t)
+                rows_in_file += t.num_rows
+                rows_total += t.num_rows
+                if rows_in_file >= target_rows_per_file:
+                    rotate()
+        rotate()
+    except BaseException:
+        if writer is not None:
+            writer.close()
+        if tmp_path and os.path.exists(tmp_path):
+            os.remove(tmp_path)
+        raise
+
+    # COMMIT: the manifest swap is the transaction boundary.  absorbed
+    # carries forward prior entries so batch files deleted by an earlier
+    # generation (or pending deletion after a crash) stay excluded.
+    absorbed = set(man["absorbed"]) if man else set()
+    absorbed.update(os.path.basename(f) for f in live_batch)
+    new_man = {"generation": gen,
+               "files": [os.path.basename(f) for f in out_files],
+               "absorbed": sorted(absorbed),
+               "rows": rows_total}
+    mtmp = os.path.join(part, _COMPACT_MANIFEST + ".tmp")
+    with open(mtmp, "w") as fh:
+        json.dump(new_man, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(mtmp, os.path.join(part, _COMPACT_MANIFEST))
+    _fsync_dir(part)
+
+    # cleanup (post-commit; safe to crash anywhere in here): absorbed batch
+    # files, superseded compact generations, stray uncommitted compact files
+    committed = set(new_man["files"])
+    for f in glob.glob(os.path.join(part, "batch-*.parquet")):
+        if os.path.basename(f) in absorbed:
+            os.remove(f)
+    for f in glob.glob(os.path.join(part, "compact-*.parquet")):
+        if os.path.basename(f) not in committed:
+            os.remove(f)
+    for f in glob.glob(os.path.join(part, "_compact-g*.tmp")):
+        os.remove(f)
+
+    return {base: {"files_before": len(inputs),
+                   "files_after": len(out_files), "rows": rows_total}}
+
+
 def compact_sink(sink_dir: str, target_rows_per_file: int = 1_000_000,
-                 pattern: str = "part=*"):
+                 pattern: str = "part=*", parallel: bool = True):
     """Small-file compaction for a fan-out sink directory (the operational
     follow-up to resumable partitioned writes: many small ``batch-*``
     files per partition merge into few large ones, preserving rows
     exactly and the ``part=`` layout).
 
-    Per partition: read -> ONE streaming rewrite into
-    ``ceil(rows / target_rows_per_file)`` files -> atomically swap (new
-    files land under a deterministic ``compact-`` prefix, the old batch
-    files are removed only after every new file is written; a crash
-    mid-compaction leaves either the old or the mixed-but-complete state,
-    and re-running converges).  Partitions compact independently, so a
-    resumed run skips ones already reduced to compact files."""
+    Crash-safe via a per-partition manifest commit
+    (:func:`partition_live_files`): new generation-named compact files are
+    invisible to readers until ``_compaction.json`` is atomically replaced,
+    and absorbed batch files stay excluded even if the post-commit cleanup
+    never ran -- re-running always converges to exactly-once row counts.
+    Partitions compact CONCURRENTLY (one Ray task each, streaming one row
+    group at a time), so wall-time is the largest partition, not the sum.
+    """
     import glob
     import os
 
-    import ray.data as rd
+    import ray
 
     parts = sorted(glob.glob(os.path.join(sink_dir, pattern)))
-    report = {}
-    for part in parts:
-        old = sorted(glob.glob(os.path.join(part, "batch-*.parquet")))
-        if not old:
-            report[os.path.basename(part)] = {"files_before": 0,
-                                              "files_after": len(glob.glob(
-                                                  os.path.join(
-                                                      part, "*.parquet")))}
-            continue
-        existing_compact = glob.glob(os.path.join(part, "compact-*.parquet"))
-        ds = rd.read_parquet(old + existing_compact)
-        n = ds.count()
-        n_files = max(1, -(-n // target_rows_per_file))
-        tmp_dir = os.path.join(part, "_compact_tmp")
-        import shutil
-
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        os.makedirs(tmp_dir)
-        ds.repartition(n_files).write_parquet(tmp_dir)
-        new_files = sorted(glob.glob(os.path.join(tmp_dir, "*.parquet")))
-        finals = []
-        for i, f in enumerate(new_files):
-            dst = os.path.join(part, f"compact-{i:05d}.parquet")
-            os.replace(f, dst)
-            finals.append(dst)
-        for f in old + existing_compact:
-            if f not in finals:
-                os.remove(f)
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        report[os.path.basename(part)] = {
-            "files_before": len(old) + len(existing_compact),
-            "files_after": len(finals), "rows": n,
-        }
+    report: dict = {}
+    if parallel and len(parts) > 1:
+        worker = ray.remote(num_cpus=1)(_compact_one_partition)
+        for r in ray.get([worker.remote(p, target_rows_per_file)
+                          for p in parts]):
+            report.update(r)
+    else:
+        for p in parts:
+            report.update(_compact_one_partition(p, target_rows_per_file))
     return report

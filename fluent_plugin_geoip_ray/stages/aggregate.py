@@ -347,6 +347,17 @@ def quantiles_by(ds, key: str, value: str, qs: tuple = (0.5, 0.95, 0.99),
             use_exact = total <= driver_limit
 
         if not use_exact:
+            if mode == "auto":
+                # exactness-sensitive consumers need a signal at the
+                # switch point: above driver_limit the result carries
+                # ~bin-width relative error instead of quantile_cont
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "quantiles_by(auto): value volume %s > driver_limit %s;"
+                    " falling back to the log-histogram sketch merge"
+                    " (~bin-width relative error). Pass mode='exact' to"
+                    " force exact quantiles.", total, driver_limit)
             # explode the materialized partials back to (key, value) rows
             # and fall through to the sketch merge: no input re-scan, no
             # driver value lists at any cardinality
@@ -1149,9 +1160,13 @@ def pivot_counts(ds, key, pivot_col: str, values: list[str],
     so partial-of-partials is exact at any nesting.
     """
     keys = [key] if isinstance(key, str) else list(key)
+    if not values and not other:
+        raise ValueError("pivot_counts needs at least one value or `other`")
     cols = list(values) + ([other] if other else [])
 
     def partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+
         pv = t.column(pivot_col)
         if isinstance(pv, pa.ChunkedArray):
             pv = pv.combine_chunks()

@@ -2434,28 +2434,144 @@ def dedup_incremental(new_ds, index_dir: str, key_col: str = "doc_id",
     return out
 
 
+
+
+def build_gram_df_index(corpora, index_dir: str, text_col: str = "text",
+                        shingle_k: int = 3, num_buckets: int = 32) -> str:
+    """Persist the (gram, document-frequency) table of one or more corpora
+    as bucket-partitioned Parquet (the SAME gram-hash bucketing
+    :func:`similarity_join` exchanges on), so repeated entity-matching runs
+    against a fixed corpus skip the df count pass.
+
+    ``corpora`` is a list of ``(dataset, key_col)`` pairs.  Correctness
+    note: the join uses df ONLY to define a total gram order (rarest-first
+    prefixes) and to classify hot grams -- ANY consistent df assignment
+    yields exact results; stale or missing entries cost pruning
+    efficiency, never correctness (docstring proof at
+    :func:`similarity_join`)."""
+    import json
+    import os
+
+    import pandas as pd
+
+    from .exchange import hash_exchange
+
+    os.makedirs(index_dir, exist_ok=True)
+
+    def explode(t: pa.Table) -> pa.Table:
+        vals, _ = _list_col_parts(t.column("grams"))
+        g = vals.view(np.uint64)
+        b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
+        return pa.table({"gram": pa.array(g.view(np.int64)),
+                         "__xb": pa.array(b)})
+
+    parts = None
+    for ds, key_col in corpora:
+        sk = ds.map_batches(
+            lambda t, kc=key_col: gram_set_sketch(
+                t, key_col=kc, text_col=text_col, shingle_k=shingle_k),
+            batch_format="pyarrow", zero_copy_batch=True)
+        ex = sk.map_batches(explode, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        parts = ex if parts is None else parts.union(ex)
+
+    def count_df(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pqmod
+
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        gs = np.sort(g)
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        df = np.diff(np.append(starts, len(gs))).astype(np.int64)
+        out = pa.table({"gram": pa.array(gs[starts]),
+                        "df": pa.array(df)})
+        # the bucket id is a pure function of any gram in this bucket
+        b = int(pd.util.hash_array(
+            gs[:1].copy().view(np.uint64)) % num_buckets)
+        tmp = os.path.join(index_dir, f".df-{b:05d}.tmp")
+        pqmod.write_table(out, tmp)
+        os.replace(tmp, os.path.join(index_dir, f"df-{b:05d}.parquet"))
+        return pa.table({"bucket": pa.array([b], pa.int32()),
+                         "n_grams": pa.array([len(starts)], pa.int64())})
+
+    stats = hash_exchange(parts, num_buckets, count_df, bucket_col="__xb")
+    written = stats.count()  # drives execution of every bucket write
+    with open(os.path.join(index_dir, "meta.json"), "w") as fh:
+        json.dump({"num_buckets": num_buckets, "shingle_k": shingle_k,
+                   "buckets_written": int(written)}, fh)
+    return index_dir
+
+
+def _load_df_bucket(index_dir: str, bucket: int):
+    """Sorted (gram, df) arrays for one index bucket ('' -> gram absent)."""
+    import os
+
+    import pyarrow.parquet as pqmod
+
+    path = os.path.join(index_dir, f"df-{bucket:05d}.parquet")
+    if not os.path.exists(path):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    t = pqmod.read_table(path)
+    return (t.column("gram").to_numpy(zero_copy_only=False),
+            t.column("df").to_numpy(zero_copy_only=False))
+
+
 def similarity_join(left_ds, right_ds, threshold: float = 0.5,
                     left_key: str = "doc_id", right_key: str = "doc_id",
                     text_col: str = "text", shingle_k: int = 3,
                     num_buckets: int = 32, max_group_pairs: int = 5_000_000,
-                    size_broadcast_limit: int = 5_000_000):
+                    heavy_df_limit: int = 1024,
+                    df_index_dir: str | None = None):
     """EXACT two-table fuzzy join (entity matching): emit every
     (left, right) pair whose word-``shingle_k``-gram Jaccard >= t, with
-    the exact similarity -- :func:`dedup_ngram`'s intersection-COUNTING
-    scheme crossed over two tables.
+    the exact similarity.
 
-    Scale shape: both corpora sketch to sorted gram-hash sets (text goes
-    no further); (gram, key, side) rows hash-exchange on the gram; inside
-    each identical-gram run only CROSS-side pairs emit (16-byte rows,
-    ``max_group_pairs`` skew guard); grouped COUNT = exact intersection;
-    the per-side (key, sz) tables broadcast as sorted arrays under
-    ``size_broadcast_limit``.  Output: (left_key_out, right_key_out,
-    jaccard) -- jaccard is one exact integer division, so the SQL oracle
-    matches it bit-for-bit."""
+    Skew-robust hybrid of the exact set-similarity-join literature
+    (AllPairs/PPJoin prefix filtering x inverted-index counting):
+
+    1. sketch both corpora to sorted gram-hash sets (text goes no further).
+    2. ONE gram-hash exchange classifies every gram by document frequency
+       (run length, or a persisted :func:`build_gram_df_index` lookup):
+       * LIGHT grams (df <= ``heavy_df_limit``) emit cross-side candidate
+         pairs (16-byte rows) -- grouped COUNT = exact
+         ``|A & B & light|``.  Hot grams emit NOTHING here, so a stop-gram
+         shared by 100k docs costs 100k annotation rows, never
+         ``n_left x n_right`` pairs.
+       * every row re-exchanges on its doc key carrying df.
+    3. per-doc prefix extraction (the AllPairs theorem: if J(x,y) >= t
+       then the ``|x| - ceil(t|x|)+1`` rarest grams of x and of y share an
+       element; +1 extra gram absorbs float-ceil edge cases): prefix rows
+       exchange on gram and cross within runs -- a COMPLETE candidate set
+       whose hot grams appear only in docs where nearly the whole set is
+       the prefix.  ``max_group_pairs`` stays as the honest backstop.
+    4. candidates LEFT-JOIN the light counts (one bucketed groupby);
+       per-doc metas (sz + the doc's HEAVY grams, a short list) attach via
+       two key-hash hops; ``c = c_light + |heavy(A) & heavy(B)|`` is the
+       exact intersection, ``J = c / (sz_a + sz_b - c)`` one exact
+       division (bit-identical to the SQL oracle).
+
+    Exactness: every true pair appears in the prefix candidates (step-3
+    theorem, independent of the df source -- df only ORDERS grams); for
+    any candidate, light counting + heavy-list intersection partitions the
+    true shared-gram set, so c is exact.  No size broadcast remains --
+    both sizes ride the meta hops -- so no doc-count ceiling either."""
     import pandas as pd
-    import ray
+    import ray  # noqa: F401  (exchange workers rehydrate through ray)
 
+    from .aggregate import groupby_agg
     from .exchange import hash_exchange
+
+    if df_index_dir is not None:
+        import json
+        import os
+
+        with open(os.path.join(df_index_dir, "meta.json")) as fh:
+            meta = json.load(fh)
+        if meta["num_buckets"] != num_buckets or \
+                meta["shingle_k"] != shingle_k:
+            raise ValueError(
+                f"df index at {df_index_dir} was built with "
+                f"num_buckets={meta['num_buckets']}, "
+                f"shingle_k={meta['shingle_k']}; call with matching values")
 
     def sketch(ds, key_col):
         return ds.map_batches(
@@ -2467,25 +2583,6 @@ def similarity_join(left_ds, right_ds, threshold: float = 0.5,
     sk_l = sketch(left_ds, left_key)
     sk_r = sketch(right_ds, right_key)
 
-    def sizes(sk, key_col):
-        tabs = [t for t in ray.get(sk.to_arrow_refs()) if t.num_rows]
-        if not tabs:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-        t = pa.concat_tables(tabs).combine_chunks()
-        k = t.column(key_col).to_numpy(zero_copy_only=False)
-        s = t.column("sz").to_numpy(zero_copy_only=False).astype(np.int64)
-        o = np.argsort(k)
-        return k[o], s[o]
-
-    n_docs = sk_l.count() + sk_r.count()
-    if n_docs > size_broadcast_limit:
-        raise ValueError(
-            f"similarity_join: {n_docs} rows exceed size_broadcast_limit="
-            f"{size_broadcast_limit}; raise the limit (the (key, sz) "
-            "broadcast is 16 B/row) or pre-partition the corpora")
-    lk_s, lsz_s = sizes(sk_l, left_key)
-    rk_s, rsz_s = sizes(sk_r, right_key)
-
     def _empty_result():
         import ray.data as rd
 
@@ -2495,9 +2592,16 @@ def similarity_join(left_ds, right_ds, threshold: float = 0.5,
             "jaccard": pa.array([], pa.float64()),
         }))
 
-    if len(lk_s) == 0 or len(rk_s) == 0:
+    if sk_l.count() == 0 or sk_r.count() == 0:
         return _empty_result()
-    sz_ref = ray.put((lk_s, lsz_s, rk_s, rsz_s))
+
+    def _gram_bucket(g_i64: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(np.ascontiguousarray(g_i64).view(
+            np.uint64)) % num_buckets).astype(np.int32)
+
+    def _key_bucket(k_i64: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(k_i64.astype(np.uint64))
+                % num_buckets).astype(np.int32)
 
     def explode(side):
         def fn(t: pa.Table) -> pa.Table:
@@ -2505,19 +2609,171 @@ def similarity_join(left_ds, right_ds, threshold: float = 0.5,
             key_col = left_key if side == 0 else right_key
             keys = t.column(key_col).to_numpy(zero_copy_only=False)
             idx = np.repeat(np.arange(t.num_rows), np.diff(off))
-            g = vals.view(np.uint64)
-            out = pa.table({
-                "gram": pa.array(g.view(np.int64)),
+            g = np.ascontiguousarray(vals)
+            return pa.table({
+                "gram": pa.array(g),
                 "key": pa.array(keys[idx].astype(np.int64)),
                 "side": pa.array(np.full(len(g), side, np.int8)),
+                "__xb": pa.array(_gram_bucket(g)),
             })
-            b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
-            return out.append_column("__bucket", pa.array(b))
 
         return fn
 
     exploded = sk_l.map_batches(explode(0), batch_format="pyarrow").union(
         sk_r.map_batches(explode(1), batch_format="pyarrow"))
+
+    _empty_i64 = pa.array([], pa.int64())
+
+    def _mixed1(pairs_lk, pairs_rk, gs, ks, ss, dfs, xb_annot):
+        """Unified stage-1 output: tag 0 = light pair rows (lk/rk ride the
+        gram/key columns), tag 1 = df-annotated gram rows."""
+        n_p, n_a = len(pairs_lk), len(gs)
+        return pa.table({
+            "tag": pa.array(np.r_[np.zeros(n_p, np.int8),
+                                  np.ones(n_a, np.int8)]),
+            "gram": pa.array(np.r_[pairs_lk, gs]),
+            "key": pa.array(np.r_[pairs_rk, ks]),
+            "side": pa.array(np.r_[np.zeros(n_p, np.int8), ss]),
+            "df": pa.array(np.r_[np.zeros(n_p, np.int64), dfs]),
+            "__xb": pa.array(np.r_[np.zeros(n_p, np.int32), xb_annot]),
+        })
+
+    def classify_and_pair(t: pa.Table) -> pa.Table:
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        s = t.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, s, g))
+        gs, ks, ss = g[order], k[order], s[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        ends = np.append(starts[1:], len(gs))
+        runlen = ends - starts
+        if df_index_dir is not None:
+            ig, idf = _load_df_bucket(
+                df_index_dir,
+                int(pd.util.hash_array(
+                    gs[:1].copy().view(np.uint64)) % num_buckets))
+            pos = np.searchsorted(ig, gs[starts])
+            pos_c = np.minimum(pos, max(len(ig) - 1, 0))
+            df_run = np.where(
+                (len(ig) > 0) & (ig[pos_c] == gs[starts]),
+                idf[pos_c] if len(ig) else 0, 0).astype(np.int64)
+        else:
+            df_run = runlen.astype(np.int64)
+        light = df_run <= heavy_df_limit
+        n_left = np.add.reduceat((ss == 0).astype(np.int64), starts)
+        n_left[runlen == 0] = 0
+        n_right = runlen - n_left
+        per_run = np.where(light, n_left * n_right, 0)
+        total = int(per_run.sum())
+        if total > max_group_pairs:
+            raise ValueError(
+                f"similarity_join: {total} light-gram candidate pairs in "
+                f"one bucket > max_group_pairs={max_group_pairs}; lower "
+                f"heavy_df_limit (currently {heavy_df_limit}) or raise the "
+                "guard")
+        dfs_row = df_run[np.repeat(np.arange(len(starts)), runlen)]
+        xb_annot = _key_bucket(ks)
+        if total == 0:
+            return _mixed1(_empty_i64.to_numpy(zero_copy_only=False),
+                           _empty_i64.to_numpy(zero_copy_only=False),
+                           gs, ks, ss, dfs_row, xb_annot)
+        run_of = np.repeat(np.arange(len(starts)), per_run)
+        base = np.concatenate([[0], np.cumsum(per_run)[:-1]])
+        ordinal = np.arange(total) - base[run_of]
+        li = starts[run_of] + ordinal // np.maximum(n_right[run_of], 1)
+        ri = (starts[run_of] + n_left[run_of]
+              + ordinal % np.maximum(n_right[run_of], 1))
+        return _mixed1(ks[li], ks[ri], gs, ks, ss, dfs_row, xb_annot)
+
+    mixed1 = hash_exchange(exploded, num_buckets, classify_and_pair,
+                           bucket_col="__xb")
+
+    def take_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(
+            t.column("tag").to_numpy(zero_copy_only=False) == 0))
+        return pa.table({"lk": t.column("gram"), "rk": t.column("key")})
+
+    def take_annot(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            t.column("tag").to_numpy(zero_copy_only=False) == 1)).select(
+            ["gram", "key", "side", "df", "__xb"])
+
+    light_counts = groupby_agg(
+        mixed1.map_batches(take_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["lk", "rk"], [("lk", "count_star", "c")], merge="bucketed")
+    annotated = mixed1.map_batches(take_annot, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    _empty_list_i64 = pa.ListArray.from_arrays(
+        pa.array([0], pa.int32()), _empty_i64).slice(0, 0)
+
+    def _mixed2(pg, pk, ps, mk, msd, msz, mhv):
+        """Unified stage-2 output: tag 0 = prefix rows, tag 1 = doc metas
+        (sz + heavy-gram list)."""
+        n_p, n_m = len(pg), len(mk)
+        off = np.zeros(n_p + 1, np.int32)
+        empty_hv = pa.ListArray.from_arrays(pa.array(off), _empty_i64)
+        return pa.table({
+            "tag": pa.array(np.r_[np.zeros(n_p, np.int8),
+                                  np.ones(n_m, np.int8)]),
+            "gram": pa.array(np.r_[pg, np.zeros(n_m, np.int64)]),
+            "key": pa.array(np.r_[pk, mk]),
+            "side": pa.array(np.r_[ps, msd]),
+            "sz": pa.array(np.r_[np.zeros(n_p, np.int64), msz]),
+            "hv": pa.concat_arrays([empty_hv, mhv]),
+            "__xb": pa.array(np.r_[_gram_bucket(pg),
+                                   np.zeros(n_m, np.int32)]),
+        })
+
+    def prefix_and_meta(t: pa.Table) -> pa.Table:
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        s = t.column("side").to_numpy(zero_copy_only=False)
+        d = t.column("df").to_numpy(zero_copy_only=False)
+        # within each (side, key) doc: rarest grams first, (df, gram) total
+        # order -- identical in every bucket and run
+        order = np.lexsort((g, d, k, s))
+        gs, ks, ss, ds_ = g[order], k[order], s[order], d[order]
+        new_doc = np.r_[True, (ks[1:] != ks[:-1]) | (ss[1:] != ss[:-1])]
+        starts = np.flatnonzero(new_doc)
+        sz = np.diff(np.append(starts, len(gs))).astype(np.int64)
+        # p = sz - ceil(t*sz) + 2: the AllPairs prefix plus one safety gram
+        # (a float ceil that overshoots an exact integer by 1 ULP would
+        # otherwise shorten the prefix below the theorem's bound)
+        p = np.clip(sz - np.ceil(threshold * sz).astype(np.int64) + 2,
+                    1, sz)
+        doc_of = np.repeat(np.arange(len(starts)), sz)
+        rank = np.arange(len(gs)) - starts[doc_of]
+        pref = rank < p[doc_of]
+        heavy = ds_ > heavy_df_limit
+        hv_counts = np.add.reduceat(heavy.astype(np.int64), starts)
+        hv_counts[sz == 0] = 0
+        hv_off = np.zeros(len(starts) + 1, np.int64)
+        np.cumsum(hv_counts, out=hv_off[1:])
+        mhv = pa.ListArray.from_arrays(
+            pa.array(hv_off, pa.int32() if hv_off[-1] < 2**31
+                     else pa.int64()).cast(pa.int32()),
+            pa.array(gs[heavy]))
+        return _mixed2(gs[pref], ks[pref], ss[pref],
+                       ks[starts], ss[starts], sz, mhv)
+
+    mixed2 = hash_exchange(annotated, num_buckets, prefix_and_meta,
+                           bucket_col="__xb")
+
+    def take_prefix(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            t.column("tag").to_numpy(zero_copy_only=False) == 0)).select(
+            ["gram", "key", "side", "__xb"])
+
+    def take_meta(side):
+        def fn(t: pa.Table) -> pa.Table:
+            tag = t.column("tag").to_numpy(zero_copy_only=False)
+            sd = t.column("side").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((tag == 1) & (sd == side))).select(
+                ["key", "sz", "hv"])
+
+        return fn
 
     def cross_pairs(t: pa.Table) -> pa.Table:
         g = t.column("gram").to_numpy(zero_copy_only=False)
@@ -2527,7 +2783,6 @@ def similarity_join(left_ds, right_ds, threshold: float = 0.5,
         gs, ks, ss = g[order], k[order], s[order]
         starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
         ends = np.append(starts[1:], len(gs))
-        # per run: left block first (side sorted), then right block
         n_left = np.add.reduceat((ss == 0).astype(np.int64), starts)
         n_left[ends - starts == 0] = 0
         n_right = (ends - starts) - n_left
@@ -2535,12 +2790,13 @@ def similarity_join(left_ds, right_ds, threshold: float = 0.5,
         total = int(per_run.sum())
         if total > max_group_pairs:
             raise ValueError(
-                f"similarity_join: {total} candidate pairs in one bucket >"
-                f" max_group_pairs={max_group_pairs}; raise the guard or"
-                " use a sketch-based matcher for this skew")
+                f"similarity_join: {total} prefix candidate pairs in one "
+                f"bucket > max_group_pairs={max_group_pairs}; this needs a "
+                "corpus where nearly every doc's prefix shares a gram "
+                "(output is quadratic too) -- raise the guard if that is "
+                "the real workload")
         if total == 0:
-            return pa.table({"lk": pa.array([], pa.int64()),
-                             "rk": pa.array([], pa.int64())})
+            return pa.table({"lk": _empty_i64, "rk": _empty_i64})
         run_of = np.repeat(np.arange(len(starts)), per_run)
         base = np.concatenate([[0], np.cumsum(per_run)[:-1]])
         ordinal = np.arange(total) - base[run_of]
@@ -2549,29 +2805,172 @@ def similarity_join(left_ds, right_ds, threshold: float = 0.5,
               + ordinal % np.maximum(n_right[run_of], 1))
         return pa.table({"lk": pa.array(ks[li]), "rk": pa.array(ks[ri])})
 
-    pairs = hash_exchange(exploded, num_buckets, cross_pairs)
-    if pairs.count() == 0:  # no shared gram anywhere: no candidates
+    cand_pairs = hash_exchange(
+        mixed2.map_batches(take_prefix, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        num_buckets, cross_pairs, bucket_col="__xb")
+
+    # candidates LEFT-JOIN light counts: one bucketed groupby over
+    # indicator-tagged unions (sum(is_cand) >= 1 keeps prefix candidates,
+    # c accumulates the light intersection; non-candidate light pairs are
+    # provably below threshold and drop)
+    def tag_cand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "lk": t.column("lk"), "rk": t.column("rk"),
+            "is_cand": pa.array(np.ones(n, np.int64)),
+            "c": pa.array(np.zeros(n, np.int64)),
+        })
+
+    def tag_light(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "lk": t.column("lk"), "rk": t.column("rk"),
+            "is_cand": pa.array(np.zeros(n, np.int64)),
+            "c": t.column("c").cast(pa.int64()),
+        })
+
+    joined = groupby_agg(
+        cand_pairs.map_batches(tag_cand, batch_format="pyarrow",
+                               zero_copy_batch=True).union(
+            light_counts.map_batches(tag_light, batch_format="pyarrow",
+                                     zero_copy_batch=True)),
+        ["lk", "rk"],
+        [("is_cand", "sum", "is_cand"), ("c", "sum", "c")],
+        merge="bucketed")
+
+    def keep_cands(t: pa.Table) -> pa.Table:
+        m = t.column("is_cand").to_numpy(zero_copy_only=False) >= 1
+        return t.filter(pa.array(m)).select(["lk", "rk", "c"])
+
+    cands = joined.map_batches(keep_cands, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    if cands.count() == 0:
         return _empty_result()
 
-    from .aggregate import groupby_agg
+    # ---- meta hops: attach (sz, heavy list) of each endpoint ------------
+    hop_schema_empty = pa.table({
+        "k": _empty_i64, "o": _empty_i64, "c": _empty_i64,
+        "sza": _empty_i64, "hva": _empty_list_i64,
+        "kind": pa.array([], pa.int8()),
+        "__xb": pa.array([], pa.int32()),
+    })
 
-    counts = groupby_agg(pairs, ["lk", "rk"], [("lk", "count_star", "c")],
-                         merge="bucketed")
-
-    def verify(t: pa.Table) -> pa.Table:
-        lks, lszs, rks, rszs = ray.get(sz_ref)
+    def tag_cand_hop1(t: pa.Table) -> pa.Table:
         lk = t.column("lk").to_numpy(zero_copy_only=False)
-        rk = t.column("rk").to_numpy(zero_copy_only=False)
-        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
-        sa = lszs[np.searchsorted(lks, lk)].astype(np.float64)
-        sb = rszs[np.searchsorted(rks, rk)].astype(np.float64)
+        n = len(lk)
+        return pa.table({
+            "k": pa.array(lk), "o": t.column("rk"),
+            "c": t.column("c").cast(pa.int64()),
+            "sza": pa.array(np.zeros(n, np.int64)),
+            "hva": pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, np.int32)), _empty_i64),
+            "kind": pa.array(np.zeros(n, np.int8)),
+            "__xb": pa.array(_key_bucket(lk)),
+        })
+
+    def tag_meta_hop(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        n = len(k)
+        return pa.table({
+            "k": pa.array(k),
+            "o": pa.array(np.zeros(n, np.int64)),
+            "c": pa.array(np.zeros(n, np.int64)),
+            "sza": t.column("sz").cast(pa.int64()),
+            "hva": t.column("hv"),
+            "kind": pa.array(np.ones(n, np.int8)),
+            "__xb": pa.array(_key_bucket(k)),
+        })
+
+    def _split_kinds(t: pa.Table):
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        metas = t.filter(pa.array(kind == 1))
+        cands_t = t.filter(pa.array(kind == 0))
+        mk = metas.column("k").to_numpy(zero_copy_only=False)
+        mo = np.argsort(mk)
+        return cands_t, mk[mo], metas.column("sza").to_numpy(
+            zero_copy_only=False)[mo], \
+            metas.column("hva").combine_chunks().take(pa.array(mo))
+
+    def attach_left(t: pa.Table) -> pa.Table:
+        cands_t, mk, msz, mhv = _split_kinds(t)
+        if cands_t.num_rows == 0:
+            return hop_schema_empty
+        ck = cands_t.column("k").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(mk, ck)
+        ok = (idx < len(mk))
+        idx_c = np.minimum(idx, max(len(mk) - 1, 0))
+        ok &= (mk[idx_c] == ck) if len(mk) else False
+        cands_t = cands_t.filter(pa.array(ok))
+        if cands_t.num_rows == 0:
+            return hop_schema_empty
+        idx = idx_c[ok]
+        rk = cands_t.column("o").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(rk),
+            "o": cands_t.column("k"),
+            "c": cands_t.column("c"),
+            "sza": pa.array(msz[idx]),
+            "hva": mhv.take(pa.array(idx)),
+            "kind": pa.array(np.zeros(len(idx), np.int8)),
+            "__xb": pa.array(_key_bucket(rk)),
+        })
+
+    def attach_right_and_score(t: pa.Table) -> pa.Table:
+        final_empty = pa.table({
+            "left_key": _empty_i64, "right_key": _empty_i64,
+            "jaccard": pa.array([], pa.float64()),
+        })
+        cands_t, mk, msz, mhv = _split_kinds(t)
+        if cands_t.num_rows == 0:
+            return final_empty
+        ck = cands_t.column("k").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(mk, ck)
+        ok = (idx < len(mk))
+        idx_c = np.minimum(idx, max(len(mk) - 1, 0))
+        ok &= (mk[idx_c] == ck) if len(mk) else False
+        cands_t = cands_t.filter(pa.array(ok))
+        if cands_t.num_rows == 0:
+            return final_empty
+        idx = idx_c[ok]
+        n = cands_t.num_rows
+        c_light = cands_t.column("c").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sa = cands_t.column("sza").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sb = msz[idx].astype(np.float64)
+        # exact heavy-gram intersection, fully vectorized: grams are
+        # unique within a side's list, so after lexsort by (pair, gram)
+        # every adjacent duplicate is one cross-side match
+        av, ao = _list_col_parts(cands_t.column("hva"))
+        hvb = mhv.take(pa.array(idx))
+        bv, bo = _list_col_parts(hvb)
+        pid = np.r_[np.repeat(np.arange(n), np.diff(ao)),
+                    np.repeat(np.arange(n), np.diff(bo))]
+        gm = np.r_[av, bv]
+        order = np.lexsort((gm, pid))
+        ps, gs2 = pid[order], gm[order]
+        eq = (ps[1:] == ps[:-1]) & (gs2[1:] == gs2[:-1])
+        c_heavy = np.bincount(ps[1:][eq], minlength=n).astype(np.float64)
+        c = c_light + c_heavy
         j = c / (sa + sb - c)
         keep = j >= threshold
         return pa.table({
-            "left_key": pa.array(lk[keep]),
-            "right_key": pa.array(rk[keep]),
+            "left_key": cands_t.column("o").filter(pa.array(keep)),
+            "right_key": cands_t.column("k").filter(pa.array(keep)),
             "jaccard": pa.array(j[keep]),
         })
 
-    return counts.map_batches(verify, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    hop1_in = cands.map_batches(tag_cand_hop1, batch_format="pyarrow",
+                                zero_copy_batch=True).union(
+        mixed2.map_batches(take_meta(0), batch_format="pyarrow",
+                           zero_copy_batch=True).map_batches(
+            tag_meta_hop, batch_format="pyarrow", zero_copy_batch=True))
+    hop1 = hash_exchange(hop1_in, num_buckets, attach_left,
+                         bucket_col="__xb")
+    hop2_in = hop1.union(
+        mixed2.map_batches(take_meta(1), batch_format="pyarrow",
+                           zero_copy_batch=True).map_batches(
+            tag_meta_hop, batch_format="pyarrow", zero_copy_batch=True))
+    return hash_exchange(hop2_in, num_buckets, attach_right_and_score,
+                         bucket_col="__xb")

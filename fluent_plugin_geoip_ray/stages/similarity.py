@@ -845,6 +845,10 @@ def pq_search(encoded_ds, codebooks: np.ndarray, queries: np.ndarray,
     partials = encoded_ds.map_batches(scorer, batch_format="pyarrow",
                                       zero_copy_batch=True).to_pandas()
     out = {"query_id": [], id_col: [], "score": [], "rank": []}
+    if len(partials) == 0:
+        # empty encoded input: Ray's to_pandas drops columns entirely, so
+        # the groupby below would raise -- emit the typed empty result
+        partials = partials.reindex(columns=["query_id", id_col, "score"])
     for qid, g in partials.groupby("query_id"):
         top = g.sort_values(["score", id_col],
                             ascending=[False, True]).head(k)
@@ -852,7 +856,12 @@ def pq_search(encoded_ds, codebooks: np.ndarray, queries: np.ndarray,
         out[id_col].extend(top[id_col])
         out["score"].extend(top["score"])
         out["rank"].extend(range(1, len(top) + 1))
-    return pa.table({kk: pa.array(v) for kk, v in out.items()})
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        id_col: pa.array(out[id_col], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+    })
 
 
 def _fixed_list_to_uint8(col, width: int) -> np.ndarray:
@@ -880,7 +889,15 @@ def pq_search_rerank(encoded_ds, codebooks: np.ndarray, raw_ds,
                       id_col=id_col, code_col=code_col).to_pandas()
     per_query = {int(qid): set(g[id_col].astype(np.int64))
                  for qid, g in short.groupby("query_id")}
-    union_ids = np.array(sorted(set().union(*per_query.values())), np.int64)
+    union_ids = np.array(sorted(set().union(*per_query.values())), np.int64) \
+        if per_query else np.empty(0, np.int64)
+    if len(union_ids) == 0:
+        # empty shortlist (e.g. every probed bucket was empty): an empty
+        # result, same convention as similarity_join's _empty_result
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int64())})
     ids_ref = ray.put(union_ids)
 
     def keep(t: pa.Table) -> pa.Table:
@@ -904,7 +921,12 @@ def pq_search_rerank(encoded_ds, codebooks: np.ndarray, raw_ds,
         out[id_col].extend(top[id_col])
         out["score"].extend(top["score"])
         out["rank"].extend(range(1, len(top) + 1))
-    return pa.table({kk: pa.array(v) for kk, v in out.items()})
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        id_col: pa.array(out[id_col], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+    })
 
 
 # --------------------------------------------------------------------------

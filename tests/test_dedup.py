@@ -1140,3 +1140,145 @@ def test_similarity_join_empty_and_disjoint_inputs():
     out2_ds = similarity_join(rd.from_arrow(left), rd.from_arrow(right))
     assert out2_ds.count() == 0
     assert out2_ds.schema().names == ["left_key", "right_key", "jaccard"]
+
+
+def _simjoin_referee(left, right, threshold, shingle_k=3):
+    from fluent_plugin_geoip_ray.stages.dedup import _gram_sets
+
+    def sets(t):
+        gs, off = _gram_sets(t, "text", shingle_k)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return {int(ids[i]): set(gs[off[i]:off[i + 1]].tolist())
+                for i in range(len(ids))}
+
+    L, R = sets(left), sets(right)
+    expect = []
+    for lk, a in L.items():
+        for rk, b in R.items():
+            u = len(a | b)
+            j = len(a & b) / u if u else 0.0
+            if j >= threshold:
+                expect.append((lk, rk, j))
+    expect.sort()
+    return expect
+
+
+def test_similarity_join_stop_gram_skew_no_blowup():
+    """A stop gram shared by EVERY doc must not trip max_group_pairs: hot
+    grams are classified heavy (no pair emission), candidates come from
+    rarest-first prefixes, and the heavy-list correction keeps results
+    exact vs the all-pairs referee."""
+    from fluent_plugin_geoip_ray.stages.dedup import similarity_join
+
+    n = 60
+
+    def words(tag, i):
+        # 9 doc-unique words + a 3-word stop tail shared by EVERY doc:
+        # 2 heavy trigrams (df = 2n), 9 doc-local light trigrams
+        u = " ".join(f"{tag}{i}{c}" for c in "abcdefghj")
+        return f"{u} the end line"
+
+    left = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": [words("u", i) for i in range(n)],
+    })
+    right = pa.table({
+        "doc_id": pa.array(range(100, 100 + n), pa.int64()),
+        "text": ([words("u", i) for i in range(n // 2)]  # identical to left
+                 + [words("r", i) for i in range(n // 2, n)]),
+    })
+    # heavy_df_limit=4 classifies the stop grams (df=120) heavy;
+    # max_group_pairs=2000 would trip the OLD all-run-emission design
+    # (each stop gram alone emits n*n = 3600 cross pairs) but passes with
+    # prefix candidates + light counting
+    out = (similarity_join(rd.from_arrow(left), rd.from_arrow(right),
+                           threshold=0.5, heavy_df_limit=4,
+                           max_group_pairs=2000)
+           .to_pandas().sort_values(["left_key", "right_key"])
+           .reset_index(drop=True))
+    expect = _simjoin_referee(left, right, 0.5)
+    got = list(map(tuple, out[["left_key", "right_key", "jaccard"]]
+                   .itertuples(index=False)))
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in expect]
+    for (_, _, gj), (_, _, ej) in zip(got, expect):
+        assert gj == ej
+    assert len(got) >= n // 2  # the near-identical half matched
+
+
+def test_similarity_join_all_heavy_pair_found():
+    """A pair whose EVERY shared gram is heavy (shared only stop grams)
+    must still be found via the prefix candidates."""
+    from fluent_plugin_geoip_ray.stages.dedup import similarity_join
+
+    stop = "aaa bbb ccc ddd eee"  # 3 trigrams, shared by everything
+    left = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": [stop] * 5,
+    })
+    right = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": [stop, stop + " zzz"],
+    })
+    out = (similarity_join(rd.from_arrow(left), rd.from_arrow(right),
+                           threshold=0.5, heavy_df_limit=2)
+           .to_pandas().sort_values(["left_key", "right_key"])
+           .reset_index(drop=True))
+    expect = _simjoin_referee(left, right, 0.5)
+    got = list(map(tuple, out[["left_key", "right_key", "jaccard"]]
+                   .itertuples(index=False)))
+    assert [(a, b, j) for a, b, j in got] == expect
+    assert len(got) == 10  # 5 exact x doc10 + 5 x doc11 (J=3/4 >= 0.5)
+
+
+def test_similarity_join_df_index_parity_and_reuse(tmp_path):
+    """A persisted gram-df index gives bit-identical results (df only
+    orders grams) and is reused across runs without rebuilding."""
+    import os
+
+    from fluent_plugin_geoip_ray.stages.dedup import (
+        build_gram_df_index,
+        similarity_join,
+    )
+
+    left = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["the quick brown fox jumps high",
+                 "completely different words here now",
+                 "the quick brown fox jumps"],
+    })
+    right = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": ["the quick brown fox jumps high today",
+                 "unrelated content entirely"],
+    })
+    idx = str(tmp_path / "gram_df")
+    build_gram_df_index([(rd.from_arrow(left), "doc_id"),
+                         (rd.from_arrow(right), "doc_id")], idx,
+                        num_buckets=8)
+    assert os.path.exists(os.path.join(idx, "meta.json"))
+
+    direct = (similarity_join(rd.from_arrow(left), rd.from_arrow(right),
+                              threshold=0.3, num_buckets=8)
+              .to_pandas().sort_values(["left_key", "right_key"])
+              .reset_index(drop=True))
+    via_idx = (similarity_join(rd.from_arrow(left), rd.from_arrow(right),
+                               threshold=0.3, num_buckets=8,
+                               df_index_dir=idx)
+               .to_pandas().sort_values(["left_key", "right_key"])
+               .reset_index(drop=True))
+    assert direct.equals(via_idx)
+
+    # resume/reuse: index files untouched by the query pass
+    mtimes = {f: os.path.getmtime(os.path.join(idx, f))
+              for f in os.listdir(idx)}
+    similarity_join(rd.from_arrow(left), rd.from_arrow(right),
+                    threshold=0.3, num_buckets=8, df_index_dir=idx
+                    ).to_pandas()
+    assert mtimes == {f: os.path.getmtime(os.path.join(idx, f))
+                      for f in os.listdir(idx)}
+
+    # mismatched build params are rejected up front
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        similarity_join(rd.from_arrow(left), rd.from_arrow(right),
+                        num_buckets=16, df_index_dir=idx)

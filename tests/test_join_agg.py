@@ -1087,3 +1087,21 @@ def test_zscore_flag_all_null_key_and_empty_stats():
                                                   pa.float64())})
     out2 = zscore_flag(rd.from_arrow(t2), "k", "v").to_pandas()
     assert not out2["is_anomaly"].any()
+
+
+def test_pivot_counts_empty_values_other_only():
+    """values=[] with other counts every row (the np.ones path that used
+    to NameError inside the worker); empty values without other rejects."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import pivot_counts
+
+    t = pa.table({"k": ["u", "u", "v"], "e": ["x", None, "y"]})
+    out = (pivot_counts(rd.from_arrow(t).repartition(2), "k", "e",
+                        values=[], other="all")
+           .to_pandas().set_index("k").sort_index())
+    assert out.loc["u", "all"] == 2 and out.loc["v", "all"] == 1
+    with pytest.raises(ValueError):
+        pivot_counts(rd.from_arrow(t), "k", "e", values=[])

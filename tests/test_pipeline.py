@@ -428,3 +428,105 @@ def test_compact_sink_preserves_rows(sf_path, tmp_path):
     after2 = glob.glob(os.path.join(raw, "part=*", "*.parquet"))
     assert sum(pq.read_table(f).num_rows for f in after2) == rows_before
     assert len(after2) == len(after)
+
+
+def _partition_rows(part):
+    from fluent_plugin_geoip_ray.pipelines.flagship import partition_live_files
+
+    lc, lb, _ = partition_live_files(part)
+    return sum(pq.read_table(f).num_rows for f in lc + lb)
+
+
+def test_compact_sink_crash_before_commit_is_invisible(sf_path, tmp_path):
+    """A compaction that crashes BEFORE its manifest commit leaves
+    uncommitted compact-g* files; the committed view must ignore them
+    (no double rows) and a re-run must converge."""
+    import shutil
+
+    from fluent_plugin_geoip_ray.pipelines.flagship import (
+        compact_sink,
+        partition_live_files,
+    )
+
+    out = str(tmp_path / "crash1")
+    run_flagship(sf_path, out_dir=out)
+    raw = os.path.join(out, "raw")
+    parts = sorted(glob.glob(os.path.join(raw, "part=*")))
+    assert parts
+    part = parts[0]
+    rows = _partition_rows(part)
+
+    # simulate the crash: a full-content compact-g file exists but no
+    # manifest was ever committed
+    batch = sorted(glob.glob(os.path.join(part, "batch-*.parquet")))
+    merged = pa.concat_tables([pq.read_table(f) for f in batch])
+    pq.write_table(merged, os.path.join(part, "compact-g0000-00000.parquet"))
+
+    lc, lb, man = partition_live_files(part)
+    assert man is None and lc == [] and len(lb) == len(batch)
+    assert _partition_rows(part) == rows  # stray gen file invisible
+
+    report = compact_sink(raw, target_rows_per_file=10_000_000)
+    assert _partition_rows(part) == rows
+    # the stray uncommitted file was garbage-collected post-commit
+    names = [os.path.basename(f)
+             for f in glob.glob(os.path.join(part, "compact-*.parquet"))]
+    assert "compact-g0000-00000.parquet" not in names
+    assert sum(r["rows"] for r in report.values()) >= rows
+
+
+def test_compact_sink_crash_after_commit_excludes_absorbed(sf_path, tmp_path):
+    """A crash AFTER the manifest commit but BEFORE cleanup leaves both the
+    new compact files and the absorbed batch files on disk; readers and
+    re-runs must count each row exactly once."""
+    import json
+
+    from fluent_plugin_geoip_ray.pipelines.flagship import (
+        _COMPACT_MANIFEST,
+        compact_sink,
+        partition_live_files,
+        read_sink_partition,
+    )
+
+    out = str(tmp_path / "crash2")
+    run_flagship(sf_path, out_dir=out)
+    raw = os.path.join(out, "raw")
+    part = sorted(glob.glob(os.path.join(raw, "part=*")))[0]
+    rows = _partition_rows(part)
+    batch_before = sorted(glob.glob(os.path.join(part, "batch-*.parquet")))
+
+    compact_sink(raw, target_rows_per_file=10_000_000)
+    # resurrect the absorbed batch files (as if cleanup never ran)
+    man = json.load(open(os.path.join(part, _COMPACT_MANIFEST)))
+    lc, _, _ = partition_live_files(part)
+    src = pq.read_table(lc)
+    for name in man["absorbed"]:
+        pq.write_table(src.slice(0, 1), os.path.join(part, name))
+
+    # committed view excludes them: exactly-once rows
+    assert _partition_rows(part) == rows
+    assert read_sink_partition(part).count() == rows
+
+    # re-run converges: skip (nothing new) but the duplicates stay excluded
+    compact_sink(raw, target_rows_per_file=10_000_000)
+    assert _partition_rows(part) == rows
+
+
+def test_compact_sink_parallel_covers_all_partitions(sf_path, tmp_path):
+    """Parallel mode compacts every partition concurrently (one Ray task
+    each) with the same per-partition results as serial."""
+    from fluent_plugin_geoip_ray.pipelines.flagship import compact_sink
+
+    out_a = str(tmp_path / "par")
+    out_b = str(tmp_path / "ser")
+    run_flagship(sf_path, out_dir=out_a)
+    run_flagship(sf_path, out_dir=out_b)
+
+    rep_par = compact_sink(os.path.join(out_a, "raw"),
+                           target_rows_per_file=10_000_000, parallel=True)
+    rep_ser = compact_sink(os.path.join(out_b, "raw"),
+                           target_rows_per_file=10_000_000, parallel=False)
+    assert set(rep_par) == set(rep_ser) and len(rep_par) >= 1
+    for k in rep_par:
+        assert rep_par[k]["rows"] == rep_ser[k]["rows"]
+        assert rep_par[k]["files_after"] == rep_ser[k]["files_after"]

@@ -568,3 +568,29 @@ def test_ivfpq_index_roundtrip_and_rerank(tmp_path):
     for qid in range(3):
         assert int(rr[(rr["query_id"] == qid)
                       & (rr["rank"] == 1)]["vec_id"].iloc[0]) == qid
+
+
+def test_pq_search_rerank_empty_shortlist_returns_typed_empty():
+    """An empty encoded dataset (e.g. all probed IVF buckets empty) must
+    return an empty typed result, not IndexError on the empty id union."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.similarity import pq_search_rerank
+
+    dim, m, ksub = 8, 4, 4
+    books = np.zeros((m, ksub, dim // m))
+    enc = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "pq_code": pa.FixedSizeListArray.from_arrays(
+            pa.array([], pa.uint8()), m),
+    }))
+    raw = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    out = pq_search_rerank(enc, books, raw, np.ones((2, dim)), k=3)
+    assert out.num_rows == 0
+    assert out.column_names == ["query_id", "vec_id", "score", "rank"]
+    assert out.schema.field("score").type == pa.float64()
