@@ -1235,7 +1235,7 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
                 threshold: float = 0.5, shingle_k: int = 3,
                 num_buckets: int = 32, max_group_pairs: int = 5_000_000,
                 loser_broadcast_limit: int = 5_000_000,
-                size_broadcast_limit: int = 5_000_000):
+                heavy_df_limit: int = 1024):
     """EXACT word-k-gram Jaccard dedup -- no sketching approximation.
 
     Semantics (SQL-matchable, unlike the LSH/CC family): drop row X iff
@@ -1245,7 +1245,8 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
     locally-novel members.
 
     Algorithm (exact intersection COUNTING -- the inverted-index family of
-    the All-Pairs exact similarity-join literature):
+    the All-Pairs/PPJoin exact similarity-join literature, skew-robust
+    via hot-gram classification -- same hybrid as :func:`similarity_join`):
 
     1. sketch: per-doc sorted-unique gram-hash sets (one vectorized pass);
        text goes no further.
@@ -1255,31 +1256,32 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
        counting -- exact duplicates (the dominant web-corpus duplicate
        class) cost O(docs) instead of O(dup_pairs), provably without
        changing pairwise-earlier semantics (see inline proof).
-    2. invert: explode (gram, key) rows and hash-exchange them on gram;
-       inside each identical-gram run of m docs emit all C(m,2)
-       (larger_key, smaller_key) pairs -- one 16-byte row per SHARED gram
-       per pair, never a gram array (``max_group_pairs`` guards quadratic
-       blowup on pathological skew -- the honest failure is an error
-       advising ``dedup_minhash``, not a silent cap).
-    3. count: grouped COUNT per (a, b) via the bucketed exchange == the
-       EXACT intersection |Ga & Gb| (grams are unique within a doc).
-    4. verify: J = c / (sz_a + sz_b - c) >= t, one vectorized pass.  The
-       (key, sz) table is 16 B/doc: broadcast as sorted arrays under
-       ``size_broadcast_limit`` docs, else attached by two bucketed joins
-       (24 B/pair per hop).  Any pair with J >= t shares >= 1 gram, so
-       counting misses nothing; zero-overlap pairs have J = 0 and are
-       correctly absent (both facts hold for every t, since t = 0 still
-       requires a shared gram to produce J >= 0 via a candidate -- the
-       prior prefix scheme had the identical candidate domain).
+    2. invert + classify: explode (gram, key) rows and hash-exchange on
+       gram; inside each identical-gram run of m docs, LIGHT runs
+       (df <= ``heavy_df_limit``) emit all C(m,2) (larger, smaller) key
+       pairs -- grouped COUNT = EXACT ``|Ga & Gb & light|``; HEAVY runs (a
+       stop gram in every doc) emit NOTHING here, so skew costs O(docs)
+       annotation rows, never C(m,2).  ``max_group_pairs`` stays as the
+       honest backstop.
+    3. prefix candidates: every row re-exchanges on its doc key carrying
+       df; per doc the ``sz - ceil(t*sz) + 2`` RAREST grams (the AllPairs
+       prefix, +1 safety for float ceil) exchange on gram and cross within
+       runs -- a COMPLETE candidate set: if J(X,Y) >= t their prefixes
+       share a gram, for ANY consistent df assignment.
+    4. judge: candidates LEFT-JOIN the light counts (one bucketed
+       groupby); per-doc metas (sz + the doc's HEAVY grams, a short list)
+       attach via two key-hash hops; ``c = c_light + |heavy(A) & heavy(B)|``
+       is the exact intersection and ``c >= t * (sz_a + sz_b - c)`` the
+       exact test -- no size broadcast, no doc-count ceiling.
     5. drop: losers (the larger key of each verified pair) leave via the
        broadcast anti-filter under ``loser_broadcast_limit``, else the
        bucketed anti-join -- corpus text moves at most once, end to end.
 
-    Replaces the earlier prefix-filter + gram-array verify: that design
-    shipped each doc's gram array once per candidate pair-endpoint (~1 GB
-    for 5k docs / 567k candidates at t=0.5) and verified in a per-pair
-    Python ``intersect1d`` loop; counting ships 16 B per shared gram
-    (1.3M rows on the same corpus) and verifies in one vectorized pass.
+    History: an early prefix design verified with per-pair gram ARRAYS
+    (shipped each doc's grams once per candidate endpoint; abandoned);
+    round 3 used pure counting over ALL runs (exact but hard-errored on
+    hot grams).  This hybrid keeps counting for the bulk and ships only
+    the short heavy lists per candidate, so both failure modes are gone.
     """
     import pandas as pd
     import ray
@@ -1354,31 +1356,165 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
         vals, off = _list_col_parts(t.column("grams"))
         keys = t.column(key_col).to_numpy(zero_copy_only=False)
         doc_rep = np.repeat(np.arange(len(off) - 1), np.diff(off))
+        g = np.ascontiguousarray(vals)
+        gb = (pd.util.hash_array(g.view(np.uint64))
+              % num_buckets).astype(np.int32)
         return pa.table({
-            "gram": pa.array(vals),
-            key_col: pa.array(keys[doc_rep].astype(np.int64)),
+            "gram": pa.array(g),
+            "key": pa.array(keys[doc_rep].astype(np.int64)),
+            "__xb": pa.array(gb),
         })
 
-    def emit_pairs(g: pa.Table) -> pa.Table:
-        gr = g.column("gram").to_numpy(zero_copy_only=False)
-        ky = g.column(key_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ky, gr))
-        gr, ky = gr[order], ky[order]
+    def _kb(k_i64: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(k_i64.astype(np.uint64))
+                % num_buckets).astype(np.int32)
+
+    def _gb(g_i64: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(np.ascontiguousarray(g_i64).view(
+            np.uint64)) % num_buckets).astype(np.int32)
+
+    _e_i64 = np.empty(0, np.int64)
+
+    def _mixed1(pair_a, pair_b, gs, ks, dfs, xb_annot):
+        """tag 0 = light (later_key, earlier_key) pairs riding gram/key;
+        tag 1 = df-annotated gram rows re-bucketed by key."""
+        n_p, n_a = len(pair_a), len(gs)
+        return pa.table({
+            "tag": pa.array(np.r_[np.zeros(n_p, np.int8),
+                                  np.ones(n_a, np.int8)]),
+            "gram": pa.array(np.r_[pair_a, gs]),
+            "key": pa.array(np.r_[pair_b, ks]),
+            "df": pa.array(np.r_[np.zeros(n_p, np.int64), dfs]),
+            "__xb": pa.array(np.r_[np.zeros(n_p, np.int32), xb_annot]),
+        })
+
+    def classify_and_pair(t: pa.Table) -> pa.Table:
+        """Per identical-gram run: LIGHT runs (df <= heavy_df_limit) emit
+        every (later, earlier) key pair -- grouped COUNT = exact
+        ``|Ga & Gb & light|``; heavy runs emit nothing (a stop gram in
+        every doc costs O(docs) annotation rows, never C(m,2) pairs).
+        Every row re-exchanges on its key carrying df."""
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, g))
+        gr, ky = g[order], k[order]
         starts = np.flatnonzero(np.r_[True, gr[1:] != gr[:-1]])
         lens = np.diff(np.append(starts, len(gr)))
-        # within-run position: element e pairs with every EARLIER member of
-        # its identical-gram run (keys are distinct and ascend within a run)
+        df_run = lens.astype(np.int64)
+        light_row = np.repeat(df_run <= heavy_df_limit, lens)
+        w = np.arange(len(gr), dtype=np.int64) - np.repeat(starts, lens)
+        w = np.where(light_row, w, 0)
+        n_pairs = int(w.sum())
+        if n_pairs > max_group_pairs:
+            raise ValueError(
+                f"n-gram Jaccard light-gram blowup: {n_pairs} pairs in one "
+                f"exchange bucket (> max_group_pairs={max_group_pairs}); "
+                f"lower heavy_df_limit (currently {heavy_df_limit}) or "
+                "raise the guard")
+        dfs_row = np.repeat(df_run, lens)
+        xb = _kb(ky)
+        if n_pairs == 0:
+            return _mixed1(_e_i64, _e_i64, gr, ky, dfs_row, xb)
+        jidx = np.repeat(np.arange(len(gr), dtype=np.int64), w)
+        cum = np.zeros(len(gr), dtype=np.int64)
+        np.cumsum(w[:-1], out=cum[1:])
+        within_j = np.arange(n_pairs, dtype=np.int64) - cum[jidx]
+        iidx = jidx - w[jidx] + within_j
+        return _mixed1(ky[jidx], ky[iidx], gr, ky, dfs_row, xb)
+
+    exploded = sketches.map_batches(explode_all, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    mixed1 = hash_exchange(exploded, num_buckets, classify_and_pair,
+                           bucket_col="__xb")
+
+    def take_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(
+            t.column("tag").to_numpy(zero_copy_only=False) == 0))
+        return pa.table({"a": t.column("gram"), "b": t.column("key")})
+
+    def take_annot(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            t.column("tag").to_numpy(zero_copy_only=False) == 1)).select(
+            ["gram", "key", "df", "__xb"])
+
+    light_counts = groupby_agg(
+        mixed1.map_batches(take_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["a", "b"], [("a", "count_star", "c")], merge="bucketed")
+    annotated = mixed1.map_batches(take_annot, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    def _mixed2(pg, pk, mk, msz, mhv):
+        """tag 0 = prefix rows, tag 1 = doc metas (sz + heavy-gram list)."""
+        n_p, n_m = len(pg), len(mk)
+        empty_hv = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n_p + 1, np.int32)), pa.array(_e_i64))
+        return pa.table({
+            "tag": pa.array(np.r_[np.zeros(n_p, np.int8),
+                                  np.ones(n_m, np.int8)]),
+            "gram": pa.array(np.r_[pg, np.zeros(n_m, np.int64)]),
+            "key": pa.array(np.r_[pk, mk]),
+            "sz": pa.array(np.r_[np.zeros(n_p, np.int64), msz]),
+            "hv": pa.concat_arrays([empty_hv, mhv]),
+            "__xb": pa.array(np.r_[_gb(pg), np.zeros(n_m, np.int32)]),
+        })
+
+    def prefix_and_meta(t: pa.Table) -> pa.Table:
+        """Per doc: the AllPairs rarest-first prefix (sz - ceil(t*sz) + 2
+        grams, +1 safety for float ceil) plus a meta row carrying sz and
+        the doc's HEAVY grams for the exact correction at judge time."""
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        d = t.column("df").to_numpy(zero_copy_only=False)
+        order = np.lexsort((g, d, k))
+        gs, ks, ds_ = g[order], k[order], d[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        sz = np.diff(np.append(starts, len(gs))).astype(np.int64)
+        p = np.clip(sz - np.ceil(threshold * sz).astype(np.int64) + 2,
+                    1, sz)
+        doc_of = np.repeat(np.arange(len(starts)), sz)
+        rank = np.arange(len(gs)) - starts[doc_of]
+        pref = rank < p[doc_of]
+        heavy = ds_ > heavy_df_limit
+        hv_counts = np.add.reduceat(heavy.astype(np.int64), starts)
+        hv_counts[sz == 0] = 0
+        hv_off = np.zeros(len(starts) + 1, np.int64)
+        np.cumsum(hv_counts, out=hv_off[1:])
+        mhv = pa.ListArray.from_arrays(
+            pa.array(hv_off).cast(pa.int32()), pa.array(gs[heavy]))
+        return _mixed2(gs[pref], ks[pref], ks[starts], sz, mhv)
+
+    mixed2 = hash_exchange(annotated, num_buckets, prefix_and_meta,
+                           bucket_col="__xb")
+
+    def take_prefix(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            t.column("tag").to_numpy(zero_copy_only=False) == 0)).select(
+            ["gram", "key", "__xb"])
+
+    def take_meta(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            t.column("tag").to_numpy(zero_copy_only=False) == 1)).select(
+            ["key", "sz", "hv"])
+
+    def cross_prefix_pairs(t: pa.Table) -> pa.Table:
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, g))
+        gr, ky = g[order], k[order]
+        starts = np.flatnonzero(np.r_[True, gr[1:] != gr[:-1]])
+        lens = np.diff(np.append(starts, len(gr)))
         w = np.arange(len(gr), dtype=np.int64) - np.repeat(starts, lens)
         n_pairs = int(w.sum())
         if n_pairs > max_group_pairs:
             raise ValueError(
-                f"n-gram Jaccard candidate blowup: {n_pairs} pairs in one "
-                f"exchange bucket (> max_group_pairs={max_group_pairs}); "
-                "raise the threshold or use dedup_minhash for this corpus"
-            )
+                f"n-gram Jaccard prefix-candidate blowup: {n_pairs} pairs "
+                f"in one bucket (> max_group_pairs={max_group_pairs}); "
+                "nearly every doc's prefix shares a gram -- the true "
+                "duplicate graph is near-quadratic too; raise the guard "
+                "if that is the real workload")
         if n_pairs == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
+            return pa.table({"a": pa.array(_e_i64), "b": pa.array(_e_i64)})
         jidx = np.repeat(np.arange(len(gr), dtype=np.int64), w)
         cum = np.zeros(len(gr), dtype=np.int64)
         np.cumsum(w[:-1], out=cum[1:])
@@ -1386,74 +1522,163 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
         iidx = jidx - w[jidx] + within_j
         return pa.table({"a": pa.array(ky[jidx]), "b": pa.array(ky[iidx])})
 
-    exploded = sketches.map_batches(explode_all, batch_format="pyarrow",
-                                    zero_copy_batch=True)
-    pairs_raw = hash_exchange(
-        exploded.map_batches(lambda t: hash_bucket(t, "gram"),
-                             batch_format="pyarrow", zero_copy_batch=True),
-        num_buckets, emit_pairs, bucket_col="__xb")
-    pairs = groupby_agg(pairs_raw, ["a", "b"], [("a", "count", "__c")],
-                        merge="bucketed")
+    cand_pairs = hash_exchange(
+        mixed2.map_batches(take_prefix, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        num_buckets, cross_prefix_pairs, bucket_col="__xb")
 
-    def size_rows(a_name: str, sz_name: str):
-        def fn(t: pa.Table) -> pa.Table:
-            return pa.table({
-                a_name: t.column(key_col).cast(pa.int64()),
-                sz_name: t.column("sz").cast(pa.int64()),
-            })
+    def tag_cand(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "a": t.column("a"), "b": t.column("b"),
+            "is_cand": pa.array(np.ones(n, np.int64)),
+            "c": pa.array(np.zeros(n, np.int64)),
+        })
 
-        return fn
+    def tag_light(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({
+            "a": t.column("a"), "b": t.column("b"),
+            "is_cand": pa.array(np.zeros(n, np.int64)),
+            "c": t.column("c").cast(pa.int64()),
+        })
 
-    n_docs = sketches.count()
-    if n_docs <= size_broadcast_limit:
-        st = pa.concat_tables(
-            [t for t in ray.get(
-                sketches.map_batches(
-                    size_rows(key_col, "sz"), batch_format="pyarrow",
-                    zero_copy_batch=True).to_arrow_refs())
-             if t.num_rows])
-        sk = st.column(key_col).to_numpy(zero_copy_only=False)
-        sv = st.column("sz").to_numpy(zero_copy_only=False)
-        order = np.argsort(sk)
-        sizes_ref = ray.put((sk[order], sv[order]))
+    joined = groupby_agg(
+        cand_pairs.map_batches(tag_cand, batch_format="pyarrow",
+                               zero_copy_batch=True).union(
+            light_counts.map_batches(tag_light, batch_format="pyarrow",
+                                     zero_copy_batch=True)),
+        ["a", "b"],
+        [("is_cand", "sum", "is_cand"), ("c", "sum", "c")],
+        merge="bucketed")
 
-        def judge(t: pa.Table) -> pa.Table:
-            keys_sorted, szs = ray.get(sizes_ref)
-            a = t.column("a").to_numpy(zero_copy_only=False)
-            b = t.column("b").to_numpy(zero_copy_only=False)
-            c = t.column("__c").to_numpy(zero_copy_only=False)
-            sa = szs[np.searchsorted(keys_sorted, a)]
-            sb = szs[np.searchsorted(keys_sorted, b)]
-            ok = c >= threshold * (sa + sb - c)
-            return pa.table({"node": pa.array(a[ok])})
+    def keep_cands(t: pa.Table) -> pa.Table:
+        m = t.column("is_cand").to_numpy(zero_copy_only=False) >= 1
+        return t.filter(pa.array(m)).select(["a", "b", "c"])
 
-        losers_ds = pairs.map_batches(
-            judge, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
+    cands = joined.map_batches(keep_cands, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+
+    _node_empty = pa.table({"node": pa.array(_e_i64)})
+    _empty_hv0 = pa.ListArray.from_arrays(
+        pa.array([0], pa.int32()), pa.array(_e_i64)).slice(0, 0)
+    hop_empty = pa.table({
+        "k": pa.array(_e_i64), "o": pa.array(_e_i64),
+        "c": pa.array(_e_i64), "sza": pa.array(_e_i64),
+        "hva": _empty_hv0, "kind": pa.array([], pa.int8()),
+        "__xb": pa.array([], pa.int32()),
+    })
+
+    def tag_cand_hop1(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        n = len(a)
+        return pa.table({
+            "k": pa.array(a), "o": t.column("b"),
+            "c": t.column("c").cast(pa.int64()),
+            "sza": pa.array(np.zeros(n, np.int64)),
+            "hva": pa.ListArray.from_arrays(
+                pa.array(np.zeros(n + 1, np.int32)), pa.array(_e_i64)),
+            "kind": pa.array(np.zeros(n, np.int8)),
+            "__xb": pa.array(_kb(a)),
+        })
+
+    def tag_meta_hop(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        n = len(k)
+        return pa.table({
+            "k": pa.array(k),
+            "o": pa.array(np.zeros(n, np.int64)),
+            "c": pa.array(np.zeros(n, np.int64)),
+            "sza": t.column("sz").cast(pa.int64()),
+            "hva": t.column("hv"),
+            "kind": pa.array(np.ones(n, np.int8)),
+            "__xb": pa.array(_kb(k)),
+        })
+
+    def _split_kinds(t: pa.Table):
+        kind = t.column("kind").to_numpy(zero_copy_only=False)
+        metas = t.filter(pa.array(kind == 1))
+        cands_t = t.filter(pa.array(kind == 0))
+        mk = metas.column("k").to_numpy(zero_copy_only=False)
+        mo = np.argsort(mk)
+        return cands_t, mk[mo], metas.column("sza").to_numpy(
+            zero_copy_only=False)[mo], \
+            metas.column("hva").combine_chunks().take(pa.array(mo))
+
+    def _meta_lookup(cands_t, mk):
+        ck = cands_t.column("k").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(mk, ck)
+        ok = idx < len(mk)
+        idx_c = np.minimum(idx, max(len(mk) - 1, 0))
+        ok &= (mk[idx_c] == ck) if len(mk) else False
+        return cands_t.filter(pa.array(ok)), idx_c[ok]
+
+    def attach_a(t: pa.Table) -> pa.Table:
+        cands_t, mk, msz, mhv = _split_kinds(t)
+        if cands_t.num_rows == 0:
+            return hop_empty
+        cands_t, idx = _meta_lookup(cands_t, mk)
+        if cands_t.num_rows == 0:
+            return hop_empty
+        b = cands_t.column("o").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array(b),
+            "o": cands_t.column("k"),
+            "c": cands_t.column("c"),
+            "sza": pa.array(msz[idx]),
+            "hva": mhv.take(pa.array(idx)),
+            "kind": pa.array(np.zeros(len(idx), np.int8)),
+            "__xb": pa.array(_kb(b)),
+        })
+
+    def attach_b_and_judge(t: pa.Table) -> pa.Table:
+        cands_t, mk, msz, mhv = _split_kinds(t)
+        if cands_t.num_rows == 0:
+            return _node_empty
+        cands_t, idx = _meta_lookup(cands_t, mk)
+        if cands_t.num_rows == 0:
+            return _node_empty
+        n = cands_t.num_rows
+        c_light = cands_t.column("c").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sa = cands_t.column("sza").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        sb = msz[idx].astype(np.float64)
+        av, ao = _list_col_parts(cands_t.column("hva"))
+        bv, bo = _list_col_parts(mhv.take(pa.array(idx)))
+        pid = np.r_[np.repeat(np.arange(n), np.diff(ao)),
+                    np.repeat(np.arange(n), np.diff(bo))]
+        gm = np.r_[av, bv]
+        so = np.lexsort((gm, pid))
+        ps, gs2 = pid[so], gm[so]
+        eq = (ps[1:] == ps[:-1]) & (gs2[1:] == gs2[:-1])
+        c = c_light + np.bincount(ps[1:][eq], minlength=n)
+        ok = c >= threshold * (sa + sb - c)
+        return pa.table({
+            "node": cands_t.column("o").filter(pa.array(ok))})
+
+    if cands.count() == 0:
+        import ray.data as _rd
+
+        losers_ds = _rd.from_arrow(_node_empty).materialize()
     else:
-        from .join import bucketed_join
+        hop1_in = cands.map_batches(
+            tag_cand_hop1, batch_format="pyarrow",
+            zero_copy_batch=True).union(
+            mixed2.map_batches(take_meta, batch_format="pyarrow",
+                               zero_copy_batch=True).map_batches(
+                tag_meta_hop, batch_format="pyarrow",
+                zero_copy_batch=True))
+        hop1 = hash_exchange(hop1_in, num_buckets, attach_a,
+                             bucket_col="__xb")
+        hop2_in = hop1.union(
+            mixed2.map_batches(take_meta, batch_format="pyarrow",
+                               zero_copy_batch=True).map_batches(
+                tag_meta_hop, batch_format="pyarrow",
+                zero_copy_batch=True))
+        losers_ds = hash_exchange(hop2_in, num_buckets, attach_b_and_judge,
+                                  bucket_col="__xb").materialize()
 
-        sz_a = sketches.map_batches(size_rows("a", "sz_a"),
-                                    batch_format="pyarrow",
-                                    zero_copy_batch=True)
-        sz_b = sketches.map_batches(size_rows("b", "sz_b"),
-                                    batch_format="pyarrow",
-                                    zero_copy_batch=True)
-        joined = bucketed_join(
-            bucketed_join(pairs, sz_a, "a", num_buckets=num_buckets),
-            sz_b, "b", num_buckets=num_buckets)
-
-        def judge_joined(t: pa.Table) -> pa.Table:
-            c = t.column("__c").to_numpy(zero_copy_only=False)
-            sa = t.column("sz_a").to_numpy(zero_copy_only=False)
-            sb = t.column("sz_b").to_numpy(zero_copy_only=False)
-            ok = c >= threshold * (sa + sb - c)
-            a = t.column("a").to_numpy(zero_copy_only=False)
-            return pa.table({"node": pa.array(a[ok])})
-
-        losers_ds = joined.map_batches(
-            judge_joined, batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
 
     if n_id:
         losers_ds = losers_ds.union(id_losers).materialize()

@@ -400,17 +400,45 @@ def test_dedup_ngram_threshold_one_keeps_near_dups():
     assert _kept_ids(dedup_ngram(rd.from_arrow(t), threshold=1.0)) == [0, 2]
 
 
-def test_dedup_ngram_size_join_parity():
-    """Forcing the bucketed size-attach (scale) path == broadcast path."""
+def test_dedup_ngram_heavy_light_parity():
+    """Forcing EVERY gram heavy (all intersections via prefix candidates +
+    heavy-list correction) == default all-light counting == brute force."""
     from fluent_plugin_geoip_ray.stages.dedup import dedup_ngram
 
     ids, texts = _ngram_corpus(3)
     t = pa.table({"doc_id": pa.array(ids, pa.int64()),
                   "text": pa.array(texts)})
-    broadcast = _kept_ids(dedup_ngram(rd.from_arrow(t), threshold=0.5))
-    bucketed = _kept_ids(dedup_ngram(rd.from_arrow(t), threshold=0.5,
-                                     size_broadcast_limit=0))
-    assert broadcast == bucketed == _ngram_ref_kept(ids, texts)
+    light = _kept_ids(dedup_ngram(rd.from_arrow(t), threshold=0.5))
+    heavy = _kept_ids(dedup_ngram(rd.from_arrow(t), threshold=0.5,
+                                  heavy_df_limit=0))
+    assert light == heavy == _ngram_ref_kept(ids, texts)
+
+
+def test_dedup_ngram_stop_gram_skew_no_blowup():
+    """A stop tail shared by EVERY doc must not trip max_group_pairs: hot
+    grams go heavy (no pair emission), candidates come from rarest-first
+    prefixes, and the heavy-list correction keeps the result exact."""
+    from fluent_plugin_geoip_ray.stages.dedup import dedup_ngram
+
+    n = 60
+
+    def words(i):
+        # 9 doc-unique words + a 3-word stop tail shared by EVERY doc
+        u = " ".join(f"u{i}{c}" for c in "abcdefghj")
+        return f"{u} the end line"
+
+    ids = list(range(n))
+    # second half repeats the first half's docs exactly -> true duplicates
+    texts = [words(i) for i in range(n // 2)] + \
+        [words(i) for i in range(n // 2)]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts)})
+    # heavy_df_limit=4 classifies the stop grams (df=60) heavy;
+    # max_group_pairs=1500 would trip the old all-run-emission design
+    # (one stop-gram run alone emits C(60,2)=1770 pairs)
+    out = dedup_ngram(rd.from_arrow(t), threshold=0.5,
+                      heavy_df_limit=4, max_group_pairs=1500)
+    assert _kept_ids(out) == _ngram_ref_kept(ids, texts)
 
 
 def test_dedup_ngram_group_pair_guard():
