@@ -183,6 +183,78 @@ def test_decodes_real_libjpeg_output():
     assert rmse < 25.0  # sharp-edged logo; JPEG artifacts live at the edges
 
 
+NODE_DOC = "/usr/share/doc/nodejs"
+_PROG_FIXTURES = [
+    # (file, shape, pinned sha256[:16] of the decoded RGB tensor)
+    ("thin-white-stripe.jpg", (58, 493, 3), "73ce8c019a427028"),
+    ("full-white-stripe.jpg", (312, 493, 3), "330fe1cd3ed781f8"),
+]
+
+
+@pytest.mark.skipif(
+    not all(os.path.isfile(os.path.join(NODE_DOC, f))
+            for f, _, _ in _PROG_FIXTURES),
+    reason="nodejs doc progressive JPEGs not on this host")
+def test_decodes_real_libjpeg_progressive():
+    """Cross-validate the SOF2 decoder against REAL libjpeg-produced
+    progressive files (not our own encoder's output): node's doc images use
+    a 7-scan script with per-scan optimized (non-Annex-K) Huffman tables and
+    EOBn>1 runs -- none of which our bundled progressive encoder emits.
+
+    Ground truth without an independent decoder on this host: the images'
+    content is known from their names/provenance (a dark header stripe over
+    a near-pure-white page body), every pure-white 8x8 block must come out
+    exactly (255,255,255) (any AC-refinement misdecode perturbs them), and
+    the full tensors are hash-pinned against regression."""
+    import hashlib
+
+    for fname, shape, pin in _PROG_FIXTURES:
+        with open(os.path.join(NODE_DOC, fname), "rb") as f:
+            data = f.read()
+        # the fixture really is progressive with custom tables: SOF2 frame,
+        # >1 scan, DHT segments interleaved between scans (libjpeg's
+        # per-scan optimized tables), not the 2-segment Annex-K layout
+        markers = []
+        i = 2
+        while i < len(data) - 1:
+            if data[i] == 0xFF and data[i + 1] not in (0x00, 0xFF):
+                markers.append(data[i + 1])
+            i += 1
+        assert 0xC2 in markers                 # SOF2: progressive DCT
+        assert markers.count(0xDA) >= 5        # multi-scan script
+        assert markers.count(0xC4) >= 5        # per-scan optimized DHTs
+
+        # EOBn>1 branches must actually run on this file
+        seen = {"max_eob": 0}
+        real_ac_first, real_ac_refine = jpegc._ac_first, jpegc._ac_refine
+
+        def spy_first(br, row, ss, se, al, eobrun, act):
+            out = real_ac_first(br, row, ss, se, al, eobrun, act)
+            seen["max_eob"] = max(seen["max_eob"], out)
+            return out
+
+        def spy_refine(br, row, ss, se, al, eobrun, act):
+            out = real_ac_refine(br, row, ss, se, al, eobrun, act)
+            seen["max_eob"] = max(seen["max_eob"], out)
+            return out
+
+        jpegc._ac_first, jpegc._ac_refine = spy_first, spy_refine
+        try:
+            img = decode_jpeg(data)
+        finally:
+            jpegc._ac_first, jpegc._ac_refine = real_ac_first, real_ac_refine
+        assert seen["max_eob"] > 1  # real EOBn runs, unlike our encoder
+
+        assert img.shape == shape and img.dtype == np.uint8
+        # known content: dark header band up top ...
+        assert 80 < img[:4].mean() < 100
+        # ... over a mostly pure-white page (>70% exact 255,255,255 --
+        # a refinement-pass bug would shift these off-white)
+        assert (img == 255).all(axis=2).mean() > 0.7
+        assert (img[-4:] == 255).mean() > 0.95
+        assert hashlib.sha256(img.tobytes()).hexdigest()[:16] == pin
+
+
 def test_decode_image_stage_strict_jpeg():
     t = synthesize_binary_table(n=6, real=True, formats=("jpeg",))
     out = DecodeImage(out_hw=(8, 8), strict=True)(t)
