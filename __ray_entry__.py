@@ -1296,6 +1296,29 @@ def q_dense_windows(sf_dir: str):
     return dense_tumbling(ds, keys=["event_type"])
 
 
+def q_dense_windows_2key(sf_dir: str):
+    """Composite-key gap-filled tumbling counts: every hourly window
+    between each (event_type, user shard)'s first and last event, zeros
+    included -- the multi-tenant dashboard shape."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import dense_tumbling
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id", "ts"])
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        shard = pa.array(np.mod(uid, 8).astype(np.int64))
+        return t.drop_columns(["user_id"]).append_column("shard", shard)
+
+    ds = ds.map_batches(add_shard, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return dense_tumbling(ds, keys=["event_type", "shard"])
+
+
 def q_spike_windows(sf_dir: str):
     """Windowed spike detection (the alerting composition): tumbling 1h
     counts per event_type, per-type LAG over consecutive windows, flag
@@ -2209,6 +2232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": q_multimodal_frames,
         "events_asof_big": q_events_asof_big,
         "events_range_big": q_events_range_big,
+        # new in round 5 (keep inside the driver's ~50-query window)
+        "dense_windows_2key": q_dense_windows_2key,
         "enrich": q_enrich,
         "route_enriched": q_route_enriched,
         "parse_extract": q_parse_extract,
@@ -3246,6 +3271,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.event_type, d.window_start, COALESCE(s.n, 0) AS n
             FROM dense d LEFT JOIN sparse s
               USING (event_type, window_start)""",
+        "dense_windows_2key": """
+            WITH sparse AS (
+              SELECT event_type, user_id % 8 AS shard,
+                     CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+                         AS window_start,
+                     count(*) AS n
+              FROM events GROUP BY event_type, shard, window_start
+            ), bounds AS (
+              SELECT event_type, shard, min(window_start) AS lo,
+                     max(window_start) AS hi
+              FROM sparse GROUP BY event_type, shard
+            ), dense AS (
+              SELECT b.event_type, b.shard,
+                     CAST(unnest(generate_series(b.lo, b.hi, 3600))
+                          AS BIGINT) AS window_start
+              FROM bounds b
+            )
+            SELECT d.event_type, d.shard, d.window_start,
+                   COALESCE(s.n, 0) AS n
+            FROM dense d LEFT JOIN sparse s
+              USING (event_type, shard, window_start)""",
         "spike_windows": """
             SELECT event_type, window_start, n, prev_n FROM (
               SELECT event_type, window_start, n,

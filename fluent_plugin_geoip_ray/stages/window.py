@@ -509,16 +509,15 @@ def dense_tumbling(ds, ts_col: str = "ts", size_sec: int = 3600,
     Scale shape: the sparse counts come from :func:`tumbling_window`
     (partial+final, O(keys x windows-with-data) rows); the per-key
     [min, max] window ranges are a tiny aggregate; dense rows generate
-    inside ONE hash exchange on the key where each bucket zero-fills its
-    own keys' ranges vectorized (repeat + arange) and stitches the sparse
-    counts in with a searchsorted probe.  Only count rows move -- never
-    events.  Skew note: one key's windows live in one bucket; a key
-    spanning W windows costs O(W) rows there (bounded by time range /
-    size, not data volume)."""
+    inside ONE hash exchange on the (composite) key where each bucket
+    zero-fills its own keys' ranges vectorized (repeat + arange) and
+    stitches the sparse counts in with a vectorized scatter.  Only count
+    rows move -- never events.  Skew note: one key's windows live in one
+    bucket; a key spanning W windows costs O(W) rows there (bounded by
+    time range / size, not data volume)."""
     keys = keys or []
-    if len(keys) != 1:
-        raise ValueError("dense_tumbling currently supports exactly one key")
-    key = keys[0]
+    if not keys:
+        raise ValueError("dense_tumbling requires at least one key column")
 
     from .exchange import hash_exchange
 
@@ -526,22 +525,38 @@ def dense_tumbling(ds, ts_col: str = "ts", size_sec: int = 3600,
                              keys=keys)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        kv = t.column(key).to_pandas().to_numpy(dtype=object)
-        b = (pd.util.hash_array(kv) % num_buckets).astype(np.int32)
+        # composite-key bucket: per-column hashes combined with distinct
+        # odd multipliers (plain XOR cancels when two key columns agree)
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for j, k in enumerate(keys):
+            kv = t.column(k).to_pandas().to_numpy(dtype=object)
+            h ^= pd.util.hash_array(kv) * np.uint64(2 * j + 1)
+        b = (h % num_buckets).astype(np.int32)
         return t.append_column("__bucket", pa.array(b))
 
     bucketed = sparse.map_batches(add_bucket, batch_format="pyarrow",
                                   zero_copy_batch=True)
 
     def densify(t: pa.Table) -> pa.Table:
-        kv = t.column(key).to_pandas().to_numpy()
-        w = t.column("window_start").to_numpy(zero_copy_only=False)
+        key_types = {k: t.schema.field(k).type for k in keys}
+        if t.num_rows == 0:
+            cols = {k: pa.array([], key_types[k]) for k in keys}
+            cols["window_start"] = pa.array([], pa.int64())
+            cols[count_col] = pa.array([], pa.int64())
+            return pa.table(cols)
+        w = t.column("window_start").to_numpy(
+            zero_copy_only=False).astype(np.int64)
         n = t.column(count_col).to_numpy(zero_copy_only=False)
-        codes, uniq = pd.factorize(kv, sort=True)
-        order = np.lexsort((w, codes))
-        cs, ws, ns = codes[order], w[order], n[order]
-        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
-        ends = np.append(starts[1:], len(cs))
+        kvs = [t.column(k).to_pandas().to_numpy() for k in keys]
+        codes = [pd.factorize(kv, sort=False)[0] for kv in kvs]
+        order = np.lexsort(tuple([w] + codes[::-1]))
+        ws, ns = w[order], n[order]
+        cs = [c[order] for c in codes]
+        changed = np.zeros(len(ws) - 1, dtype=bool)
+        for c in cs:
+            changed |= c[1:] != c[:-1]
+        starts = np.flatnonzero(np.r_[True, changed])
+        ends = np.append(starts[1:], len(ws))
         lo, hi = ws[starts], ws[ends - 1]
         n_win = ((hi - lo) // size_sec + 1).astype(np.int64)
         total = int(n_win.sum())
@@ -551,14 +566,15 @@ def dense_tumbling(ds, ts_col: str = "ts", size_sec: int = 3600,
         dense_w = lo[seg] + ordinal * size_sec
         # stitch sparse counts with one vectorized scatter: sparse row r in
         # segment s lands at dense position base[s] + (w - lo[s]) / size
-        seg_id = np.cumsum(np.r_[False, cs[1:] != cs[:-1]])
+        seg_id = np.cumsum(np.r_[False, changed])
         dense_n = np.zeros(total, dtype=np.int64)
         posd = base[seg_id] + (ws - lo[seg_id]) // size_sec
         dense_n[posd] = ns
-        return pa.table({
-            key: pa.array(uniq[cs[starts]][seg]),
-            "window_start": pa.array(dense_w),
-            count_col: pa.array(dense_n),
-        })
+        rep = starts[seg]
+        out = {k: pa.array(kvs[j][order][rep]).cast(key_types[k])
+               for j, k in enumerate(keys)}
+        out["window_start"] = pa.array(dense_w)
+        out[count_col] = pa.array(dense_n)
+        return pa.table(out)
 
     return hash_exchange(bucketed, num_buckets, densify)

@@ -369,5 +369,45 @@ def test_dense_tumbling_gap_fill():
     assert len(b) == 1 and b["n"].iloc[0] == 1
     import pytest
 
-    with pytest.raises(ValueError, match="exactly one key"):
+    with pytest.raises(ValueError, match="at least one key"):
         dense_tumbling(rd.from_arrow(t), keys=[])
+
+
+def test_dense_tumbling_composite_key():
+    """Gap-fill per (k1, k2) group: ranges are independent per composite
+    key, including two groups sharing a k1 value and a pair of equal-valued
+    key columns (the XOR-cancellation hazard for bucket hashing)."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import dense_tumbling
+
+    def ts(h):
+        return datetime.datetime(2026, 1, 1, h)
+
+    t = pa.table({
+        "k1": ["a", "a", "a", "a", "b", "b"],
+        "k2": ["x", "x", "y", "y", "b", "b"],   # ("b","b"): k1 == k2
+        "ts": pa.array([ts(0), ts(2), ts(1), ts(1), ts(4), ts(6)],
+                       pa.timestamp("us")),
+    })
+    out = (dense_tumbling(rd.from_arrow(t).repartition(3),
+                          keys=["k1", "k2"])
+           .to_pandas().sort_values(["k1", "k2", "window_start"])
+           .reset_index(drop=True))
+    base = int(pa.scalar(ts(0), pa.timestamp("us")).cast(pa.int64())
+               .as_py() // 1_000_000)
+
+    ax = out[(out["k1"] == "a") & (out["k2"] == "x")]
+    assert ax["window_start"].tolist() == [base, base + 3600, base + 7200]
+    assert ax["n"].tolist() == [1, 0, 1]
+    ay = out[(out["k1"] == "a") & (out["k2"] == "y")]
+    assert ay["window_start"].tolist() == [base + 3600]
+    assert ay["n"].tolist() == [2]
+    bb = out[(out["k1"] == "b") & (out["k2"] == "b")]
+    assert bb["window_start"].tolist() == [base + 4 * 3600, base + 5 * 3600,
+                                           base + 6 * 3600]
+    assert bb["n"].tolist() == [1, 0, 1]
+    assert len(out) == 7
