@@ -1172,6 +1172,70 @@ def q_knn_ivfpq(sf_dir: str):
     })
 
 
+def q_embed_ann(sf_dir: str):
+    """Model-inference + ANN end-to-end: text -> actor-pool MLP embedding
+    (`ml.TextEmbedder`: weights resident per actor, batch-vectorized
+    inference) -> persisted IVF-PQ index -> rerank query.
+
+    KNOWN-ANSWER oracle: the embedder is deterministic, so a corpus doc
+    used as a query embeds bit-identically to itself and any exact-text
+    duplicate (cosine exactly 1.0, the maximum); the query's own IVF
+    bucket is its top probe, so rank 1 is PROVABLY a doc whose text is
+    byte-identical to the query's -- the boolean the oracle constructs.
+    (Which of several identical-text docs wins is NOT claimed: exact
+    re-rank scores of bit-identical vectors can differ by 1 ulp across
+    Ray block boundaries -- BLAS accumulation order depends on block
+    shape -- so exact ties order nondeterministically; the 1.0-vs-0.63
+    runner-up margin, pinned in tests/test_ml.py, is what makes the
+    duplicate-set claim robust.)"""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.ml import TextEmbedder, embed_texts
+    from fluent_plugin_geoip_ray.stages.similarity import (
+        build_ivfpq_index,
+        query_ivfpq_index,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    emb = embed_texts(docs, concurrency=2)
+    idx = tempfile.mkdtemp(prefix="graft_embed_ann_")
+    build_ivfpq_index(emb, idx, n_clusters=16, m=16, ksub=16,
+                      id_col="doc_id")
+    # queries: every 50th document's text, embedded by the same model
+    qt = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    qt = qt.sort_by("doc_id")
+    mask = np.asarray(qt.column("doc_id").to_numpy()) % 50 == 0
+    qt = qt.filter(pa.array(mask))
+    qe = TextEmbedder()(qt)
+    q = np.stack([np.asarray(v) for v in
+                  qe.column("embedding").to_pylist()])
+    hits = query_ivfpq_index(idx, q, k=3, nprobe=4, rerank=True,
+                             shortlist_mult=4, id_col="doc_id").to_pandas()
+    top1 = hits[hits["rank"] == 1].sort_values("query_id")
+    qids = qt.column("doc_id").to_numpy()
+    query_text = dict(zip(qt.column("doc_id").to_pylist(),
+                          qt.column("text").to_pylist()))
+    # resolve rank-1 hits' text from the corpus (tiny: |queries| lookups)
+    all_docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    text_of = dict(zip(all_docs.column("doc_id").to_pylist(),
+                       all_docs.column("text").to_pylist()))
+    out_qid = qids[top1["query_id"].to_numpy()]
+    match = [text_of[int(h)] == query_text[int(qd)]
+             for h, qd in zip(top1["doc_id"], out_qid)]
+    return pa.table({
+        "query_id": pa.array(out_qid, pa.int64()),
+        "top1_text_match": pa.array(match),
+    })
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training (Sennrich semantics) via the distributed
     word-count path.  KNOWN-ANSWER oracle on a hand-computable corpus
@@ -2234,6 +2298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_big": q_events_range_big,
         # new in round 5 (keep inside the driver's ~50-query window)
         "dense_windows_2key": q_dense_windows_2key,
+        "embed_ann": q_embed_ann,
         "enrich": q_enrich,
         "route_enriched": q_route_enriched,
         "parse_extract": q_parse_extract,
@@ -3271,6 +3336,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.event_type, d.window_start, COALESCE(s.n, 0) AS n
             FROM dense d LEFT JOIN sparse s
               USING (event_type, window_start)""",
+        # known-answer construction (see q_embed_ann docstring): rank-1 is
+        # provably a byte-identical-text doc (cosine exactly 1.0, wide
+        # margin to the best distinct-text score)
+        "embed_ann": """
+            SELECT doc_id AS query_id, TRUE AS top1_text_match
+            FROM documents WHERE doc_id % 50 = 0""",
         "dense_windows_2key": """
             WITH sparse AS (
               SELECT event_type, user_id % 8 AS shard,

@@ -86,3 +86,102 @@ def logreg_predict(ds, weights: np.ndarray, feature_cols: list[str],
         return out
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def make_embedder_weights(hash_dim: int = 1 << 15, hidden: int = 128,
+                          dim: int = 64, seed: int = 7):
+    """Deterministic 2-layer MLP encoder weights (the 'model artifact').
+
+    Derived from the seed instead of shipped as a file -- this container
+    has no torch/ONNX runtime, so the checkpoint is a seeded numpy
+    construction; swap in ``np.load`` of a real export in production.
+    float32 to match real checkpoint residency (hash_dim x hidden at the
+    defaults = 16 MB per actor)."""
+    rng = np.random.default_rng(seed)
+    w1 = rng.standard_normal((hash_dim, hidden)).astype(np.float32)
+    w1 /= np.sqrt(hidden)
+    w2 = rng.standard_normal((hidden, dim)).astype(np.float32)
+    w2 /= np.sqrt(dim)
+    return w1, w2
+
+
+class TextEmbedder:
+    """Actor-pool model-inference stage: text -> L2-normalized embedding.
+
+    The canonical LLM-pipeline inference shape: the model loads ONCE per
+    actor in ``__init__`` (here a seeded numpy MLP, or an ``.npz``
+    checkpoint via ``weights_path``; a GPU deployment would load
+    torch/ONNX the same way) and ``__call__`` embeds a whole Arrow batch
+    vectorized -- tokens split in C++ (`utf8_split_whitespace`), hashed
+    in bulk, gather-summed into the first layer with ``np.add.reduceat``
+    (never a per-row Python loop), then one dense matmul per batch.
+
+    Encoder: hashed bag-of-tokens -> W1 -> ReLU -> W2 -> L2 normalize.
+    Deterministic: same text, same weights => bit-identical embedding,
+    so an exact duplicate of a corpus document embeds at cosine exactly
+    1.0 -- the provable known-answer anchor the driver query uses.
+    """
+
+    def __init__(self, text_col: str = "text", out_col: str = "embedding",
+                 hash_dim: int = 1 << 15, hidden: int = 128, dim: int = 64,
+                 seed: int = 7, weights_path: str | None = None):
+        self.text_col, self.out_col = text_col, out_col
+        self.hash_dim = hash_dim
+        if weights_path:
+            z = np.load(weights_path)
+            self.w1, self.w2 = z["w1"], z["w2"]
+            self.hash_dim = self.w1.shape[0]
+        else:
+            self.w1, self.w2 = make_embedder_weights(hash_dim, hidden,
+                                                     dim, seed)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        n = t.num_rows
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(t.column(self.text_col)))
+        flat = toks.combine_chunks()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        off = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = flat.values.to_pandas().to_numpy(dtype=object)
+        raw_lens = np.diff(off - off[0])
+        row_of = np.repeat(np.arange(n, dtype=np.int64), raw_lens)
+        # whitespace splitting yields '' tokens for empty/blank rows --
+        # drop them so such rows embed to the zero vector
+        keep = pc.greater(pc.utf8_length(flat.values), 0).to_numpy(
+            zero_copy_only=False)
+        vals, row_of = vals[keep], row_of[keep]
+        if len(vals):
+            idx = (pd.util.hash_array(vals) % self.hash_dim).astype(np.int64)
+            gathered = self.w1[idx].astype(np.float64)
+        else:
+            gathered = np.zeros((0, self.w1.shape[1]))
+        # per-row sums: reduceat needs non-empty segments; rows with zero
+        # tokens get an explicit zero vector
+        lens = np.bincount(row_of, minlength=n).astype(np.int64)
+        starts = np.cumsum(lens) - lens
+        h = np.zeros((n, self.w1.shape[1]))
+        nz = lens > 0
+        if nz.any() and len(gathered):
+            sums = np.add.reduceat(gathered, starts[nz], axis=0)
+            h[nz] = sums
+        np.maximum(h, 0.0, out=h)          # ReLU
+        e = h @ self.w2.astype(np.float64)
+        norm = np.linalg.norm(e, axis=1)
+        norm[norm == 0] = 1.0
+        e = (e / norm[:, None]).astype(np.float32)
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(e.ravel(), pa.float32()), e.shape[1])
+        return t.append_column(self.out_col, emb)
+
+
+def embed_texts(ds, text_col: str = "text", out_col: str = "embedding",
+                concurrency: int = 4, batch_size: int = 4096, **kw):
+    """Embed a text column with a :class:`TextEmbedder` actor pool."""
+    return ds.map_batches(
+        TextEmbedder, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, batch_size=batch_size,
+        fn_constructor_kwargs=dict(text_col=text_col, out_col=out_col, **kw))

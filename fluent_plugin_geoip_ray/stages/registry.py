@@ -216,3 +216,12 @@ def _funnel_stage(ds, key: str, ts_col: str, type_col: str, steps: list):
     from .window import funnel
 
     return funnel(ds, key, ts_col, type_col, steps=list(steps))
+
+
+@register_stage("embed")
+def _embed_stage(ds, text_col: str = "text", out_col: str = "embedding",
+                 concurrency: int = 4, **kw):
+    from .ml import embed_texts
+
+    return embed_texts(ds, text_col=text_col, out_col=out_col,
+                       concurrency=concurrency, **kw)

@@ -151,3 +151,22 @@ def test_round4_registry_stages():
         {"use": "distinct", "cols": ["g", "is_anomaly"]},
     ]).to_pandas()
     assert sorted(out["is_anomaly"]) == [False, True]
+
+
+def test_embed_stage_from_conf():
+    """The model-inference stage is conf-composable: a declared chain
+    embeds a text column through the actor pool."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.registry import apply_stages, list_stages
+
+    assert "embed" in list_stages()
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": ["same words", "same words"]})
+    out = apply_stages(rd.from_arrow(t), [
+        {"use": "embed", "concurrency": 1},
+    ]).to_pandas().sort_values("doc_id")
+    e = np.stack(out["embedding"].to_numpy())
+    assert e.shape[1] == 64 and np.array_equal(e[0], e[1])
