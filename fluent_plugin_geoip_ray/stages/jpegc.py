@@ -9,16 +9,22 @@ image payloads inside actor-pool ``map_batches`` stages, and a training-data
 pipeline hits JPEG constantly.  BMP/PPM/PNG are already real; this module
 makes JPEG real too.
 
-Scope (honest): baseline sequential DCT (SOF0/SOF1) AND progressive DCT
-(SOF2: spectral selection + successive approximation, DC/AC first and
-refinement scans, EOB runs, per T.81 Annex G), Huffman entropy coding,
-grayscale + YCbCr with arbitrary sampling factors whose ratios divide Hmax/
-Vmax (covers 4:4:4, 4:2:2, 4:2:0), restart markers (DRI/RSTn).  Arithmetic
-coding and 12-bit precision raise ``NotImplementedError`` -- a real gap is
-reported, never silently mis-decoded.  Progressive correctness is pinned by
-the bundled progressive ENCODER: it reuses the exact quantized coefficients
-of the baseline encoder, so progressive decode must equal baseline decode
-bit-for-bit across scan scripts (test_jpeg.py).
+Scope (honest): sequential DCT (SOF0/SOF1, 8- and 12-bit samples),
+progressive DCT (SOF2: spectral selection + successive approximation,
+DC/AC first and refinement scans, EOB runs, per T.81 Annex G), and
+arithmetic-coded sequential DCT (SOF9: Annex D QM-coder + the F.1.4
+statistical models, DAC conditioning, restart resets); Huffman AND
+arithmetic entropy coding; grayscale + YCbCr with arbitrary sampling
+factors whose ratios divide Hmax/Vmax (covers 4:4:4, 4:2:2, 4:2:0),
+restart markers (DRI/RSTn).  Progressive-arithmetic (SOF10),
+hierarchical and lossless modes raise ``NotImplementedError`` -- a real
+gap is reported, never silently mis-decoded.  Entropy-layer correctness
+is pinned two ways: the bundled progressive/arithmetic ENCODERS reuse
+the exact quantized coefficients of the baseline encoder, so their
+decodes must equal baseline decode bit-for-bit; and the REAL system
+libjpeg (via a compiled test shim) cross-validates both directions --
+our decoder on libjpeg-produced arithmetic/progressive files and
+libjpeg's decoder on our arithmetic files (test_jpeg.py).
 
 Design notes for the hot path: Huffman symbol decoding is inherently
 sequential (bit-serial), so it runs as a tight Python loop per entropy
@@ -213,12 +219,16 @@ class _BitWriter:
 # ---------------------------------------------------------------------------
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """JFIF bytes (baseline SOF0/1 or progressive SOF2) -> (h, w, 3) uint8
-    RGB (grayscale replicated)."""
+    """JFIF bytes (sequential SOF0/1, progressive SOF2, or
+    arithmetic-coded sequential SOF9; 8- or 12-bit samples) ->
+    (h, w, 3) uint8 RGB (grayscale replicated; 12-bit samples are
+    rendered by v*255/maxval rounding)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple, dict] = {}  # (class, id) -> decode table
+    dac_dc: dict[int, tuple] = {}    # tbl -> (L, U) DC conditioning
+    dac_ac: dict[int, int] = {}      # tbl -> Kx AC conditioning
     frame = None
     prog_grids = None  # progressive: per-comp (bh, bw, 64) coefficient grids
     restart_interval = 0
@@ -257,10 +267,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[i + 17:i + 17 + nv])
                 htables[(tc, th)] = _canonical_decode_table(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 sequential Huffman, SOF2 progressive Huffman,
+            # SOF9 sequential arithmetic
             precision = seg[0]
-            if precision != 8:
-                raise NotImplementedError("only 8-bit precision supported")
+            if precision not in (8, 12):
+                raise NotImplementedError(
+                    f"{precision}-bit precision (T.81 allows 8/12 only)")
+            if precision == 12 and marker == 0xC2:
+                raise NotImplementedError(
+                    "12-bit progressive JPEG not supported "
+                    "(12-bit sequential and 8-bit progressive are)")
             h = struct.unpack(">H", seg[1:3])[0]
             w = struct.unpack(">H", seg[3:5])[0]
             ncomp = seg[5]
@@ -269,13 +286,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps,
-                     "progressive": marker == 0xC2}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                     "progressive": marker == 0xC2,
+                     "arith": marker == 0xC9, "precision": precision}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} (arithmetic/hierarchical/"
-                "lossless) not supported; sequential + progressive DCT only"
+                f"JPEG SOF marker 0xFF{marker:02X} (progressive-arithmetic/"
+                "hierarchical/lossless) not supported; sequential "
+                "(Huffman + arithmetic) and progressive-Huffman DCT only"
             )
+        elif marker == 0xCC:  # DAC -- arithmetic conditioning (B.2.4.3)
+            i = 0
+            while i + 1 < len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 15
+                if tc == 0:
+                    dac_dc[tb] = (seg[i + 1] & 15, seg[i + 1] >> 4)  # (L, U)
+                else:
+                    dac_ac[tb] = seg[i + 1]                          # Kx
+                i += 2
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS -- entropy-coded data follows
@@ -290,6 +318,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if not frame["progressive"]:
                 end = data.find(b"\xff\xd9", pos)
                 ecs = data[pos:end if end >= 0 else n]
+                if frame["arith"]:
+                    return _decode_scan_arith(frame, scan, ecs, qtables,
+                                              dac_dc, dac_ac,
+                                              restart_interval)
                 return _decode_scan(frame, scan, ecs, qtables, htables,
                                     restart_interval)
             ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
@@ -386,6 +418,14 @@ def _decode_scan(frame, scan, ecs, qtables, htables, restart_interval):
 
     # Batched numpy tail: dequantize (tables are zigzag order), dezigzag,
     # IDCT all blocks per component at once, assemble + upsample planes.
+    return _coefs_to_image(frame, scan, coefs, qtables, mcux, mcuy,
+                           hmax, vmax)
+
+
+def _coefs_to_image(frame, scan, coefs, qtables, mcux, mcuy, hmax, vmax):
+    h, w = frame["h"], frame["w"]
+    precision = frame.get("precision", 8)
+    shift = float(1 << (precision - 1))
     planes = []
     for ci, sc in enumerate(scan):
         comp = sc["comp"]
@@ -394,7 +434,7 @@ def _decode_scan(frame, scan, ecs, qtables, htables, restart_interval):
         raster = np.zeros_like(deq)
         raster[:, ZIGZAG] = deq
         blocks = raster.reshape(-1, 8, 8).astype(np.float64)
-        pix = np.einsum("ij,njk,kl->nil", _DCT_A.T, blocks, _DCT_A) + 128.0
+        pix = np.einsum("ij,njk,kl->nil", _DCT_A.T, blocks, _DCT_A) + shift
         cv, ch = comp["v"], comp["h"]
         plane = (pix.reshape(mcuy, mcux, cv, ch, 8, 8)
                  .transpose(0, 2, 4, 1, 3, 5)
@@ -404,14 +444,16 @@ def _decode_scan(frame, scan, ecs, qtables, htables, restart_interval):
                 f"non-integer sampling ratio {cv}x{ch} vs {vmax}x{hmax}")
         plane = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)
         planes.append(plane[:h, :w])
-    return _planes_to_rgb(np.stack(planes, axis=-1))
+    return _planes_to_rgb(np.stack(planes, axis=-1), precision)
 
 
-def _planes_to_rgb(out: np.ndarray) -> np.ndarray:
+def _planes_to_rgb(out: np.ndarray, precision: int = 8) -> np.ndarray:
+    half = float(1 << (precision - 1))
+    maxval = (1 << precision) - 1
     if out.shape[-1] == 1:
         rgb = np.repeat(out, 3, axis=-1)
     elif out.shape[-1] == 3:
-        y, cb, cr = out[..., 0], out[..., 1] - 128.0, out[..., 2] - 128.0
+        y, cb, cr = out[..., 0], out[..., 1] - half, out[..., 2] - half
         rgb = np.stack([
             y + 1.402 * cr,
             y - 0.344136 * cb - 0.714136 * cr,
@@ -419,7 +461,10 @@ def _planes_to_rgb(out: np.ndarray) -> np.ndarray:
         ], axis=-1)
     else:
         raise NotImplementedError(f"{out.shape[-1]}-component JPEG")
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    rgb = np.clip(np.rint(rgb), 0, maxval)
+    if precision > 8:
+        rgb = np.rint(rgb * (255.0 / maxval))
+    return rgb.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -661,16 +706,15 @@ def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
     return int(zz[0])
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """(h, w, 3) or (h, w) uint8 -> baseline JFIF bytes.
-
-    ``subsample=True`` writes 4:2:0 (2x2 luminance sampling factors);
-    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs.
-    """
+def _prep_encode(img: np.ndarray, quality: int, subsample: bool,
+                 precision: int = 8):
+    """Shared front half of every encoder: color transform, optional
+    4:2:0 downsample, MCU padding, FDCT + quantization.  Returns
+    (gray, h, w, ql, qc, comps, hmax, vmax, mcux, mcuy, coef, nb_w)."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
+    half = float(1 << (precision - 1))
     ql, qc = _quality_tables(quality)
     if gray:
         y = img.astype(np.float64)
@@ -678,8 +722,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
     else:
         r, g, b = (img[..., c].astype(np.float64) for c in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + half
         if subsample:
             def down2(p):
                 hh, ww = -(-p.shape[0] // 2) * 2, -(-p.shape[1] // 2) * 2
@@ -701,30 +745,78 @@ def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
     for _, plane, qtab, ch, cv in comps:
         ph, pw = mcuy * cv * 8, mcux * ch * 8
         p = np.pad(plane, ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
-                   mode="edge") - 128.0
+                   mode="edge") - half
         coef.append(_fdct_quant(p, qtab))
         nb_w.append(pw // 8)
+    return gray, h, w, ql, qc, comps, hmax, vmax, mcux, mcuy, coef, nb_w
 
-    dc_l = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
-    ac_l = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
-    dc_c = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
-    ac_c = _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)
+
+def _extended_tables():
+    """Huffman tables covering the 12-bit alphabet: the Annex-K example
+    tables stop at DC SSSS 11 / AC SSSS 10, so 12-bit fixtures use flat
+    canonical tables (valid: Kraft-feasible, all-ones code unused) --
+    DC categories 0..15 at 5 bits, the full AC (run, size<=14) alphabet
+    plus EOB/ZRL at 8 bits.  Inefficient, but fixtures only care that a
+    spec-conformant decoder reads them from the DHT like any other."""
+    dc_bits = [0] * 16
+    dc_bits[4] = 16                      # 16 codes of length 5 (bits[5]=16)
+    dc_vals = list(range(16))
+    ac_vals = [0x00, 0xF0] + [(r << 4) | s
+                              for r in range(16) for s in range(1, 15)]
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_vals)            # codes of length 8
+    return dc_bits, dc_vals, ac_bits, ac_vals
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90, subsample: bool = False,
+                restart_interval: int = 0, precision: int = 8) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> baseline JFIF bytes.
+
+    ``subsample=True`` writes 4:2:0 (2x2 luminance sampling factors);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs.
+    ``precision=12`` takes uint16 samples in 0..4095 and writes an
+    extended sequential frame (SOF1) with 16-bit quantization tables
+    and 12-bit-capable Huffman tables.
+    """
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
+    (gray, h, w, ql, qc, comps, hmax, vmax, mcux, mcuy, coef,
+     nb_w) = _prep_encode(img, quality, subsample, precision)
+
+    if precision == 8:
+        dc_l = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+        ac_l = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+        dc_c = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+        ac_c = _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)
+        dht = ((0, 0, DC_LUM_BITS, DC_LUM_VALS),
+               (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+               (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+               (1, 1, AC_CHROM_BITS, AC_CHROM_VALS))
+    else:
+        xdc_bits, xdc_vals, xac_bits, xac_vals = _extended_tables()
+        dc_l = dc_c = _canonical_codes(xdc_bits, xdc_vals)
+        ac_l = ac_c = _canonical_codes(xac_bits, xac_vals)
+        dht = ((0, 0, xdc_bits, xdc_vals), (1, 0, xac_bits, xac_vals),
+               (0, 1, xdc_bits, xdc_vals), (1, 1, xac_bits, xac_vals))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HH", 1, 1) + b"\x00\x00"
     for tid, q in ((0, ql),) + ((() if gray else ((1, qc),))):
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
-            + bytes(int(q[z]) for z in ZIGZAG)
+        if precision == 8:
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+                + bytes(int(q[z]) for z in ZIGZAG)
+        else:  # Pq=1: 16-bit table entries (B.2.4.1, 12-bit frames)
+            out += b"\xff\xdb" + struct.pack(">H", 131) \
+                + bytes([0x10 | tid]) \
+                + b"".join(struct.pack(">H", int(q[z])) for z in ZIGZAG)
     ncomp = 1 if gray else 3
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    sof = 0xC0 if precision == 8 else 0xC1
+    out += bytes([0xFF, sof]) + struct.pack(">HBHHB", 8 + 3 * ncomp,
+                                            precision, h, w, ncomp)
     for i, (_, _, _, ch, cv) in enumerate(comps):
         out += bytes([i + 1, (ch << 4) | cv, 0 if i == 0 else 1])
-    for tc, th, bits, vals in (
-        (0, 0, DC_LUM_BITS, DC_LUM_VALS), (1, 0, AC_LUM_BITS, AC_LUM_VALS),
-        (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
-        (1, 1, AC_CHROM_BITS, AC_CHROM_VALS),
-    )[: 2 if gray else 4]:
+    for tc, th, bits, vals in dht[: 2 if gray else 4]:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) \
             + bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
     if restart_interval:
@@ -988,5 +1080,501 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 90,
                 bw.align()
                 out += bw.out
 
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic entropy coding (T.81 Annex D QM-coder + Annex F.1.4/F.2
+# statistical models for sequential DCT, SOF9).  The probability
+# estimation state machine is the public-spec constant Table D.3,
+# cross-checked bit-for-bit against the packed `jpeg_aritab` inside this
+# host's real libjpeg binary (libjpeg.so.62).  Byte-feed convention past
+# a marker/end-of-data is ZERO bits -- the de-facto interop behaviour
+# (T.81 encoders may drop trailing zero bytes at flush, so conforming
+# decoders must regenerate zeros, not ones).
+# ---------------------------------------------------------------------------
+
+# (Qe, Next_Index_LPS, Next_Index_MPS, Switch_MPS) -- T.81 Table D.3.
+# Entry 113 is the non-adapting "fixed" state (self-loop) used for AC
+# sign decisions (F.1.4.4.2).
+ARITH_TAB = (
+    (0x5A1D, 1, 1, 1), (0x2586, 14, 2, 0), (0x1114, 16, 3, 0),
+    (0x080B, 18, 4, 0), (0x03D8, 20, 5, 0), (0x01DA, 23, 6, 0),
+    (0x00E5, 25, 7, 0), (0x006F, 28, 8, 0), (0x0036, 30, 9, 0),
+    (0x001A, 33, 10, 0), (0x000D, 35, 11, 0), (0x0006, 9, 12, 0),
+    (0x0003, 10, 13, 0), (0x0001, 12, 13, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 36, 16, 0), (0x2CF2, 38, 17, 0), (0x207C, 39, 18, 0),
+    (0x17B9, 40, 19, 0), (0x1182, 42, 20, 0), (0x0CEF, 43, 21, 0),
+    (0x09A1, 45, 22, 0), (0x072F, 46, 23, 0), (0x055C, 48, 24, 0),
+    (0x0406, 49, 25, 0), (0x0303, 51, 26, 0), (0x0240, 52, 27, 0),
+    (0x01B1, 54, 28, 0), (0x0144, 56, 29, 0), (0x00F5, 57, 30, 0),
+    (0x00B7, 59, 31, 0), (0x008A, 60, 32, 0), (0x0068, 62, 33, 0),
+    (0x004E, 63, 34, 0), (0x003B, 32, 35, 0), (0x002C, 33, 9, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 64, 38, 0), (0x3A0D, 65, 39, 0),
+    (0x2EF1, 67, 40, 0), (0x261F, 68, 41, 0), (0x1F33, 69, 42, 0),
+    (0x19A8, 70, 43, 0), (0x1518, 72, 44, 0), (0x1177, 73, 45, 0),
+    (0x0E74, 74, 46, 0), (0x0BFB, 75, 47, 0), (0x09F8, 77, 48, 0),
+    (0x0861, 78, 49, 0), (0x0706, 79, 50, 0), (0x05CD, 48, 51, 0),
+    (0x04DE, 50, 52, 0), (0x040F, 50, 53, 0), (0x0363, 51, 54, 0),
+    (0x02D4, 52, 55, 0), (0x025C, 53, 56, 0), (0x01F8, 54, 57, 0),
+    (0x01A4, 55, 58, 0), (0x0160, 56, 59, 0), (0x0125, 57, 60, 0),
+    (0x00F6, 58, 61, 0), (0x00CB, 59, 62, 0), (0x00AB, 61, 63, 0),
+    (0x008F, 61, 32, 0), (0x5B12, 65, 65, 1), (0x4D04, 80, 66, 0),
+    (0x412C, 81, 67, 0), (0x37D8, 82, 68, 0), (0x2FE8, 83, 69, 0),
+    (0x293C, 84, 70, 0), (0x2379, 86, 71, 0), (0x1EDF, 87, 72, 0),
+    (0x1AA9, 87, 73, 0), (0x174E, 72, 74, 0), (0x1424, 72, 75, 0),
+    (0x119C, 74, 76, 0), (0x0F6B, 74, 77, 0), (0x0D51, 75, 78, 0),
+    (0x0BB6, 77, 79, 0), (0x0A40, 77, 48, 0), (0x5832, 80, 81, 1),
+    (0x4D1C, 88, 82, 0), (0x438E, 89, 83, 0), (0x3BDD, 90, 84, 0),
+    (0x34EE, 91, 85, 0), (0x2EAE, 92, 86, 0), (0x299A, 93, 87, 0),
+    (0x2516, 86, 71, 0), (0x5570, 88, 89, 1), (0x4CA9, 95, 90, 0),
+    (0x44D9, 96, 91, 0), (0x3E22, 97, 92, 0), (0x3824, 99, 93, 0),
+    (0x32B4, 99, 94, 0), (0x2E17, 93, 86, 0), (0x56A8, 95, 96, 1),
+    (0x4F46, 101, 97, 0), (0x47E5, 102, 98, 0), (0x41CF, 103, 99, 0),
+    (0x3C3D, 104, 100, 0), (0x375E, 99, 93, 0), (0x5231, 105, 102, 0),
+    (0x4C0F, 106, 103, 0), (0x4639, 107, 104, 0), (0x415E, 103, 99, 0),
+    (0x5627, 105, 106, 1), (0x50E7, 108, 107, 0), (0x4B85, 109, 103, 0),
+    (0x5597, 110, 109, 0), (0x504F, 111, 107, 0), (0x5A10, 110, 111, 1),
+    (0x5522, 112, 109, 0), (0x59EB, 112, 111, 1), (0x5A1D, 113, 113, 0),
+)
+
+
+class _ArithDecoder:
+    """T.81 Annex D QM arithmetic decoder (INITDEC / DECODE / BYTEIN /
+    RENORMD register discipline).  Takes ONE already-destuffed entropy
+    segment (0xFF00 -> 0xFF, RSTn split upstream -- same pre-pass as the
+    Huffman path), so BYTEIN is a plain byte fetch; past the end it
+    feeds zero bits (encoders may drop trailing zero bytes at flush)."""
+
+    __slots__ = ("data", "bp", "c", "a", "ct")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bp = 0
+        self.c = 0
+        self.a = 0
+        self.ct = -16         # two initialization bytes still to load
+
+    def decode(self, stats, i: int) -> int:
+        """Decode one binary decision in stats bin ``i`` (low 7 bits:
+        Table D.3 index; high bit: current MPS sense).
+
+        Register discipline: C accumulates input bytes UN-shifted; the
+        interval bound is compared as ``(A - Qe) << CT`` (D.2 with the
+        byte-aligned C convention; initialization folds INITDEC into the
+        first renormalization via the negative-CT counter)."""
+        # renormalize + byte input (D.2.6)
+        while self.a < 0x8000:
+            self.ct -= 1
+            if self.ct < 0:
+                b = self.data[self.bp] if self.bp < len(self.data) else 0
+                self.bp += 1
+                self.c = (self.c << 8) | b
+                self.ct += 8
+                if self.ct < 0:       # still inside INITDEC
+                    self.ct += 1
+                    if self.ct == 0:  # both init bytes in -> A=0x10000
+                        self.a = 0x8000   # (doubled by the shift below)
+            self.a <<= 1
+        sv = stats[i]
+        qe, nlps, nmps, switch = ARITH_TAB[sv & 0x7F]
+        self.a -= qe
+        bound = self.a << self.ct
+        if self.c >= bound:
+            self.c -= bound
+            # code point in the TOP subinterval (D.2.4 with exchange)
+            if self.a < qe:
+                d = sv >> 7                      # exchanged: MPS decoded
+                stats[i] = (sv & 0x80) | nmps
+            else:
+                d = 1 - (sv >> 7)                # LPS decoded
+                stats[i] = (((sv ^ 0x80) if switch else sv) & 0x80) | nlps
+            self.a = qe
+        else:
+            if self.a < 0x8000:
+                # bottom subinterval with renorm pending (D.2.5)
+                if self.a < qe:
+                    d = 1 - (sv >> 7)            # exchanged: LPS decoded
+                    stats[i] = (((sv ^ 0x80) if switch else sv)
+                                & 0x80) | nlps
+                else:
+                    d = sv >> 7
+                    stats[i] = (sv & 0x80) | nmps
+            else:
+                d = sv >> 7                      # fast path: MPS, no renorm
+        return d
+
+
+class _ArithEncoder:
+    """T.81 Annex D QM arithmetic encoder (CODELPS / CODEMPS / BYTEOUT /
+    RENORME / FLUSH with stacked-0xFF carry resolution, D.1.4-D.1.9)."""
+
+    __slots__ = ("out", "c", "a", "ct", "buffer", "sc", "zc")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.c = 0
+        self.a = 0x10000
+        self.ct = 11
+        self.buffer = -1     # pending output byte (carry may still hit it)
+        self.sc = 0          # count of pending 0xFF bytes
+        self.zc = 0          # count of pending 0x00 bytes
+
+    def encode(self, stats, i: int, d: int):
+        sv = stats[i]
+        qe, nlps, nmps, switch = ARITH_TAB[sv & 0x7F]
+        self.a -= qe
+        if d != (sv >> 7):
+            # LPS with conditional exchange (D.1.4)
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            stats[i] = ((sv ^ 0x80) & 0x80) | nlps if switch \
+                else (sv & 0x80) | nlps
+        else:
+            # MPS (D.1.5)
+            if self.a >= 0x8000:
+                return
+            if self.a < qe:
+                self.c += self.a
+                self.a = qe
+            stats[i] = (sv & 0x80) | nmps
+        while True:          # RENORME (D.1.6)
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+            if self.a & 0x8000:
+                break
+
+    def _emit(self, b: int):
+        self.out.append(b)
+        if b == 0xFF:          # byte stuffing (same framing rule the
+            self.out.append(0x00)  # Huffman coder uses, B.1.1.5)
+
+    def _drain_zc(self):
+        while self.zc:
+            self._emit(0x00)
+            self.zc -= 1
+
+    def _byteout(self):
+        t = self.c >> 19
+        if t > 0xFF:
+            # carry resolves into the pending byte; stacked 0xFFs flip
+            # to 0x00s (D.1.7.3)
+            if self.buffer >= 0:
+                self._drain_zc()
+                self._emit(self.buffer + 1)
+            self.zc += self.sc
+            self.sc = 0
+            self.buffer = t & 0xFF
+        elif t == 0xFF:
+            self.sc += 1       # held back: a later carry may flip it
+        else:
+            # no carry can reach the held bytes any more: release them
+            if self.buffer == 0:
+                self.zc += 1   # defer 0x00s (droppable at flush)
+            elif self.buffer >= 0:
+                self._drain_zc()
+                self._emit(self.buffer)
+            if self.sc:
+                self._drain_zc()
+                while self.sc:
+                    self._emit(0xFF)
+                    self.sc -= 1
+            self.buffer = t
+        self.c &= 0x7FFFF
+
+    def flush(self) -> bytes:
+        """D.1.8/D.1.9: pick the in-interval code point with the most
+        trailing zero bits, emit what remains, drop trailing zero
+        bytes (the decoder regenerates them)."""
+        t = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            # one final carry into the pending byte
+            if self.buffer >= 0:
+                self._drain_zc()
+                self._emit(self.buffer + 1)
+            self.zc += self.sc
+            self.sc = 0
+        else:
+            if self.buffer == 0:
+                self.zc += 1
+            elif self.buffer >= 0:
+                self._drain_zc()
+                self._emit(self.buffer)
+            if self.sc:
+                self._drain_zc()
+                while self.sc:
+                    self._emit(0xFF)
+                    self.sc -= 1
+        # final C-register bytes, only while a nonzero byte remains
+        if self.c & 0x7FFF800:
+            self._drain_zc()
+            self._emit((self.c >> 19) & 0xFF)
+            if self.c & 0x7F800:
+                self._emit((self.c >> 11) & 0xFF)
+        return bytes(self.out)
+
+
+# Statistical models for sequential DCT with arithmetic coding
+# (T.81 F.1.4.1/F.1.4.4 decision trees and Table F.4 bin layout):
+# DC per table: 64 bins -- 5 conditioning categories x {S0, SS, SP, SN}
+# at 0/4/8/12/16, magnitude-category bins X1.. at 20, magnitude-bit bins
+# at a fixed +14 from the stopping X bin.  AC per table: 256 bins --
+# {SE, S0, S+} triplets at 3*(k-1), shared XM runs at 189 (k <= Kx) and
+# 217 (k > Kx), magnitude bits at +14; the AC sign uses the non-adapting
+# fixed bin (state 113).
+
+def _decode_scan_arith(frame, scan, ecs, qtables, dac_dc, dac_ac,
+                       restart_interval):
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["comp"]["h"] for c in scan)
+    vmax = max(c["comp"]["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    total_mcus = mcux * mcuy
+    segments = _split_restart_segments(ecs)
+    if restart_interval and len(segments) != -(-total_mcus //
+                                               restart_interval):
+        raise ValueError("restart marker count does not match DRI interval")
+
+    per_mcu = [c["comp"]["h"] * c["comp"]["v"] for c in scan]
+    coefs = [np.zeros((total_mcus * k, 64), dtype=np.int64) for k in per_mcu]
+    mcu = 0
+    for seg in segments:
+        dec = _ArithDecoder(seg)
+        # statistics reset at every restart (F.1.4.1.3)
+        dc_stats = {sc["dc"]: bytearray(64) for sc in scan}
+        ac_stats = {sc["ac"]: bytearray(256) for sc in scan}
+        fixed = bytearray([113])
+        dc_ctx = [0] * len(scan)
+        last_dc = [0] * len(scan)
+        seg_mcus = (min(restart_interval, total_mcus - mcu)
+                    if restart_interval else total_mcus)
+        for _ in range(seg_mcus):
+            for ci, sc in enumerate(scan):
+                dst = dc_stats[sc["dc"]]
+                ast = ac_stats[sc["ac"]]
+                low, up = dac_dc.get(sc["dc"], (0, 1))
+                kx = dac_ac.get(sc["ac"], 5)
+                base = mcu * per_mcu[ci]
+                for b in range(per_mcu[ci]):
+                    row = coefs[ci][base + b]
+                    # ---- DC (F.1.4.1 / Figure F.19..F.24) ----
+                    s0 = dc_ctx[ci]
+                    if dec.decode(dst, s0) == 0:
+                        dc_ctx[ci] = 0
+                    else:
+                        sign = dec.decode(dst, s0 + 1)
+                        st = s0 + 2 + sign
+                        m = dec.decode(dst, st)
+                        if m:
+                            st = 20           # X1
+                            while dec.decode(dst, st):
+                                m <<= 1
+                                if m == 0x8000:
+                                    raise ValueError(
+                                        "arithmetic DC magnitude overflow")
+                                st += 1
+                        # conditioning category for the NEXT block
+                        if m < ((1 << low) >> 1):
+                            dc_ctx[ci] = 0
+                        elif m > ((1 << up) >> 1):
+                            dc_ctx[ci] = 12 + sign * 4
+                        else:
+                            dc_ctx[ci] = 4 + sign * 4
+                        v = m
+                        st += 14              # magnitude bits
+                        while m := m >> 1:
+                            if dec.decode(dst, st):
+                                v |= m
+                        v += 1
+                        last_dc[ci] += -v if sign else v
+                    row[0] = last_dc[ci]
+                    # ---- AC (F.1.4.2 / Figure F.20) ----
+                    k = 1
+                    while k <= 63:
+                        st = 3 * (k - 1)
+                        if dec.decode(ast, st):
+                            break             # EOB
+                        while dec.decode(ast, st + 1) == 0:
+                            st += 3
+                            k += 1
+                            if k > 63:
+                                raise ValueError(
+                                    "arithmetic AC run past block end")
+                        sign = dec.decode(fixed, 0)
+                        st += 2
+                        m = dec.decode(ast, st)
+                        if m and dec.decode(ast, st):
+                            m = 2
+                            st = 189 if k <= kx else 217
+                            while dec.decode(ast, st):
+                                m <<= 1
+                                if m == 0x8000:
+                                    raise ValueError(
+                                        "arithmetic AC magnitude overflow")
+                                st += 1
+                        v = m
+                        st += 14
+                        while m := m >> 1:
+                            if dec.decode(ast, st):
+                                v |= m
+                        v += 1
+                        row[k] = -v if sign else v
+                        k += 1
+            mcu += 1
+    return _coefs_to_image(frame, scan, coefs, qtables, mcux, mcuy,
+                           hmax, vmax)
+
+
+def encode_jpeg_arith(img: np.ndarray, quality: int = 90,
+                      subsample: bool = False,
+                      restart_interval: int = 0) -> bytes:
+    """(h, w, 3) or (h, w) uint8 -> arithmetic-coded sequential JFIF
+    bytes (SOF9).  Same quantized coefficients as :func:`encode_jpeg`
+    (shared `_prep_encode`), so `decode_jpeg(encode_jpeg_arith(x))`
+    must equal `decode_jpeg(encode_jpeg(x))` bit-for-bit -- the
+    round-trip referee in tests.  Default conditioning (DC L=0 U=1,
+    AC Kx=5) is written explicitly as a DAC segment."""
+    (gray, h, w, ql, qc, comps, hmax, vmax, mcux, mcuy, coef,
+     nb_w) = _prep_encode(img, quality, subsample)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tid, q in ((0, ql),) + ((() if gray else ((1, qc),))):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(q[z]) for z in ZIGZAG)
+    ncomp = 1 if gray else 3
+    out += b"\xff\xc9" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for i, (_, _, _, ch, cv) in enumerate(comps):
+        out += bytes([i + 1, (ch << 4) | cv, 0 if i == 0 else 1])
+    # DAC: default conditioning, one DC + one AC entry per table id
+    ntab = 1 if gray else 2
+    out += b"\xff\xcc" + struct.pack(">H", 2 + 4 * ntab)
+    for t in range(ntab):
+        out += bytes([t, (1 << 4) | 0])        # DC: U=1, L=0
+        out += bytes([0x10 | t, 5])            # AC: Kx=5
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for i in range(ncomp):
+        out += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    out += b"\x00\x3f\x00"
+
+    per_mcu = [ch * cv for _, _, _, ch, cv in comps]
+
+    def fresh_state():
+        tids = [0] if gray else [0, 1]
+        return ({t: bytearray(64) for t in tids},
+                {t: bytearray(256) for t in tids},
+                bytearray([113]), [0] * len(comps), [0] * len(comps))
+
+    enc = _ArithEncoder()
+    dc_stats, ac_stats, fixed, dc_ctx, last_dc = fresh_state()
+    rst = 0
+    total_mcus = mcux * mcuy
+    for mcu in range(total_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            out += enc.flush()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            enc = _ArithEncoder()
+            dc_stats, ac_stats, fixed, dc_ctx, last_dc = fresh_state()
+        my, mx = divmod(mcu, mcux)
+        for ci, (_, _, _, ch, cv) in enumerate(comps):
+            tid = 0 if ci == 0 else 1
+            dst, ast = dc_stats[tid], ac_stats[tid]
+            low, up, kx = 0, 1, 5
+            for by in range(cv):
+                for bx in range(ch):
+                    bi = (my * cv + by) * nb_w[ci] + (mx * ch + bx)
+                    zz = coef[ci][bi]
+                    # ---- DC (F.1.4.1, encoder side) ----
+                    diff = int(zz[0]) - last_dc[ci]
+                    last_dc[ci] = int(zz[0])
+                    s0 = dc_ctx[ci]
+                    if diff == 0:
+                        enc.encode(dst, s0, 0)
+                        dc_ctx[ci] = 0
+                    else:
+                        enc.encode(dst, s0, 1)
+                        sign = 1 if diff < 0 else 0
+                        enc.encode(dst, s0 + 1, sign)
+                        v = -diff if sign else diff
+                        st = s0 + 2 + sign
+                        szv = v - 1            # magnitude class of v
+                        if szv == 0:
+                            enc.encode(dst, st, 0)
+                            m = 0
+                        else:
+                            enc.encode(dst, st, 1)
+                            m = 1
+                            st = 20
+                            while szv >= (m << 1):
+                                enc.encode(dst, st, 1)
+                                m <<= 1
+                                st += 1
+                            enc.encode(dst, st, 0)
+                        if m < ((1 << low) >> 1):
+                            dc_ctx[ci] = 0
+                        elif m > ((1 << up) >> 1):
+                            dc_ctx[ci] = 12 + sign * 4
+                        else:
+                            dc_ctx[ci] = 4 + sign * 4
+                        st += 14
+                        mm = m
+                        while mm := mm >> 1:
+                            enc.encode(dst, st, 1 if szv & mm else 0)
+                    # ---- AC (F.1.4.2, encoder side) ----
+                    nz = np.flatnonzero(zz[1:]) + 1
+                    last_k = int(nz[-1]) if len(nz) else 0
+                    k = 1
+                    for k_nz in nz:
+                        st = 3 * (k - 1)
+                        enc.encode(ast, st, 0)     # not EOB yet
+                        while k < k_nz:
+                            enc.encode(ast, st + 1, 0)   # zero coef
+                            st += 3
+                            k += 1
+                        enc.encode(ast, st + 1, 1)       # nonzero
+                        v = int(zz[k])
+                        sign = 1 if v < 0 else 0
+                        enc.encode(fixed, 0, sign)
+                        v = -v if sign else v
+                        st += 2
+                        szv = v - 1
+                        if szv == 0:
+                            enc.encode(ast, st, 0)
+                            m = 0
+                        else:
+                            enc.encode(ast, st, 1)
+                            if szv == 1:
+                                enc.encode(ast, st, 0)
+                                m = 1
+                            else:
+                                enc.encode(ast, st, 1)
+                                m = 2
+                                st = 189 if k <= kx else 217
+                                while szv >= (m << 1):
+                                    enc.encode(ast, st, 1)
+                                    m <<= 1
+                                    st += 1
+                                enc.encode(ast, st, 0)
+                        st += 14
+                        mm = m
+                        while mm := mm >> 1:
+                            enc.encode(ast, st, 1 if szv & mm else 0)
+                        k += 1
+                    if last_k < 63:
+                        enc.encode(ast, 3 * (k - 1), 1)   # EOB
+    out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -151,12 +151,202 @@ def test_progressive_smooth_image_eob_runs():
     assert np.array_equal(base, prog)
 
 
-def test_arithmetic_coding_still_raises():
+def test_progressive_arithmetic_still_raises():
     data = bytearray(encode_jpeg(_gradient(16, 16)))
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC9  # SOF9: arithmetic sequential
+    data[i + 1] = 0xCA  # SOF10: arithmetic progressive (honest gap)
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
+
+
+# --------------------------------------------------------------------------
+# arithmetic entropy coding (SOF9) and 12-bit precision
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kw", [
+    {}, {"subsample": True}, {"restart_interval": 3},
+    {"subsample": True, "restart_interval": 2},
+])
+def test_arith_roundtrip_matches_baseline(kw):
+    """Arithmetic and Huffman encodes share quantized coefficients
+    (`_prep_encode`), so the decodes must be BIT-identical -- isolates
+    the entropy layer from every other stage."""
+    from fluent_plugin_geoip_ray.stages.jpegc import encode_jpeg_arith
+
+    img = _gradient(40, 52)
+    base = decode_jpeg(encode_jpeg(img, quality=85, **kw))
+    ar = decode_jpeg(encode_jpeg_arith(img, quality=85, **kw))
+    assert np.array_equal(base, ar)
+
+
+def test_arith_grayscale_and_compresses_better():
+    from fluent_plugin_geoip_ray.stages.jpegc import encode_jpeg_arith
+
+    g = _gradient(48, 48)[..., 0]
+    jh, ja = encode_jpeg(g, quality=90), encode_jpeg_arith(g, quality=90)
+    assert np.array_equal(decode_jpeg(jh), decode_jpeg(ja))
+    # the adaptive coder must actually adapt: smaller than Huffman
+    assert len(ja) < len(jh)
+
+
+def test_arith_tab_is_canonical():
+    """Pin Table D.3 against the packed `jpeg_aritab` inside this host's
+    real libjpeg binary (skip when absent)."""
+    import glob
+    import struct as _s
+
+    from fluent_plugin_geoip_ray.stages.jpegc import ARITH_TAB
+
+    libs = glob.glob("/usr/lib/*/libjpeg.so.62*") + \
+        glob.glob("/usr/lib/libjpeg.so.62*")
+    if not libs:
+        pytest.skip("no system libjpeg to cross-check against")
+    blob = open(libs[0], "rb").read()
+    first = _s.pack("<q", (0x5A1D << 16) | (1 << 8) | (1 << 7) | 1)
+    i = blob.find(first)
+    assert i >= 0, "jpeg_aritab not found in libjpeg binary"
+    vals = _s.unpack_from("<114q", blob, i)
+    ref = [((v >> 16) & 0xFFFF, v & 0x7F, (v >> 8) & 0x7F, (v >> 7) & 1)
+           for v in vals]
+    assert [tuple(t) for t in ARITH_TAB] == ref
+
+
+def test_12bit_roundtrip():
+    img8 = _gradient(32, 40)
+    img12 = img8.astype(np.uint16) * 16
+    data = encode_jpeg(img12, quality=97, precision=12)
+    # 12-bit markers on the wire: SOF1, 16-bit DQT
+    assert b"\xff\xc1" in data and data[data.find(b"\xff\xc1") + 4] == 12
+    out = decode_jpeg(data)
+    assert out.dtype == np.uint8 and out.shape == img8.shape
+    rmse = np.sqrt(((out.astype(float) - img8.astype(float)) ** 2).mean())
+    assert rmse < 1.5
+
+
+def test_12bit_dc_only_exact():
+    """A uniform 12-bit image survives the full path exactly (DC only)."""
+    img12 = np.full((16, 16, 3), 2000, np.uint16)
+    out = decode_jpeg(encode_jpeg(img12, quality=95, precision=12))
+    expect = int(round(2000 * 255 / 4095))
+    assert np.all(np.abs(out.astype(int) - expect) <= 1)
+
+
+def test_12bit_progressive_rejected():
+    img12 = np.full((16, 16, 3), 100, np.uint16)
+    data = bytearray(encode_jpeg(img12, quality=90, precision=12))
+    i = bytes(data).find(b"\xff\xc1")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="12-bit progressive"):
+        decode_jpeg(bytes(data))
+
+
+# --------------------------------------------------------------------------
+# cross-validation against the REAL system libjpeg (compiled shim);
+# skips when gcc / jpeglib.h are unavailable
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def libjpeg():
+    import ctypes
+    import shutil
+    import subprocess
+
+    src = os.path.join(os.path.dirname(__file__), "shim", "jshim.c")
+    so = "/tmp/graft_jshim.so"
+    if not (shutil.which("gcc") and os.path.isfile("/usr/include/jpeglib.h")
+            and os.path.isfile(src)):
+        pytest.skip("gcc/jpeglib.h not available for the libjpeg shim")
+    if not os.path.isfile(so):
+        r = subprocess.run(["gcc", "-O2", "-shared", "-fPIC", src,
+                            "-o", so, "-ljpeg"], capture_output=True)
+        if r.returncode != 0:
+            pytest.skip(f"shim compile failed: {r.stderr[:200]}")
+    lib = ctypes.CDLL(so)
+    lib.jshim_encode.restype = ctypes.c_long
+    lib.jshim_decode.restype = ctypes.c_long
+
+    def enc(img, quality=85, mode=0, subsample=0):
+        h, w = img.shape[:2]
+        out = ctypes.create_string_buffer(w * h * 10 + 65536)
+        n = lib.jshim_encode(img.tobytes(), w, h, quality, mode,
+                             subsample, out, len(out))
+        assert n > 0
+        return out.raw[:n]
+
+    def dec(data):
+        cap = 1024 * 1024 * 3
+        out = ctypes.create_string_buffer(cap)
+        r = lib.jshim_decode(data, len(data), out, cap)
+        assert r > 0
+        w, h = r >> 20, r & 0xFFFFF
+        return np.frombuffer(out.raw[:w * h * 3], np.uint8).reshape(h, w, 3)
+
+    return enc, dec
+
+
+@pytest.mark.parametrize("subsample", [0, 1])
+def test_libjpeg_arith_decodes_identically(libjpeg, subsample):
+    """libjpeg encodes the SAME image as Huffman and as arithmetic
+    (identical quantized coefficients); our decoder's outputs must be
+    BIT-identical -- a real-implementation referee for the whole
+    arithmetic decode path, independent of IDCT rounding."""
+    enc, _ = libjpeg
+    img = _gradient(40, 52)
+    ours_h = decode_jpeg(enc(img, mode=0, subsample=subsample))
+    ours_a = decode_jpeg(enc(img, mode=1, subsample=subsample))
+    assert np.array_equal(ours_h, ours_a)
+
+
+def test_libjpeg_accepts_our_arith_encoding(libjpeg):
+    """The converse: real libjpeg decodes OUR arithmetic encode exactly
+    as it decodes our Huffman encode of the same image."""
+    from fluent_plugin_geoip_ray.stages.jpegc import encode_jpeg_arith
+
+    _, dec = libjpeg
+    img = _gradient(40, 52)
+    lj_h = dec(encode_jpeg(img, quality=85))
+    lj_a = dec(encode_jpeg_arith(img, quality=85))
+    assert np.array_equal(lj_h, lj_a)
+
+
+def test_libjpeg_progressive_decodes_identically(libjpeg):
+    """Same referee for the progressive-Huffman decoder: a real libjpeg
+    progressive file (10-scan script, EOBn runs, successive
+    approximation) must decode bit-identically to its baseline twin."""
+    enc, _ = libjpeg
+    img = _gradient(40, 52)
+    assert np.array_equal(decode_jpeg(enc(img, mode=0)),
+                          decode_jpeg(enc(img, mode=2)))
+
+
+def test_libjpeg_idct_tolerance(libjpeg):
+    """Our float64 IDCT vs libjpeg's integer islow: bounded pixel drift
+    (sanity that files really decode the same image)."""
+    enc, dec = libjpeg
+    img = _gradient(40, 52)
+    data = enc(img, mode=1)
+    diff = np.abs(decode_jpeg(data).astype(int) - dec(data).astype(int))
+    assert diff.max() <= 3
+
+
+def test_decode_image_stage_strict_arith_jpeg():
+    """The strict multimodal path decodes an arithmetic-coded payload for
+    real (the round-4 honest gap, now closed)."""
+    from fluent_plugin_geoip_ray.stages.jpegc import encode_jpeg_arith
+    from fluent_plugin_geoip_ray.stages.multimodal import resize_nearest
+
+    img = _gradient(24, 24)
+    payload = encode_jpeg_arith(img, quality=90)
+    t = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "payload": pa.array([payload], pa.binary()),
+        "media_meta": pa.array([{"format": "jpeg", "width": 24,
+                                 "height": 24}]),
+    })
+    out = DecodeImage(out_hw=(8, 8), strict=True)(t)
+    ref = resize_nearest(decode_jpeg(payload), (8, 8)).ravel()
+    got = np.asarray(out.column("pixels")[0].as_py(), dtype=np.uint8)
+    assert np.array_equal(got, ref)
 
 
 def test_truncated_raises_value_error():
