@@ -9,15 +9,15 @@ image payloads inside actor-pool ``map_batches`` stages, and a training-data
 pipeline hits JPEG constantly.  BMP/PPM/PNG are already real; this module
 makes JPEG real too.
 
-Scope (honest): sequential DCT (SOF0/SOF1, 8- and 12-bit samples),
-progressive DCT (SOF2: spectral selection + successive approximation,
-DC/AC first and refinement scans, EOB runs, per T.81 Annex G), and
-arithmetic-coded sequential DCT (SOF9: Annex D QM-coder + the F.1.4
-statistical models, DAC conditioning, restart resets); Huffman AND
-arithmetic entropy coding; grayscale + YCbCr with arbitrary sampling
-factors whose ratios divide Hmax/Vmax (covers 4:4:4, 4:2:2, 4:2:0),
-restart markers (DRI/RSTn).  Progressive-arithmetic (SOF10),
-hierarchical and lossless modes raise ``NotImplementedError`` -- a real
+Scope (honest): every DCT-based T.81 process decodes -- sequential
+(SOF0/SOF1, 8- and 12-bit samples), progressive (SOF2: spectral
+selection + successive approximation, DC/AC first and refinement scans,
+EOB runs, per Annex G), arithmetic-coded sequential (SOF9: Annex D
+QM-coder + the F.1.4 statistical models, DAC conditioning, restart
+resets) and arithmetic-coded progressive (SOF10, per F.2.4/G.2);
+grayscale + YCbCr with arbitrary sampling factors whose ratios divide
+Hmax/Vmax (covers 4:4:4, 4:2:2, 4:2:0), restart markers (DRI/RSTn).
+Hierarchical and lossless modes raise ``NotImplementedError`` -- a real
 gap is reported, never silently mis-decoded.  Entropy-layer correctness
 is pinned two ways: the bundled progressive/arithmetic ENCODERS reuse
 the exact quantized coefficients of the baseline encoder, so their
@@ -267,14 +267,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[i + 17:i + 17 + nv])
                 htables[(tc, th)] = _canonical_decode_table(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0/1 sequential Huffman, SOF2 progressive Huffman,
-            # SOF9 sequential arithmetic
+            # SOF9 sequential arithmetic, SOF10 progressive arithmetic
             precision = seg[0]
             if precision not in (8, 12):
                 raise NotImplementedError(
                     f"{precision}-bit precision (T.81 allows 8/12 only)")
-            if precision == 12 and marker == 0xC2:
+            if precision == 12 and marker in (0xC2, 0xCA):
                 raise NotImplementedError(
                     "12-bit progressive JPEG not supported "
                     "(12-bit sequential and 8-bit progressive are)")
@@ -286,14 +286,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps,
-                     "progressive": marker == 0xC2,
-                     "arith": marker == 0xC9, "precision": precision}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+                     "progressive": marker in (0xC2, 0xCA),
+                     "arith": marker in (0xC9, 0xCA),
+                     "precision": precision}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} (progressive-arithmetic/"
-                "hierarchical/lossless) not supported; sequential "
-                "(Huffman + arithmetic) and progressive-Huffman DCT only"
+                f"JPEG SOF marker 0xFF{marker:02X} (hierarchical/lossless) "
+                "not supported; sequential + progressive DCT only "
+                "(Huffman and arithmetic)"
             )
         elif marker == 0xCC:  # DAC -- arithmetic conditioning (B.2.4.3)
             i = 0
@@ -349,9 +349,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
                     for c in frame["comps"]
                 ]
-            _decode_progressive_scan(frame, scan, ss, se, ah, al,
-                                     data[pos:end], htables,
-                                     restart_interval, prog_grids)
+            if frame["arith"]:
+                _decode_progressive_scan_arith(frame, scan, ss, se, ah, al,
+                                               data[pos:end], dac_dc, dac_ac,
+                                               restart_interval, prog_grids)
+            else:
+                _decode_progressive_scan(frame, scan, ss, se, ah, al,
+                                         data[pos:end], htables,
+                                         restart_interval, prog_grids)
             pos = end
     if frame is not None and frame["progressive"] and prog_grids is not None:
         return _assemble_progressive(frame, prog_grids, qtables)
@@ -1366,69 +1371,11 @@ def _decode_scan_arith(frame, scan, ecs, qtables, dac_dc, dac_ac,
                 base = mcu * per_mcu[ci]
                 for b in range(per_mcu[ci]):
                     row = coefs[ci][base + b]
-                    # ---- DC (F.1.4.1 / Figure F.19..F.24) ----
-                    s0 = dc_ctx[ci]
-                    if dec.decode(dst, s0) == 0:
-                        dc_ctx[ci] = 0
-                    else:
-                        sign = dec.decode(dst, s0 + 1)
-                        st = s0 + 2 + sign
-                        m = dec.decode(dst, st)
-                        if m:
-                            st = 20           # X1
-                            while dec.decode(dst, st):
-                                m <<= 1
-                                if m == 0x8000:
-                                    raise ValueError(
-                                        "arithmetic DC magnitude overflow")
-                                st += 1
-                        # conditioning category for the NEXT block
-                        if m < ((1 << low) >> 1):
-                            dc_ctx[ci] = 0
-                        elif m > ((1 << up) >> 1):
-                            dc_ctx[ci] = 12 + sign * 4
-                        else:
-                            dc_ctx[ci] = 4 + sign * 4
-                        v = m
-                        st += 14              # magnitude bits
-                        while m := m >> 1:
-                            if dec.decode(dst, st):
-                                v |= m
-                        v += 1
-                        last_dc[ci] += -v if sign else v
+                    diff, dc_ctx[ci] = _arith_dc_diff(dec, dst, dc_ctx[ci],
+                                                      low, up)
+                    last_dc[ci] += diff
                     row[0] = last_dc[ci]
-                    # ---- AC (F.1.4.2 / Figure F.20) ----
-                    k = 1
-                    while k <= 63:
-                        st = 3 * (k - 1)
-                        if dec.decode(ast, st):
-                            break             # EOB
-                        while dec.decode(ast, st + 1) == 0:
-                            st += 3
-                            k += 1
-                            if k > 63:
-                                raise ValueError(
-                                    "arithmetic AC run past block end")
-                        sign = dec.decode(fixed, 0)
-                        st += 2
-                        m = dec.decode(ast, st)
-                        if m and dec.decode(ast, st):
-                            m = 2
-                            st = 189 if k <= kx else 217
-                            while dec.decode(ast, st):
-                                m <<= 1
-                                if m == 0x8000:
-                                    raise ValueError(
-                                        "arithmetic AC magnitude overflow")
-                                st += 1
-                        v = m
-                        st += 14
-                        while m := m >> 1:
-                            if dec.decode(ast, st):
-                                v |= m
-                        v += 1
-                        row[k] = -v if sign else v
-                        k += 1
+                    _arith_ac_band(dec, ast, fixed, row, 1, 63, kx, 0)
             mcu += 1
     return _coefs_to_image(frame, scan, coefs, qtables, mcux, mcuy,
                            hmax, vmax)
@@ -1578,3 +1525,179 @@ def encode_jpeg_arith(img: np.ndarray, quality: int = 90,
     out += enc.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _arith_dc_diff(dec, dst, ctx, low, up):
+    """Shared DC-difference decode (F.1.4.1, Figures F.19-F.24): returns
+    (diff, next_context) given the conditioning context base ``ctx``."""
+    if dec.decode(dst, ctx) == 0:
+        return 0, 0
+    sign = dec.decode(dst, ctx + 1)
+    st = ctx + 2 + sign
+    m = dec.decode(dst, st)
+    if m:
+        st = 20                   # X1 (Table F.4)
+        while dec.decode(dst, st):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic DC magnitude overflow")
+            st += 1
+    if m < ((1 << low) >> 1):
+        nxt = 0
+    elif m > ((1 << up) >> 1):
+        nxt = 12 + sign * 4
+    else:
+        nxt = 4 + sign * 4
+    v = m
+    st += 14                      # magnitude bits
+    while m := m >> 1:
+        if dec.decode(dst, st):
+            v |= m
+    v += 1
+    return (-v if sign else v), nxt
+
+
+def _arith_ac_band(dec, ast, fixed, row, ss, se, kx, al):
+    """Shared AC band decode (F.1.4.2 / F.2.4.2, Figure F.20): fills
+    ``row[ss..se]`` (values shifted by the point transform ``al``)."""
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if dec.decode(ast, st):
+            break                 # EOB
+        while dec.decode(ast, st + 1) == 0:
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC run past band end")
+        sign = dec.decode(fixed, 0)
+        st += 2
+        m = dec.decode(ast, st)
+        if m and dec.decode(ast, st):
+            m = 2
+            st = 189 if k <= kx else 217
+            while dec.decode(ast, st):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("arithmetic AC magnitude overflow")
+                st += 1
+        v = m
+        st += 14
+        while m := m >> 1:
+            if dec.decode(ast, st):
+                v |= m
+        v += 1
+        row[k] = (-v if sign else v) << al
+        k += 1
+
+
+def _decode_progressive_scan_arith(frame, scan, ss, se, ah, al, ecs,
+                                   dac_dc, dac_ac, restart_interval, grids):
+    """SOF10 progressive arithmetic scan (T.81 F.2.4 / G.2): DC-first
+    reuses the sequential DC model with the point transform applied to
+    the accumulated value; DC-refinement is one fixed-bin correction bit
+    per block; AC-first is the sequential AC model band-limited;
+    AC-refinement corrects history coefficients at st+2, codes newly
+    nonzero ones at st+1 with fixed-bin signs, and consults the EOB bin
+    only beyond the previous stage's last nonzero index.  Statistics
+    reset per scan and at every restart."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    interleaved = len(scan) > 1
+    if interleaved:
+        if ss != 0:
+            raise ValueError("progressive AC scan must be single-component")
+        total_units = mcux * mcuy
+    else:
+        comp = scan[0]["comp"]
+        ci0 = comps.index(comp)
+        bw_i = -(-(-(-frame["w"] * comp["h"] // hmax)) // 8)
+        bh_i = -(-(-(-frame["h"] * comp["v"] // vmax)) // 8)
+        total_units = bw_i * bh_i
+    segments = iter(_split_restart_segments(ecs))
+    done = 0
+    while done < total_units:
+        try:
+            seg = next(segments)
+        except StopIteration:
+            raise ValueError("entropy data ended before scan completed")
+        dec = _ArithDecoder(seg)
+        dc_stats = {sc["dc"]: bytearray(64) for sc in scan}
+        ac_stats = {sc["ac"]: bytearray(256) for sc in scan}
+        fixed = bytearray([113])
+        dc_ctx = [0] * len(scan)
+        last_dc = [0] * len(scan)
+        count = (min(restart_interval, total_units - done)
+                 if restart_interval else total_units - done)
+        for u in range(done, done + count):
+            if interleaved:
+                my, mx = divmod(u, mcux)
+                for si, sc in enumerate(scan):
+                    comp = sc["comp"]
+                    ci = comps.index(comp)
+                    dst = dc_stats[sc["dc"]]
+                    low, up = dac_dc.get(sc["dc"], (0, 1))
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            row = grids[ci][my * comp["v"] + by,
+                                            mx * comp["h"] + bx]
+                            if ah == 0:
+                                diff, dc_ctx[si] = _arith_dc_diff(
+                                    dec, dst, dc_ctx[si], low, up)
+                                last_dc[si] += diff
+                                row[0] = last_dc[si] << al
+                            elif dec.decode(fixed, 0):
+                                row[0] |= 1 << al
+            else:
+                by, bx = divmod(u, bw_i)
+                row = grids[ci0][by, bx]
+                sc = scan[0]
+                if ss == 0:
+                    dst = dc_stats[sc["dc"]]
+                    low, up = dac_dc.get(sc["dc"], (0, 1))
+                    if ah == 0:
+                        diff, dc_ctx[0] = _arith_dc_diff(
+                            dec, dst, dc_ctx[0], low, up)
+                        last_dc[0] += diff
+                        row[0] = last_dc[0] << al
+                    elif dec.decode(fixed, 0):
+                        row[0] |= 1 << al
+                elif ah == 0:
+                    _arith_ac_band(dec, ac_stats[sc["ac"]], fixed, row,
+                                   ss, se, dac_ac.get(sc["ac"], 5), al)
+                else:
+                    _arith_ac_refine(dec, ac_stats[sc["ac"]], fixed, row,
+                                     ss, se, al)
+        done += count
+
+
+def _arith_ac_refine(dec, ast, fixed, row, ss, se, al):
+    """AC successive-approximation refinement (G.2.3 / jdarith
+    decode_mcu_AC_refine semantics)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    # previous stage's end-of-block index
+    kex = se
+    while kex > 0 and row[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex and dec.decode(ast, st):
+            break                 # EOB
+        while True:
+            if row[k] != 0:       # history coefficient: correction bit
+                if dec.decode(ast, st + 2):
+                    row[k] += m1 if row[k] < 0 else p1
+                break
+            if dec.decode(ast, st + 1):   # newly nonzero
+                row[k] = m1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arithmetic AC refinement past band end")
+        k += 1

@@ -151,12 +151,34 @@ def test_progressive_smooth_image_eob_runs():
     assert np.array_equal(base, prog)
 
 
-def test_progressive_arithmetic_still_raises():
+def test_lossless_sof_still_raises():
     data = bytearray(encode_jpeg(_gradient(16, 16)))
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xCA  # SOF10: arithmetic progressive (honest gap)
+    data[i + 1] = 0xC3  # SOF3: lossless sequential (honest gap)
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
+
+
+GOLDEN_JPEG = os.path.join(os.path.dirname(__file__), "golden", "jpeg")
+
+
+@pytest.mark.parametrize("variant, twin", [
+    ("libjpeg_q85_arith.jpg", "libjpeg_q85_baseline.jpg"),
+    ("libjpeg_q85_prog.jpg", "libjpeg_q85_baseline.jpg"),
+    ("libjpeg_q85_progarith.jpg", "libjpeg_q85_baseline.jpg"),
+    ("libjpeg_q85_420_progarith.jpg", "libjpeg_q85_420_baseline.jpg"),
+])
+def test_committed_libjpeg_fixtures_decode_identically(variant, twin):
+    """Pinned REAL-libjpeg fixtures (committed, so no gcc needed): each
+    entropy-coding variant of the same image must decode bit-identically
+    to its baseline twin -- the coefficients are identical, so any
+    difference is an entropy-decode bug."""
+    with open(os.path.join(GOLDEN_JPEG, variant), "rb") as f:
+        a = decode_jpeg(f.read())
+    with open(os.path.join(GOLDEN_JPEG, twin), "rb") as f:
+        b = decode_jpeg(f.read())
+    assert np.array_equal(a, b)
+    assert a.shape == (40, 52, 3)
 
 
 # --------------------------------------------------------------------------
@@ -317,6 +339,19 @@ def test_libjpeg_progressive_decodes_identically(libjpeg):
     img = _gradient(40, 52)
     assert np.array_equal(decode_jpeg(enc(img, mode=0)),
                           decode_jpeg(enc(img, mode=2)))
+
+
+@pytest.mark.parametrize("subsample", [0, 1])
+def test_libjpeg_progressive_arith_decodes_identically(libjpeg, subsample):
+    """SOF10 (progressive + arithmetic, the rarest DCT mode): fresh
+    libjpeg files across quality/subsampling decode bit-identically to
+    their baseline twins."""
+    enc, _ = libjpeg
+    img = _gradient(37, 45)  # odd dims: partial MCUs on both axes
+    for q in (30, 85):
+        a = decode_jpeg(enc(img, quality=q, mode=0, subsample=subsample))
+        b = decode_jpeg(enc(img, quality=q, mode=3, subsample=subsample))
+        assert np.array_equal(a, b)
 
 
 def test_libjpeg_idct_tolerance(libjpeg):
