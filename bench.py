@@ -207,6 +207,14 @@ def run_bench() -> dict:
             timed("range_join_big_events",
                   lambda: entrymod.q_events_range_big(sf_dir).count())
 
+            from fluent_plugin_geoip_ray.stages.ml import embed_texts
+
+            timed("embed_docs", lambda: embed_texts(
+                rd.read_parquet(docs_path, columns=["doc_id", "text"]),
+                concurrency=max(2, num_cpus // 4)).count())
+            timed("entity_match_docs",
+                  lambda: entrymod.q_entity_match(sf_dir).count())
+
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         if os.path.exists(emb_path):
             import numpy as np

@@ -1392,8 +1392,10 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
         """Per identical-gram run: LIGHT runs (df <= heavy_df_limit) emit
         every (later, earlier) key pair -- grouped COUNT = exact
         ``|Ga & Gb & light|``; heavy runs emit nothing (a stop gram in
-        every doc costs O(docs) annotation rows, never C(m,2) pairs).
-        Every row re-exchanges on its key carrying df."""
+        every doc never costs C(m,2) pairs).  One tag-1 stats row per
+        bucket carries the bucket's max df; full df annotations are
+        re-derived in a second exchange ONLY when something was heavy,
+        so the common no-skew case never ships per-gram-instance rows."""
         g = t.column("gram").to_numpy(zero_copy_only=False)
         k = t.column("key").to_numpy(zero_copy_only=False)
         order = np.lexsort((k, g))
@@ -1411,17 +1413,38 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
                 f"exchange bucket (> max_group_pairs={max_group_pairs}); "
                 f"lower heavy_df_limit (currently {heavy_df_limit}) or "
                 "raise the guard")
-        dfs_row = np.repeat(df_run, lens)
-        xb = _kb(ky)
+        max_df = np.array([int(df_run.max()) if len(df_run) else 0],
+                          np.int64)
+        z1 = np.zeros(1, np.int64)
         if n_pairs == 0:
-            return _mixed1(_e_i64, _e_i64, gr, ky, dfs_row, xb)
+            return _mixed1(_e_i64, _e_i64, z1, z1, max_df,
+                           np.zeros(1, np.int32))
         jidx = np.repeat(np.arange(len(gr), dtype=np.int64), w)
         cum = np.zeros(len(gr), dtype=np.int64)
         np.cumsum(w[:-1], out=cum[1:])
         within_j = np.arange(n_pairs, dtype=np.int64) - cum[jidx]
         iidx = jidx - w[jidx] + within_j
-        return _mixed1(ky[jidx], ky[iidx], gr, ky, dfs_row, xb)
+        return _mixed1(ky[jidx], ky[iidx], z1, z1, max_df,
+                       np.zeros(1, np.int32))
 
+    def annotate_runs(t: pa.Table) -> pa.Table:
+        """Heavy-case second pass: per-gram-instance df annotations,
+        re-bucketed by doc key for the prefix/meta exchange."""
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, g))
+        gr, ky = g[order], k[order]
+        starts = np.flatnonzero(np.r_[True, gr[1:] != gr[:-1]])
+        lens = np.diff(np.append(starts, len(gr)))
+        return pa.table({
+            "gram": pa.array(gr),
+            "key": pa.array(ky),
+            "df": pa.array(np.repeat(lens.astype(np.int64), lens)),
+            "__xb": pa.array(_kb(ky)),
+        })
+
+    # not materialized: the heavy path re-derives it from the materialized
+    # sketches (one cheap map) rather than pinning gram rows in the store
     exploded = sketches.map_batches(explode_all, batch_format="pyarrow",
                                     zero_copy_batch=True)
     mixed1 = hash_exchange(exploded, num_buckets, classify_and_pair,
@@ -1432,252 +1455,296 @@ def dedup_ngram(ds, key_col: str = "doc_id", text_col: str = "text",
             t.column("tag").to_numpy(zero_copy_only=False) == 0))
         return pa.table({"a": t.column("gram"), "b": t.column("key")})
 
-    def take_annot(t: pa.Table) -> pa.Table:
+    def take_stats(t: pa.Table) -> pa.Table:
         return t.filter(pa.array(
             t.column("tag").to_numpy(zero_copy_only=False) == 1)).select(
-            ["gram", "key", "df", "__xb"])
+            ["df"])
 
     light_counts = groupby_agg(
         mixed1.map_batches(take_pairs, batch_format="pyarrow",
                            zero_copy_batch=True),
         ["a", "b"], [("a", "count_star", "c")], merge="bucketed")
-    annotated = mixed1.map_batches(take_annot, batch_format="pyarrow",
-                                   zero_copy_batch=True)
 
-    def _mixed2(pg, pk, mk, msz, mhv):
-        """tag 0 = prefix rows, tag 1 = doc metas (sz + heavy-gram list)."""
-        n_p, n_m = len(pg), len(mk)
-        empty_hv = pa.ListArray.from_arrays(
-            pa.array(np.zeros(n_p + 1, np.int32)), pa.array(_e_i64))
-        return pa.table({
-            "tag": pa.array(np.r_[np.zeros(n_p, np.int8),
-                                  np.ones(n_m, np.int8)]),
-            "gram": pa.array(np.r_[pg, np.zeros(n_m, np.int64)]),
-            "key": pa.array(np.r_[pk, mk]),
-            "sz": pa.array(np.r_[np.zeros(n_p, np.int64), msz]),
-            "hv": pa.concat_arrays([empty_hv, mhv]),
-            "__xb": pa.array(np.r_[_gb(pg), np.zeros(n_m, np.int32)]),
+    any_heavy = bool((mixed1.map_batches(
+        take_stats, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["df"] > heavy_df_limit).any())
+
+    losers_ds = None
+    if not any_heavy and sketches.count() <= loser_broadcast_limit:
+        # FAST PATH: no gram is heavy, so any pair with J >= t shares a
+        # LIGHT gram and its light count IS the complete exact
+        # intersection -- skip the prefix-candidate machinery (three
+        # exchanges) and judge straight off the counts against broadcast
+        # doc sizes (16 B/doc, same ceiling as the loser broadcast).
+        def size_rows(t: pa.Table) -> pa.Table:
+            _, off = _list_col_parts(t.column("grams"))
+            return pa.table({
+                "k": t.column(key_col).cast(pa.int64()),
+                "sz": pa.array(np.diff(off).astype(np.int64)),
+            })
+
+        st_tbl = pa.concat_tables(
+            [t for t in ray.get(
+                sketches.map_batches(size_rows, batch_format="pyarrow",
+                                     zero_copy_batch=True).to_arrow_refs())
+             if t.num_rows])
+        sk = st_tbl.column("k").to_numpy(zero_copy_only=False)
+        sv = st_tbl.column("sz").to_numpy(zero_copy_only=False)
+        order_k = np.argsort(sk)
+        sizes_ref = ray.put((sk[order_k], sv[order_k]))
+
+        def judge_light(t: pa.Table) -> pa.Table:
+            ks, szs = ray.get(sizes_ref)
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False)
+            sa = szs[np.searchsorted(ks, a)]
+            sb = szs[np.searchsorted(ks, b)]
+            ok = c >= threshold * (sa + sb - c)
+            return pa.table({"node": pa.array(a[ok])})
+
+        losers_ds = light_counts.map_batches(
+            judge_light, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+
+    if losers_ds is None:
+        annotated = hash_exchange(exploded, num_buckets, annotate_runs,
+                                  bucket_col="__xb")
+
+        def _mixed2(pg, pk, mk, msz, mhv):
+            """tag 0 = prefix rows, tag 1 = doc metas (sz + heavy-gram list)."""
+            n_p, n_m = len(pg), len(mk)
+            empty_hv = pa.ListArray.from_arrays(
+                pa.array(np.zeros(n_p + 1, np.int32)), pa.array(_e_i64))
+            return pa.table({
+                "tag": pa.array(np.r_[np.zeros(n_p, np.int8),
+                                      np.ones(n_m, np.int8)]),
+                "gram": pa.array(np.r_[pg, np.zeros(n_m, np.int64)]),
+                "key": pa.array(np.r_[pk, mk]),
+                "sz": pa.array(np.r_[np.zeros(n_p, np.int64), msz]),
+                "hv": pa.concat_arrays([empty_hv, mhv]),
+                "__xb": pa.array(np.r_[_gb(pg), np.zeros(n_m, np.int32)]),
+            })
+
+        def prefix_and_meta(t: pa.Table) -> pa.Table:
+            """Per doc: the AllPairs rarest-first prefix (sz - ceil(t*sz) + 2
+            grams, +1 safety for float ceil) plus a meta row carrying sz and
+            the doc's HEAVY grams for the exact correction at judge time."""
+            g = t.column("gram").to_numpy(zero_copy_only=False)
+            k = t.column("key").to_numpy(zero_copy_only=False)
+            d = t.column("df").to_numpy(zero_copy_only=False)
+            order = np.lexsort((g, d, k))
+            gs, ks, ds_ = g[order], k[order], d[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            sz = np.diff(np.append(starts, len(gs))).astype(np.int64)
+            p = np.clip(sz - np.ceil(threshold * sz).astype(np.int64) + 2,
+                        1, sz)
+            doc_of = np.repeat(np.arange(len(starts)), sz)
+            rank = np.arange(len(gs)) - starts[doc_of]
+            pref = rank < p[doc_of]
+            heavy = ds_ > heavy_df_limit
+            hv_counts = np.add.reduceat(heavy.astype(np.int64), starts)
+            hv_counts[sz == 0] = 0
+            hv_off = np.zeros(len(starts) + 1, np.int64)
+            np.cumsum(hv_counts, out=hv_off[1:])
+            mhv = pa.ListArray.from_arrays(
+                pa.array(hv_off).cast(pa.int32()), pa.array(gs[heavy]))
+            return _mixed2(gs[pref], ks[pref], ks[starts], sz, mhv)
+
+        mixed2 = hash_exchange(annotated, num_buckets, prefix_and_meta,
+                               bucket_col="__xb")
+
+        def take_prefix(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(
+                t.column("tag").to_numpy(zero_copy_only=False) == 0)).select(
+                ["gram", "key", "__xb"])
+
+        def take_meta(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(
+                t.column("tag").to_numpy(zero_copy_only=False) == 1)).select(
+                ["key", "sz", "hv"])
+
+        def cross_prefix_pairs(t: pa.Table) -> pa.Table:
+            g = t.column("gram").to_numpy(zero_copy_only=False)
+            k = t.column("key").to_numpy(zero_copy_only=False)
+            order = np.lexsort((k, g))
+            gr, ky = g[order], k[order]
+            starts = np.flatnonzero(np.r_[True, gr[1:] != gr[:-1]])
+            lens = np.diff(np.append(starts, len(gr)))
+            w = np.arange(len(gr), dtype=np.int64) - np.repeat(starts, lens)
+            n_pairs = int(w.sum())
+            if n_pairs > max_group_pairs:
+                raise ValueError(
+                    f"n-gram Jaccard prefix-candidate blowup: {n_pairs} pairs "
+                    f"in one bucket (> max_group_pairs={max_group_pairs}); "
+                    "nearly every doc's prefix shares a gram -- the true "
+                    "duplicate graph is near-quadratic too; raise the guard "
+                    "if that is the real workload")
+            if n_pairs == 0:
+                return pa.table({"a": pa.array(_e_i64), "b": pa.array(_e_i64)})
+            jidx = np.repeat(np.arange(len(gr), dtype=np.int64), w)
+            cum = np.zeros(len(gr), dtype=np.int64)
+            np.cumsum(w[:-1], out=cum[1:])
+            within_j = np.arange(n_pairs, dtype=np.int64) - cum[jidx]
+            iidx = jidx - w[jidx] + within_j
+            return pa.table({"a": pa.array(ky[jidx]), "b": pa.array(ky[iidx])})
+
+        cand_pairs = hash_exchange(
+            mixed2.map_batches(take_prefix, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            num_buckets, cross_prefix_pairs, bucket_col="__xb")
+
+        def tag_cand(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "a": t.column("a"), "b": t.column("b"),
+                "is_cand": pa.array(np.ones(n, np.int64)),
+                "c": pa.array(np.zeros(n, np.int64)),
+            })
+
+        def tag_light(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "a": t.column("a"), "b": t.column("b"),
+                "is_cand": pa.array(np.zeros(n, np.int64)),
+                "c": t.column("c").cast(pa.int64()),
+            })
+
+        joined = groupby_agg(
+            cand_pairs.map_batches(tag_cand, batch_format="pyarrow",
+                                   zero_copy_batch=True).union(
+                light_counts.map_batches(tag_light, batch_format="pyarrow",
+                                         zero_copy_batch=True)),
+            ["a", "b"],
+            [("is_cand", "sum", "is_cand"), ("c", "sum", "c")],
+            merge="bucketed")
+
+        def keep_cands(t: pa.Table) -> pa.Table:
+            m = t.column("is_cand").to_numpy(zero_copy_only=False) >= 1
+            return t.filter(pa.array(m)).select(["a", "b", "c"])
+
+        cands = joined.map_batches(keep_cands, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+
+        _node_empty = pa.table({"node": pa.array(_e_i64)})
+        _empty_hv0 = pa.ListArray.from_arrays(
+            pa.array([0], pa.int32()), pa.array(_e_i64)).slice(0, 0)
+        hop_empty = pa.table({
+            "k": pa.array(_e_i64), "o": pa.array(_e_i64),
+            "c": pa.array(_e_i64), "sza": pa.array(_e_i64),
+            "hva": _empty_hv0, "kind": pa.array([], pa.int8()),
+            "__xb": pa.array([], pa.int32()),
         })
 
-    def prefix_and_meta(t: pa.Table) -> pa.Table:
-        """Per doc: the AllPairs rarest-first prefix (sz - ceil(t*sz) + 2
-        grams, +1 safety for float ceil) plus a meta row carrying sz and
-        the doc's HEAVY grams for the exact correction at judge time."""
-        g = t.column("gram").to_numpy(zero_copy_only=False)
-        k = t.column("key").to_numpy(zero_copy_only=False)
-        d = t.column("df").to_numpy(zero_copy_only=False)
-        order = np.lexsort((g, d, k))
-        gs, ks, ds_ = g[order], k[order], d[order]
-        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
-        sz = np.diff(np.append(starts, len(gs))).astype(np.int64)
-        p = np.clip(sz - np.ceil(threshold * sz).astype(np.int64) + 2,
-                    1, sz)
-        doc_of = np.repeat(np.arange(len(starts)), sz)
-        rank = np.arange(len(gs)) - starts[doc_of]
-        pref = rank < p[doc_of]
-        heavy = ds_ > heavy_df_limit
-        hv_counts = np.add.reduceat(heavy.astype(np.int64), starts)
-        hv_counts[sz == 0] = 0
-        hv_off = np.zeros(len(starts) + 1, np.int64)
-        np.cumsum(hv_counts, out=hv_off[1:])
-        mhv = pa.ListArray.from_arrays(
-            pa.array(hv_off).cast(pa.int32()), pa.array(gs[heavy]))
-        return _mixed2(gs[pref], ks[pref], ks[starts], sz, mhv)
+        def tag_cand_hop1(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            n = len(a)
+            return pa.table({
+                "k": pa.array(a), "o": t.column("b"),
+                "c": t.column("c").cast(pa.int64()),
+                "sza": pa.array(np.zeros(n, np.int64)),
+                "hva": pa.ListArray.from_arrays(
+                    pa.array(np.zeros(n + 1, np.int32)), pa.array(_e_i64)),
+                "kind": pa.array(np.zeros(n, np.int8)),
+                "__xb": pa.array(_kb(a)),
+            })
 
-    mixed2 = hash_exchange(annotated, num_buckets, prefix_and_meta,
-                           bucket_col="__xb")
+        def tag_meta_hop(t: pa.Table) -> pa.Table:
+            k = t.column("key").to_numpy(zero_copy_only=False)
+            n = len(k)
+            return pa.table({
+                "k": pa.array(k),
+                "o": pa.array(np.zeros(n, np.int64)),
+                "c": pa.array(np.zeros(n, np.int64)),
+                "sza": t.column("sz").cast(pa.int64()),
+                "hva": t.column("hv"),
+                "kind": pa.array(np.ones(n, np.int8)),
+                "__xb": pa.array(_kb(k)),
+            })
 
-    def take_prefix(t: pa.Table) -> pa.Table:
-        return t.filter(pa.array(
-            t.column("tag").to_numpy(zero_copy_only=False) == 0)).select(
-            ["gram", "key", "__xb"])
+        def _split_kinds(t: pa.Table):
+            kind = t.column("kind").to_numpy(zero_copy_only=False)
+            metas = t.filter(pa.array(kind == 1))
+            cands_t = t.filter(pa.array(kind == 0))
+            mk = metas.column("k").to_numpy(zero_copy_only=False)
+            mo = np.argsort(mk)
+            return cands_t, mk[mo], metas.column("sza").to_numpy(
+                zero_copy_only=False)[mo], \
+                metas.column("hva").combine_chunks().take(pa.array(mo))
 
-    def take_meta(t: pa.Table) -> pa.Table:
-        return t.filter(pa.array(
-            t.column("tag").to_numpy(zero_copy_only=False) == 1)).select(
-            ["key", "sz", "hv"])
+        def _meta_lookup(cands_t, mk):
+            ck = cands_t.column("k").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(mk, ck)
+            ok = idx < len(mk)
+            idx_c = np.minimum(idx, max(len(mk) - 1, 0))
+            ok &= (mk[idx_c] == ck) if len(mk) else False
+            return cands_t.filter(pa.array(ok)), idx_c[ok]
 
-    def cross_prefix_pairs(t: pa.Table) -> pa.Table:
-        g = t.column("gram").to_numpy(zero_copy_only=False)
-        k = t.column("key").to_numpy(zero_copy_only=False)
-        order = np.lexsort((k, g))
-        gr, ky = g[order], k[order]
-        starts = np.flatnonzero(np.r_[True, gr[1:] != gr[:-1]])
-        lens = np.diff(np.append(starts, len(gr)))
-        w = np.arange(len(gr), dtype=np.int64) - np.repeat(starts, lens)
-        n_pairs = int(w.sum())
-        if n_pairs > max_group_pairs:
-            raise ValueError(
-                f"n-gram Jaccard prefix-candidate blowup: {n_pairs} pairs "
-                f"in one bucket (> max_group_pairs={max_group_pairs}); "
-                "nearly every doc's prefix shares a gram -- the true "
-                "duplicate graph is near-quadratic too; raise the guard "
-                "if that is the real workload")
-        if n_pairs == 0:
-            return pa.table({"a": pa.array(_e_i64), "b": pa.array(_e_i64)})
-        jidx = np.repeat(np.arange(len(gr), dtype=np.int64), w)
-        cum = np.zeros(len(gr), dtype=np.int64)
-        np.cumsum(w[:-1], out=cum[1:])
-        within_j = np.arange(n_pairs, dtype=np.int64) - cum[jidx]
-        iidx = jidx - w[jidx] + within_j
-        return pa.table({"a": pa.array(ky[jidx]), "b": pa.array(ky[iidx])})
+        def attach_a(t: pa.Table) -> pa.Table:
+            cands_t, mk, msz, mhv = _split_kinds(t)
+            if cands_t.num_rows == 0:
+                return hop_empty
+            cands_t, idx = _meta_lookup(cands_t, mk)
+            if cands_t.num_rows == 0:
+                return hop_empty
+            b = cands_t.column("o").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "k": pa.array(b),
+                "o": cands_t.column("k"),
+                "c": cands_t.column("c"),
+                "sza": pa.array(msz[idx]),
+                "hva": mhv.take(pa.array(idx)),
+                "kind": pa.array(np.zeros(len(idx), np.int8)),
+                "__xb": pa.array(_kb(b)),
+            })
 
-    cand_pairs = hash_exchange(
-        mixed2.map_batches(take_prefix, batch_format="pyarrow",
-                           zero_copy_batch=True),
-        num_buckets, cross_prefix_pairs, bucket_col="__xb")
+        def attach_b_and_judge(t: pa.Table) -> pa.Table:
+            cands_t, mk, msz, mhv = _split_kinds(t)
+            if cands_t.num_rows == 0:
+                return _node_empty
+            cands_t, idx = _meta_lookup(cands_t, mk)
+            if cands_t.num_rows == 0:
+                return _node_empty
+            n = cands_t.num_rows
+            c_light = cands_t.column("c").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            sa = cands_t.column("sza").to_numpy(
+                zero_copy_only=False).astype(np.float64)
+            sb = msz[idx].astype(np.float64)
+            av, ao = _list_col_parts(cands_t.column("hva"))
+            bv, bo = _list_col_parts(mhv.take(pa.array(idx)))
+            pid = np.r_[np.repeat(np.arange(n), np.diff(ao)),
+                        np.repeat(np.arange(n), np.diff(bo))]
+            gm = np.r_[av, bv]
+            so = np.lexsort((gm, pid))
+            ps, gs2 = pid[so], gm[so]
+            eq = (ps[1:] == ps[:-1]) & (gs2[1:] == gs2[:-1])
+            c = c_light + np.bincount(ps[1:][eq], minlength=n)
+            ok = c >= threshold * (sa + sb - c)
+            return pa.table({
+                "node": cands_t.column("o").filter(pa.array(ok))})
 
-    def tag_cand(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({
-            "a": t.column("a"), "b": t.column("b"),
-            "is_cand": pa.array(np.ones(n, np.int64)),
-            "c": pa.array(np.zeros(n, np.int64)),
-        })
+        if cands.count() == 0:
+            import ray.data as _rd
 
-    def tag_light(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({
-            "a": t.column("a"), "b": t.column("b"),
-            "is_cand": pa.array(np.zeros(n, np.int64)),
-            "c": t.column("c").cast(pa.int64()),
-        })
-
-    joined = groupby_agg(
-        cand_pairs.map_batches(tag_cand, batch_format="pyarrow",
-                               zero_copy_batch=True).union(
-            light_counts.map_batches(tag_light, batch_format="pyarrow",
-                                     zero_copy_batch=True)),
-        ["a", "b"],
-        [("is_cand", "sum", "is_cand"), ("c", "sum", "c")],
-        merge="bucketed")
-
-    def keep_cands(t: pa.Table) -> pa.Table:
-        m = t.column("is_cand").to_numpy(zero_copy_only=False) >= 1
-        return t.filter(pa.array(m)).select(["a", "b", "c"])
-
-    cands = joined.map_batches(keep_cands, batch_format="pyarrow",
-                               zero_copy_batch=True).materialize()
-
-    _node_empty = pa.table({"node": pa.array(_e_i64)})
-    _empty_hv0 = pa.ListArray.from_arrays(
-        pa.array([0], pa.int32()), pa.array(_e_i64)).slice(0, 0)
-    hop_empty = pa.table({
-        "k": pa.array(_e_i64), "o": pa.array(_e_i64),
-        "c": pa.array(_e_i64), "sza": pa.array(_e_i64),
-        "hva": _empty_hv0, "kind": pa.array([], pa.int8()),
-        "__xb": pa.array([], pa.int32()),
-    })
-
-    def tag_cand_hop1(t: pa.Table) -> pa.Table:
-        a = t.column("a").to_numpy(zero_copy_only=False)
-        n = len(a)
-        return pa.table({
-            "k": pa.array(a), "o": t.column("b"),
-            "c": t.column("c").cast(pa.int64()),
-            "sza": pa.array(np.zeros(n, np.int64)),
-            "hva": pa.ListArray.from_arrays(
-                pa.array(np.zeros(n + 1, np.int32)), pa.array(_e_i64)),
-            "kind": pa.array(np.zeros(n, np.int8)),
-            "__xb": pa.array(_kb(a)),
-        })
-
-    def tag_meta_hop(t: pa.Table) -> pa.Table:
-        k = t.column("key").to_numpy(zero_copy_only=False)
-        n = len(k)
-        return pa.table({
-            "k": pa.array(k),
-            "o": pa.array(np.zeros(n, np.int64)),
-            "c": pa.array(np.zeros(n, np.int64)),
-            "sza": t.column("sz").cast(pa.int64()),
-            "hva": t.column("hv"),
-            "kind": pa.array(np.ones(n, np.int8)),
-            "__xb": pa.array(_kb(k)),
-        })
-
-    def _split_kinds(t: pa.Table):
-        kind = t.column("kind").to_numpy(zero_copy_only=False)
-        metas = t.filter(pa.array(kind == 1))
-        cands_t = t.filter(pa.array(kind == 0))
-        mk = metas.column("k").to_numpy(zero_copy_only=False)
-        mo = np.argsort(mk)
-        return cands_t, mk[mo], metas.column("sza").to_numpy(
-            zero_copy_only=False)[mo], \
-            metas.column("hva").combine_chunks().take(pa.array(mo))
-
-    def _meta_lookup(cands_t, mk):
-        ck = cands_t.column("k").to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(mk, ck)
-        ok = idx < len(mk)
-        idx_c = np.minimum(idx, max(len(mk) - 1, 0))
-        ok &= (mk[idx_c] == ck) if len(mk) else False
-        return cands_t.filter(pa.array(ok)), idx_c[ok]
-
-    def attach_a(t: pa.Table) -> pa.Table:
-        cands_t, mk, msz, mhv = _split_kinds(t)
-        if cands_t.num_rows == 0:
-            return hop_empty
-        cands_t, idx = _meta_lookup(cands_t, mk)
-        if cands_t.num_rows == 0:
-            return hop_empty
-        b = cands_t.column("o").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "k": pa.array(b),
-            "o": cands_t.column("k"),
-            "c": cands_t.column("c"),
-            "sza": pa.array(msz[idx]),
-            "hva": mhv.take(pa.array(idx)),
-            "kind": pa.array(np.zeros(len(idx), np.int8)),
-            "__xb": pa.array(_kb(b)),
-        })
-
-    def attach_b_and_judge(t: pa.Table) -> pa.Table:
-        cands_t, mk, msz, mhv = _split_kinds(t)
-        if cands_t.num_rows == 0:
-            return _node_empty
-        cands_t, idx = _meta_lookup(cands_t, mk)
-        if cands_t.num_rows == 0:
-            return _node_empty
-        n = cands_t.num_rows
-        c_light = cands_t.column("c").to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        sa = cands_t.column("sza").to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        sb = msz[idx].astype(np.float64)
-        av, ao = _list_col_parts(cands_t.column("hva"))
-        bv, bo = _list_col_parts(mhv.take(pa.array(idx)))
-        pid = np.r_[np.repeat(np.arange(n), np.diff(ao)),
-                    np.repeat(np.arange(n), np.diff(bo))]
-        gm = np.r_[av, bv]
-        so = np.lexsort((gm, pid))
-        ps, gs2 = pid[so], gm[so]
-        eq = (ps[1:] == ps[:-1]) & (gs2[1:] == gs2[:-1])
-        c = c_light + np.bincount(ps[1:][eq], minlength=n)
-        ok = c >= threshold * (sa + sb - c)
-        return pa.table({
-            "node": cands_t.column("o").filter(pa.array(ok))})
-
-    if cands.count() == 0:
-        import ray.data as _rd
-
-        losers_ds = _rd.from_arrow(_node_empty).materialize()
-    else:
-        hop1_in = cands.map_batches(
-            tag_cand_hop1, batch_format="pyarrow",
-            zero_copy_batch=True).union(
-            mixed2.map_batches(take_meta, batch_format="pyarrow",
-                               zero_copy_batch=True).map_batches(
-                tag_meta_hop, batch_format="pyarrow",
-                zero_copy_batch=True))
-        hop1 = hash_exchange(hop1_in, num_buckets, attach_a,
-                             bucket_col="__xb")
-        hop2_in = hop1.union(
-            mixed2.map_batches(take_meta, batch_format="pyarrow",
-                               zero_copy_batch=True).map_batches(
-                tag_meta_hop, batch_format="pyarrow",
-                zero_copy_batch=True))
-        losers_ds = hash_exchange(hop2_in, num_buckets, attach_b_and_judge,
-                                  bucket_col="__xb").materialize()
+            losers_ds = _rd.from_arrow(_node_empty).materialize()
+        else:
+            hop1_in = cands.map_batches(
+                tag_cand_hop1, batch_format="pyarrow",
+                zero_copy_batch=True).union(
+                mixed2.map_batches(take_meta, batch_format="pyarrow",
+                                   zero_copy_batch=True).map_batches(
+                    tag_meta_hop, batch_format="pyarrow",
+                    zero_copy_batch=True))
+            hop1 = hash_exchange(hop1_in, num_buckets, attach_a,
+                                 bucket_col="__xb")
+            hop2_in = hop1.union(
+                mixed2.map_batches(take_meta, batch_format="pyarrow",
+                                   zero_copy_batch=True).map_batches(
+                    tag_meta_hop, batch_format="pyarrow",
+                    zero_copy_batch=True))
+            losers_ds = hash_exchange(hop2_in, num_buckets, attach_b_and_judge,
+                                      bucket_col="__xb").materialize()
 
 
     if n_id:
@@ -2896,19 +2963,57 @@ def similarity_join(left_ds, right_ds, threshold: float = 0.5,
                 f"one bucket > max_group_pairs={max_group_pairs}; lower "
                 f"heavy_df_limit (currently {heavy_df_limit}) or raise the "
                 "guard")
-        dfs_row = df_run[np.repeat(np.arange(len(starts)), runlen)]
-        xb_annot = _key_bucket(ks)
+        # one stats row per bucket (max CLASSIFICATION df): full
+        # annotations are re-derived in a second exchange only when
+        # something was heavy, so the no-skew case ships no per-gram rows
+        max_df = np.array([int(df_run.max()) if len(df_run) else 0],
+                          np.int64)
+        z1 = np.zeros(1, np.int64)
+        zb1 = np.zeros(1, np.int8)
+        e64 = _empty_i64.to_numpy(zero_copy_only=False)
         if total == 0:
-            return _mixed1(_empty_i64.to_numpy(zero_copy_only=False),
-                           _empty_i64.to_numpy(zero_copy_only=False),
-                           gs, ks, ss, dfs_row, xb_annot)
+            return _mixed1(e64, e64, z1, z1, zb1, max_df,
+                           np.zeros(1, np.int32))
         run_of = np.repeat(np.arange(len(starts)), per_run)
         base = np.concatenate([[0], np.cumsum(per_run)[:-1]])
         ordinal = np.arange(total) - base[run_of]
         li = starts[run_of] + ordinal // np.maximum(n_right[run_of], 1)
         ri = (starts[run_of] + n_left[run_of]
               + ordinal % np.maximum(n_right[run_of], 1))
-        return _mixed1(ks[li], ks[ri], gs, ks, ss, dfs_row, xb_annot)
+        return _mixed1(ks[li], ks[ri], z1, z1, zb1, max_df,
+                       np.zeros(1, np.int32))
+
+    def annotate_runs(t: pa.Table) -> pa.Table:
+        """Heavy-case second pass: per-gram-instance df annotations
+        (same classification df source as classify_and_pair),
+        re-bucketed by doc key for the prefix/meta exchange."""
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        sd = t.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, sd, g))
+        gs, ks, ss = g[order], k[order], sd[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        runlen = np.diff(np.append(starts, len(gs)))
+        if df_index_dir is not None:
+            ig, idf = _load_df_bucket(
+                df_index_dir,
+                int(pd.util.hash_array(
+                    gs[:1].copy().view(np.uint64)) % num_buckets))
+            pos = np.searchsorted(ig, gs[starts])
+            pos_c = np.minimum(pos, max(len(ig) - 1, 0))
+            df_run = np.where(
+                (len(ig) > 0) & (ig[pos_c] == gs[starts]),
+                idf[pos_c] if len(ig) else 0, 0).astype(np.int64)
+        else:
+            df_run = runlen.astype(np.int64)
+        return pa.table({
+            "gram": pa.array(gs),
+            "key": pa.array(ks),
+            "side": pa.array(ss),
+            "df": pa.array(df_run[np.repeat(np.arange(len(starts)),
+                                            runlen)]),
+            "__xb": pa.array(_key_bucket(ks)),
+        })
 
     mixed1 = hash_exchange(exploded, num_buckets, classify_and_pair,
                            bucket_col="__xb")
@@ -2918,17 +3023,69 @@ def similarity_join(left_ds, right_ds, threshold: float = 0.5,
             t.column("tag").to_numpy(zero_copy_only=False) == 0))
         return pa.table({"lk": t.column("gram"), "rk": t.column("key")})
 
-    def take_annot(t: pa.Table) -> pa.Table:
+    def take_stats(t: pa.Table) -> pa.Table:
         return t.filter(pa.array(
             t.column("tag").to_numpy(zero_copy_only=False) == 1)).select(
-            ["gram", "key", "side", "df", "__xb"])
+            ["df"])
 
     light_counts = groupby_agg(
         mixed1.map_batches(take_pairs, batch_format="pyarrow",
                            zero_copy_batch=True),
         ["lk", "rk"], [("lk", "count_star", "c")], merge="bucketed")
-    annotated = mixed1.map_batches(take_annot, batch_format="pyarrow",
-                                   zero_copy_batch=True)
+
+    any_heavy = bool((mixed1.map_batches(
+        take_stats, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()["df"] > heavy_df_limit).any())
+
+    if not any_heavy and (sk_l.count() + sk_r.count()) <= 5_000_000:
+        # FAST PATH: no gram is heavy, so any pair with J >= t shares a
+        # light gram and its light count IS the complete exact
+        # intersection -- skip prefix candidates and meta hops, judge
+        # straight off the counts with broadcast per-side sizes.
+        def _sizes(sk, key_col):
+            def size_rows(t: pa.Table) -> pa.Table:
+                _, off = _list_col_parts(t.column("grams"))
+                return pa.table({
+                    "k": t.column(key_col).cast(pa.int64()),
+                    "sz": pa.array(np.diff(off).astype(np.int64)),
+                })
+
+            st_tbl = pa.concat_tables(
+                [t for t in ray.get(
+                    sk.map_batches(size_rows, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_arrow_refs())
+                 if t.num_rows])
+            k = st_tbl.column("k").to_numpy(zero_copy_only=False)
+            v = st_tbl.column("sz").to_numpy(zero_copy_only=False)
+            o = np.argsort(k)
+            return k[o], v[o]
+
+        sizes_ref = ray.put((_sizes(sk_l, left_key),
+                             _sizes(sk_r, right_key)))
+
+        def judge_light(t: pa.Table) -> pa.Table:
+            (lkk, lsz), (rkk, rsz) = ray.get(sizes_ref)
+            lk = t.column("lk").to_numpy(zero_copy_only=False)
+            rk = t.column("rk").to_numpy(zero_copy_only=False)
+            c = t.column("c").to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            sa = lsz[np.searchsorted(lkk, lk)].astype(np.float64)
+            sb = rsz[np.searchsorted(rkk, rk)].astype(np.float64)
+            j = c / (sa + sb - c)
+            ok = j >= threshold
+            return pa.table({
+                "left_key": pa.array(lk[ok]),
+                "right_key": pa.array(rk[ok]),
+                "jaccard": pa.array(j[ok]),
+            })
+
+        out = light_counts.map_batches(
+            judge_light, batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+        return out if out.count() else _empty_result()
+
+    annotated = hash_exchange(exploded, num_buckets, annotate_runs,
+                              bucket_col="__xb")
 
     _empty_list_i64 = pa.ListArray.from_arrays(
         pa.array([0], pa.int32()), _empty_i64).slice(0, 0)
