@@ -156,9 +156,9 @@ class TextEmbedder:
         vals, row_of = vals[keep], row_of[keep]
         if len(vals):
             idx = (pd.util.hash_array(vals) % self.hash_dim).astype(np.int64)
-            gathered = self.w1[idx].astype(np.float64)
+            gathered = self.w1[idx]      # float32: half the gather traffic
         else:
-            gathered = np.zeros((0, self.w1.shape[1]))
+            gathered = np.zeros((0, self.w1.shape[1]), np.float32)
         # per-row sums: reduceat needs non-empty segments; rows with zero
         # tokens get an explicit zero vector
         lens = np.bincount(row_of, minlength=n).astype(np.int64)
@@ -166,8 +166,10 @@ class TextEmbedder:
         h = np.zeros((n, self.w1.shape[1]))
         nz = lens > 0
         if nz.any() and len(gathered):
+            # f32 accumulation is row-local (sorted token order within the
+            # row), so embeddings stay deterministic and batch-invariant
             sums = np.add.reduceat(gathered, starts[nz], axis=0)
-            h[nz] = sums
+            h[nz] = sums.astype(np.float64)
         np.maximum(h, 0.0, out=h)          # ReLU
         e = h @ self.w2.astype(np.float64)
         norm = np.linalg.norm(e, axis=1)
