@@ -16,9 +16,13 @@ EOB runs, per Annex G), arithmetic-coded sequential (SOF9: Annex D
 QM-coder + the F.1.4 statistical models, DAC conditioning, restart
 resets) and arithmetic-coded progressive (SOF10, per F.2.4/G.2);
 grayscale + YCbCr with arbitrary sampling factors whose ratios divide
-Hmax/Vmax (covers 4:4:4, 4:2:2, 4:2:0), restart markers (DRI/RSTn).
-Hierarchical and lossless modes raise ``NotImplementedError`` -- a real
-gap is reported, never silently mis-decoded.  Entropy-layer correctness
+Hmax/Vmax (covers 4:4:4, 4:2:2, 4:2:0), restart markers (DRI/RSTn);
+plus Huffman LOSSLESS (SOF3, Annex H: all 7 predictors, point
+transform, 2..16-bit samples, modulo-2**16 reconstruction, exact
+integer output via :func:`decode_jpeg_lossless_samples`).
+Hierarchical and arithmetic-lossless modes raise
+``NotImplementedError`` -- a real gap is reported, never silently
+mis-decoded.  Entropy-layer correctness
 is pinned two ways: the bundled progressive/arithmetic ENCODERS reuse
 the exact quantized coefficients of the baseline encoder, so their
 decodes must equal baseline decode bit-for-bit; and the REAL system
@@ -218,11 +222,13 @@ class _BitWriter:
 # Decoder
 # ---------------------------------------------------------------------------
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """JFIF bytes (sequential SOF0/1, progressive SOF2, or
-    arithmetic-coded sequential SOF9; 8- or 12-bit samples) ->
-    (h, w, 3) uint8 RGB (grayscale replicated; 12-bit samples are
-    rendered by v*255/maxval rounding)."""
+def decode_jpeg(data: bytes, _raw_samples: bool = False) -> np.ndarray:
+    """JFIF bytes (sequential SOF0/1, progressive SOF2,
+    arithmetic-coded SOF9/SOF10, or lossless SOF3; 8- or 12-bit DCT
+    samples, 2..16-bit lossless samples) -> (h, w, 3) uint8 RGB
+    (grayscale replicated; >8-bit samples are rendered by
+    v*255/maxval rounding).  ``_raw_samples`` is the private hook for
+    :func:`decode_jpeg_lossless_samples` (exact integer plane output)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
@@ -230,6 +236,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     dac_dc: dict[int, tuple] = {}    # tbl -> (L, U) DC conditioning
     dac_ac: dict[int, int] = {}      # tbl -> Kx AC conditioning
     frame = None
+    ll_planes = None  # lossless: per-comp reconstructed sample planes
+    ll_pt = 0
     prog_grids = None  # progressive: per-comp (bh, bw, 64) coefficient grids
     restart_interval = 0
     pos = 2
@@ -267,11 +275,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[i + 17:i + 17 + nv])
                 htables[(tc, th)] = _canonical_decode_table(bits, vals)
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
             # SOF0/1 sequential Huffman, SOF2 progressive Huffman,
-            # SOF9 sequential arithmetic, SOF10 progressive arithmetic
+            # SOF3 lossless Huffman (Annex H), SOF9 sequential
+            # arithmetic, SOF10 progressive arithmetic
             precision = seg[0]
-            if precision not in (8, 12):
+            lossless = marker == 0xC3
+            if lossless:
+                if not 2 <= precision <= 16:
+                    raise ValueError(
+                        f"{precision}-bit lossless precision "
+                        "(T.81 allows 2..16)")
+            elif precision not in (8, 12):
                 raise NotImplementedError(
                     f"{precision}-bit precision (T.81 allows 8/12 only)")
             if precision == 12 and marker in (0xC2, 0xCA):
@@ -288,12 +303,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             frame = {"h": h, "w": w, "comps": comps,
                      "progressive": marker in (0xC2, 0xCA),
                      "arith": marker in (0xC9, 0xCA),
+                     "lossless": lossless,
                      "precision": precision}
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} (hierarchical/lossless) "
-                "not supported; sequential + progressive DCT only "
-                "(Huffman and arithmetic)"
+                f"JPEG SOF marker 0xFF{marker:02X} (hierarchical or "
+                "arithmetic-lossless) not supported; sequential + "
+                "progressive DCT (Huffman and arithmetic) and Huffman "
+                "lossless (SOF3) are"
             )
         elif marker == 0xCC:  # DAC -- arithmetic conditioning (B.2.4.3)
             i = 0
@@ -309,13 +326,30 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS -- entropy-coded data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if _raw_samples and not frame.get("lossless"):
+                raise ValueError("not a lossless JPEG (raw-sample decode "
+                                 "is lossless-only)")
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(cc for cc in frame["comps"] if cc["id"] == cid)
                 scan.append({"comp": comp, "dc": tt >> 4, "ac": tt & 15})
-            if not frame["progressive"]:
+            if frame.get("lossless"):
+                predictor = seg[1 + 2 * ns]  # Ss = predictor selector
+                ll_pt = seg[3 + 2 * ns] & 15  # Al = point transform
+                if not 1 <= predictor <= 7:
+                    raise NotImplementedError(
+                        f"lossless predictor {predictor} (0 is "
+                        "hierarchical-only; 1..7 are supported)")
+                end = _find_scan_end(data, pos, n)
+                if ll_planes is None:
+                    ll_planes = [None] * len(frame["comps"])
+                _decode_lossless_scan(frame, scan, data[pos:end], htables,
+                                      restart_interval, predictor, ll_pt,
+                                      ll_planes)
+                pos = end
+            elif not frame["progressive"]:
                 end = data.find(b"\xff\xd9", pos)
                 ecs = data[pos:end if end >= 0 else n]
                 if frame["arith"]:
@@ -324,43 +358,53 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                                               restart_interval)
                 return _decode_scan(frame, scan, ecs, qtables, htables,
                                     restart_interval)
-            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
-            ahal = seg[3 + 2 * ns]
-            ah, al = ahal >> 4, ahal & 15
-            # entropy data runs to the next non-RST/non-stuffed marker
-            end = pos
-            while True:
-                j = data.find(b"\xff", end)
-                if j < 0 or j + 1 >= n:
-                    end = n
-                    break
-                nx = data[j + 1]
-                if nx == 0x00 or 0xD0 <= nx <= 0xD7:
-                    end = j + 2
-                    continue
-                end = j
-                break
-            if prog_grids is None:
-                hmax = max(c["h"] for c in frame["comps"])
-                vmax = max(c["v"] for c in frame["comps"])
-                mcux = -(-frame["w"] // (8 * hmax))
-                mcuy = -(-frame["h"] // (8 * vmax))
-                prog_grids = [
-                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
-                    for c in frame["comps"]
-                ]
-            if frame["arith"]:
-                _decode_progressive_scan_arith(frame, scan, ss, se, ah, al,
-                                               data[pos:end], dac_dc, dac_ac,
-                                               restart_interval, prog_grids)
             else:
-                _decode_progressive_scan(frame, scan, ss, se, ah, al,
-                                         data[pos:end], htables,
-                                         restart_interval, prog_grids)
-            pos = end
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 15
+                end = _find_scan_end(data, pos, n)
+                if prog_grids is None:
+                    hmax = max(c["h"] for c in frame["comps"])
+                    vmax = max(c["v"] for c in frame["comps"])
+                    mcux = -(-frame["w"] // (8 * hmax))
+                    mcuy = -(-frame["h"] // (8 * vmax))
+                    prog_grids = [
+                        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+                        for c in frame["comps"]
+                    ]
+                if frame["arith"]:
+                    _decode_progressive_scan_arith(frame, scan, ss, se, ah,
+                                                   al, data[pos:end], dac_dc,
+                                                   dac_ac, restart_interval,
+                                                   prog_grids)
+                else:
+                    _decode_progressive_scan(frame, scan, ss, se, ah, al,
+                                             data[pos:end], htables,
+                                             restart_interval, prog_grids)
+                pos = end
+    if frame is not None and frame.get("lossless") and ll_planes is not None:
+        return _assemble_lossless(frame, ll_planes, ll_pt, _raw_samples)
+    if _raw_samples:
+        raise ValueError("not a lossless JPEG (raw-sample decode is "
+                         "lossless-only)")
     if frame is not None and frame["progressive"] and prog_grids is not None:
         return _assemble_progressive(frame, prog_grids, qtables)
     raise ValueError("no SOS segment found")
+
+
+def _find_scan_end(data: bytes, pos: int, n: int) -> int:
+    """Entropy-coded data runs from ``pos`` to the next marker that is
+    neither a stuffed 0x00 nor a restart (RST0..7)."""
+    end = pos
+    while True:
+        j = data.find(b"\xff", end)
+        if j < 0 or j + 1 >= n:
+            return n
+        nx = data[j + 1]
+        if nx == 0x00 or 0xD0 <= nx <= 0xD7:
+            end = j + 2
+            continue
+        return j
 
 
 def _decode_scan(frame, scan, ecs, qtables, htables, restart_interval):
@@ -467,7 +511,7 @@ def _planes_to_rgb(out: np.ndarray, precision: int = 8) -> np.ndarray:
     else:
         raise NotImplementedError(f"{out.shape[-1]}-component JPEG")
     rgb = np.clip(np.rint(rgb), 0, maxval)
-    if precision > 8:
+    if precision != 8:  # render 2..7- and 9..16-bit samples into uint8
         rgb = np.rint(rgb * (255.0 / maxval))
     return rgb.astype(np.uint8)
 
@@ -1701,3 +1745,302 @@ def _arith_ac_refine(dec, ast, fixed, row, ss, se, al):
             if k > se:
                 raise ValueError("arithmetic AC refinement past band end")
         k += 1
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 Annex H, process 14: Huffman DPCM).
+#
+# Each sample is coded as a Huffman DC-style difference (SSSS category +
+# EXTEND bits -- the exact machinery the sequential DC path uses, which is
+# cross-validated against the real system libjpeg in test_jpeg.py) against
+# one of the seven Annex H.1.2.1 predictors.  Reconstruction is modulo
+# 2**16 (H.1.2.2); SSSS=16 denotes a difference of exactly 32768 with no
+# appended bits.  Positional rules (H.1.2.2/H.2.1):
+#   * the very first sample of a scan is predicted with 2**(P-1-Pt);
+#   * the rest of the first line uses predictor 1 (Ra);
+#   * the first sample of every later line uses predictor 2 (Rb);
+#   * everything else uses the scan's selected predictor.
+# After a restart marker the next sample of each component is predicted
+# with the default 2**(P-1-Pt) and positional rules then resume -- the
+# Cornell/libjpeg-lossless convention.  The host's libjpeg-turbo (2.1.5)
+# predates lossless support (added in 3.0), so unlike the DCT paths there
+# is no external binary cross-check; instead the no-restart bitstream
+# layout is pinned by a hand-constructed stream in test_jpeg.py that is
+# built in the test from the spec rules, independent of this encoder.
+#
+# The entropy layer is inherently bit-serial (Python loop, like every
+# other entropy decoder in this module); reconstruction is vectorized via
+# cumulative sums for the common predictors 1 and 2 when no restart
+# intervals are present, and falls back to an exact serial loop otherwise.
+# Fixture-scale only: the multimodal stages decode small payloads inside
+# actor pools; nothing on a hot Dataset path loops per pixel over large
+# images.
+# ---------------------------------------------------------------------------
+
+# Fixed Huffman spec covering all lossless difference categories 0..16
+# (Annex K's DC tables stop at 11).  Canonical, Kraft-valid: six 3-bit
+# codes then one code per length 4..14.
+LL_BITS = [0, 0, 6, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0]
+LL_VALS = list(range(17))
+
+
+def _decode_lossless_scan(frame, scan, ecs, htables, restart_interval,
+                          predictor, pt, planes):
+    """Decode one lossless scan into ``planes`` (per-frame-component
+    int64 sample grids, allocated here on first touch)."""
+    P = frame["precision"]
+    default = 1 << (P - 1 - pt)
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    comp_pos = {c["id"]: i for i, c in enumerate(frame["comps"])}
+    if len(scan) > 1 and any(c["comp"]["h"] != 1 or c["comp"]["v"] != 1
+                             for c in scan):
+        raise NotImplementedError(
+            "interleaved lossless scan with sampling factors != 1x1")
+    dims = []
+    for sc in scan:
+        comp = sc["comp"]
+        if len(scan) == 1:
+            hc = -(-frame["h"] * comp["v"] // vmax)
+            wc = -(-frame["w"] * comp["h"] // hmax)
+        else:
+            hc, wc = frame["h"], frame["w"]
+        dims.append((hc, wc))
+    if len({d for d in dims}) != 1:
+        raise NotImplementedError("interleaved lossless components with "
+                                  "unequal dimensions")
+    hc, wc = dims[0]
+    total = hc * wc
+    tbls = [htables[(0, sc["dc"])] for sc in scan]
+    diffs = [np.zeros(total, np.int64) for _ in scan]
+    idx = 0
+    for seg in _split_restart_segments(ecs):
+        br = _BitReader(seg)
+        cnt = (min(restart_interval, total - idx)
+               if restart_interval else total - idx)
+        for _ in range(cnt):
+            for ci in range(len(scan)):
+                t = _decode_symbol(br, tbls[ci])
+                diffs[ci][idx] = (32768 if t == 16
+                                  else _extend(br.read(t), t))
+            idx += 1
+    if idx != total:
+        raise ValueError("lossless scan is short of samples")
+    for ci, sc in enumerate(scan):
+        recon = _ll_reconstruct(diffs[ci].reshape(hc, wc), predictor,
+                                default, restart_interval)
+        planes[comp_pos[sc["comp"]["id"]]] = recon
+
+
+def _ll_reconstruct(d, predictor, default, restart_interval):
+    """Difference grid -> sample grid per Annex H positional rules,
+    modulo 2**16.  Vectorized cumsum path for predictors 1/2 without
+    restarts (mod arithmetic is linear, so one mask at the end is
+    exact); serial reference loop otherwise."""
+    hc, wc = d.shape
+    if not restart_interval and predictor == 1:
+        t = d.copy()
+        t[:, 0] = np.cumsum(d[:, 0]) + default  # col 0 chains via Rb
+        return np.cumsum(t, axis=1) & 0xFFFF
+    if not restart_interval and predictor == 2:
+        t = d.copy()
+        t[0, :] = np.cumsum(d[0, :]) + default  # row 0 chains via Ra
+        return np.cumsum(t, axis=0) & 0xFFFF
+    flat = d.ravel()
+    recon = np.zeros((hc, wc), np.int64)
+    reset = True
+    for i in range(hc * wc):
+        if restart_interval and i and i % restart_interval == 0:
+            reset = True
+        y, x = divmod(i, wc)
+        if reset:
+            px = default
+            reset = False
+        elif y == 0:
+            px = recon[0, x - 1]
+        elif x == 0:
+            px = recon[y - 1, 0]
+        else:
+            ra = int(recon[y, x - 1])
+            rb = int(recon[y - 1, x])
+            rc = int(recon[y - 1, x - 1])
+            if predictor == 1:
+                px = ra
+            elif predictor == 2:
+                px = rb
+            elif predictor == 3:
+                px = rc
+            elif predictor == 4:
+                px = ra + rb - rc
+            elif predictor == 5:
+                px = ra + ((rb - rc) >> 1)
+            elif predictor == 6:
+                px = rb + ((ra - rc) >> 1)
+            else:
+                px = (ra + rb) >> 1
+        recon[y, x] = (int(px) + int(flat[i])) & 0xFFFF
+    return recon
+
+
+def _assemble_lossless(frame, planes, pt, raw):
+    """Reconstructed planes -> RGB uint8 (``raw=False``, JFIF YCbCr
+    convention for 3 components) or exact int32 samples with the point
+    transform undone (``raw=True``)."""
+    if any(p is None for p in planes):
+        raise ValueError("lossless frame is missing a component scan")
+    P = frame["precision"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    outs = []
+    for c, pl in zip(frame["comps"], planes):
+        arr = pl << pt
+        arr = np.repeat(np.repeat(arr, vmax // c["v"], 0), hmax // c["h"], 1)
+        outs.append(arr[:frame["h"], :frame["w"]])
+    stacked = np.stack(outs, axis=-1)
+    if raw:
+        return stacked.astype(np.int32)
+    return _planes_to_rgb(stacked.astype(np.float64), P)
+
+
+def decode_jpeg_lossless_samples(data: bytes) -> np.ndarray:
+    """Lossless JFIF bytes -> exact (h, w, ncomp) int32 sample planes
+    (no color conversion, point transform re-applied as ``v << Pt``).
+    This is the value-exactness surface: for a Pt=0 encode the output
+    equals the encoder's input samples bit-for-bit."""
+    return decode_jpeg(data, _raw_samples=True)
+
+
+def encode_jpeg_lossless(img: np.ndarray, predictor: int = 1,
+                         precision: int = 8, pt: int = 0,
+                         restart_interval: int = 0,
+                         interleave: bool = True) -> bytes:
+    """(h, w) or (h, w, 3) samples -> lossless (SOF3) JFIF bytes.
+
+    Grayscale input round-trips exactly through
+    :func:`decode_jpeg_lossless_samples` (and, for Pt=0 8-bit input,
+    through :func:`decode_jpeg` up to gray->RGB replication).  3-channel
+    input is transformed RGB->YCbCr with rounding first (the module's
+    JFIF convention), so :func:`decode_jpeg` inverts it only to within
+    color-transform rounding -- the YCbCr *samples* still round-trip
+    exactly.  ``precision`` may be 2..16 (uint16 input for >8);
+    ``pt`` point-transforms the samples (``v >> pt`` is what gets
+    coded); ``restart_interval`` > 0 emits DRI/RSTn every N samples.
+    """
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1..7")
+    if not 2 <= precision <= 16:
+        raise ValueError("precision must be 2..16")
+    if not 0 <= pt < precision:
+        raise ValueError("point transform must be in [0, precision)")
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    maxval = (1 << precision) - 1
+    if img.ndim == 2:
+        comps = [np.clip(img.astype(np.int64), 0, maxval)]
+    else:
+        if precision != 8:
+            raise ValueError("3-channel lossless encode is 8-bit only")
+        half = 128.0
+        r, g, b = (img[..., c].astype(np.float64) for c in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + half
+        comps = [np.clip(np.rint(p), 0, 255).astype(np.int64)
+                 for p in (y, cb, cr)]
+    comps = [c >> pt for c in comps]
+    ncomp = len(comps)
+    codes = _canonical_codes(LL_BITS, LL_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    if precision == 8:
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+            + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * ncomp, precision,
+                                     h, w, ncomp)
+    for i in range(ncomp):
+        out += bytes([i + 1, 0x11, 0])  # 1x1 sampling, Tq=0 (unused)
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(LL_VALS)) \
+        + bytes([0x00]) + bytes(LL_BITS) + bytes(LL_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    if interleave or ncomp == 1:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+        for i in range(ncomp):
+            out += bytes([i + 1, 0x00])  # Td=0 for every component
+        out += bytes([predictor, 0x00, pt])  # Ss=pred, Se=0, Ah=0|Al=Pt
+        out += _ll_encode_scan(comps, predictor, precision, pt,
+                               restart_interval, codes)
+    else:  # one scan per component (the non-interleaved H.2 layout)
+        for ci in range(ncomp):
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([ci + 1, 0x00, predictor, 0x00, pt])
+            out += _ll_encode_scan([comps[ci]], predictor, precision, pt,
+                                   restart_interval, codes)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _ll_encode_scan(comps, predictor, precision, pt, restart_interval,
+                    codes) -> bytes:
+    """Entropy-encode one lossless scan (RST markers included)."""
+    h, w = comps[0].shape
+    ncomp = len(comps)
+    default = 1 << (precision - 1 - pt)
+    out = bytearray()
+    bw = _BitWriter()
+    rst = 0
+    resets = [True] * ncomp
+    recons = [np.zeros((h, w), np.int64) for _ in range(ncomp)]
+    for i in range(h * w):
+        if restart_interval and i and i % restart_interval == 0:
+            bw.align()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _BitWriter()
+            resets = [True] * ncomp
+        y, x = divmod(i, w)
+        for ci in range(ncomp):
+            recon = recons[ci]
+            if resets[ci]:
+                px = default
+                resets[ci] = False
+            elif y == 0:
+                px = recon[0, x - 1]
+            elif x == 0:
+                px = recon[y - 1, 0]
+            else:
+                ra = int(recon[y, x - 1])
+                rb = int(recon[y - 1, x])
+                rc = int(recon[y - 1, x - 1])
+                if predictor == 1:
+                    px = ra
+                elif predictor == 2:
+                    px = rb
+                elif predictor == 3:
+                    px = rc
+                elif predictor == 4:
+                    px = ra + rb - rc
+                elif predictor == 5:
+                    px = ra + ((rb - rc) >> 1)
+                elif predictor == 6:
+                    px = rb + ((ra - rc) >> 1)
+                else:
+                    px = (ra + rb) >> 1
+            val = int(comps[ci][y, x])
+            recon[y, x] = val
+            diff = (val - int(px)) & 0xFFFF
+            if diff == 32768:  # SSSS=16: no appended bits (H.1.2.2)
+                code, length = codes[16]
+                bw.write(code, length)
+                continue
+            if diff > 32768:
+                diff -= 65536
+            t = int(diff != 0 and int(abs(diff)).bit_length())
+            code, length = codes[t]
+            bw.write(code, length)
+            if t:
+                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    bw.align()
+    out += bw.out
+    return bytes(out)

@@ -151,12 +151,15 @@ def test_progressive_smooth_image_eob_runs():
     assert np.array_equal(base, prog)
 
 
-def test_lossless_sof_still_raises():
+def test_hierarchical_sof_still_raises():
     data = bytearray(encode_jpeg(_gradient(16, 16)))
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC3  # SOF3: lossless sequential (honest gap)
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(data))
+    # SOF5 (differential sequential, hierarchical) and SOF11
+    # (arithmetic lossless): the remaining honest gaps.
+    for marker in (0xC5, 0xCB):
+        data[i + 1] = marker
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(data))
 
 
 GOLDEN_JPEG = os.path.join(os.path.dirname(__file__), "golden", "jpeg")
@@ -500,3 +503,95 @@ def test_restart_interval_markers_present():
     data = encode_jpeg(_gradient(40, 40), restart_interval=2)
     assert b"\xff\xdd" in data  # DRI
     assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+
+
+# ---------------------------------------------------------------------------
+# Lossless (SOF3, Annex H)
+# ---------------------------------------------------------------------------
+
+from fluent_plugin_geoip_ray.stages.jpegc import (  # noqa: E402
+    decode_jpeg_lossless_samples,
+    encode_jpeg_lossless,
+)
+
+
+def test_lossless_hand_constructed_bitstream():
+    """Decoder pin independent of the bundled encoder: a 2x3 grayscale
+    lossless file whose entropy bytes were derived by hand from the
+    T.81 Annex H rules (predictor 1, P=8, Pt=0, default prediction
+    128; diffs -28,+1,-2,+3,0,+4 coded as SSSS categories with a
+    seven-symbol 3-bit DHT built in this test)."""
+    data = bytes(
+        [0xFF, 0xD8,                                     # SOI
+         0xFF, 0xC3, 0x00, 0x0B, 0x08,                   # SOF3, P=8
+         0x00, 0x02, 0x00, 0x03, 0x01,                   # 2x3, 1 comp
+         0x01, 0x11, 0x00,                               # id=1, 1x1
+         0xFF, 0xC4, 0x00, 0x1A, 0x00,                   # DHT class0/id0
+         0, 0, 7, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,  # seven 3-bit
+         0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06,       # SSSS 0..6
+         0xFF, 0xDA, 0x00, 0x08, 0x01, 0x01, 0x00,       # SOS, comp 1
+         0x01, 0x00, 0x00,                               # Ss=1,Se=0,AhAl=0
+         0xA3, 0x34, 0xAC, 0x39,                         # hand-coded ECS
+         0xFF, 0xD9])                                    # EOI
+    out = decode_jpeg_lossless_samples(data)
+    assert np.array_equal(
+        out[:, :, 0], np.array([[100, 101, 99], [103, 103, 107]]))
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+@pytest.mark.parametrize("restart", [0, 37])
+def test_lossless_roundtrip_exact(predictor, restart):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (33, 31), dtype=np.uint8)
+    enc = encode_jpeg_lossless(img, predictor=predictor,
+                               restart_interval=restart)
+    out = decode_jpeg_lossless_samples(enc)
+    assert out.shape == (33, 31, 1)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_lossless_16bit_and_ssss16():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 65536, (17, 13), dtype=np.uint16)
+    # force the SSSS=16 (diff exactly 32768, no appended bits) path:
+    # alternating 0/32768 makes every modulo-2**16 difference 32768
+    img[0, :4] = [0, 32768, 0, 32768]
+    for predictor in (1, 4, 7):
+        enc = encode_jpeg_lossless(img, predictor=predictor, precision=16)
+        out = decode_jpeg_lossless_samples(enc)
+        assert np.array_equal(out[:, :, 0], img.astype(np.int32))
+
+
+def test_lossless_point_transform():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (12, 9), dtype=np.uint8)
+    enc = encode_jpeg_lossless(img, predictor=2, pt=2)
+    out = decode_jpeg_lossless_samples(enc)
+    assert np.array_equal(out[:, :, 0], (img.astype(np.int32) >> 2) << 2)
+
+
+def test_lossless_color_and_scan_layouts():
+    rng = np.random.default_rng(5)
+    rgb = rng.integers(0, 256, (20, 22, 3), dtype=np.uint8)
+    inter = encode_jpeg_lossless(rgb, predictor=4)
+    non = encode_jpeg_lossless(rgb, predictor=4, interleave=False)
+    # interleaved and one-scan-per-component files reconstruct the
+    # same YCbCr samples exactly
+    assert np.array_equal(decode_jpeg_lossless_samples(inter),
+                          decode_jpeg_lossless_samples(non))
+    # the public decode inverts the rounded RGB->YCbCr transform to
+    # within 1 count
+    out = decode_jpeg(inter)
+    assert out.shape == (20, 22, 3)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 1
+
+
+def test_lossless_gray_public_decode_exact():
+    img = _gradient(16, 16)[:, :, 0]
+    out = decode_jpeg(encode_jpeg_lossless(img))
+    assert all(np.array_equal(out[:, :, c], img) for c in range(3))
+
+
+def test_lossless_raw_samples_rejects_dct_files():
+    with pytest.raises(ValueError):
+        decode_jpeg_lossless_samples(encode_jpeg(_gradient(16, 16)))
