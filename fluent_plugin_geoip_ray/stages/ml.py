@@ -146,17 +146,29 @@ class TextEmbedder:
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
         off = flat.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        vals = flat.values.to_pandas().to_numpy(dtype=object)
         raw_lens = np.diff(off - off[0])
         row_of = np.repeat(np.arange(n, dtype=np.int64), raw_lens)
+        # Hash only the UNIQUE tokens (dictionary_encode is one C++ pass;
+        # pd.util.hash_array walks Python objects, so feed it the
+        # vocabulary, not the token stream) and expand by code -- same
+        # hash per token, so outputs are bit-identical to direct hashing.
+        denc = flat.values.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = denc.dictionary.to_pandas().to_numpy(dtype=object)
         # whitespace splitting yields '' tokens for empty/blank rows --
         # drop them so such rows embed to the zero vector
         keep = pc.greater(pc.utf8_length(flat.values), 0).to_numpy(
             zero_copy_only=False)
-        vals, row_of = vals[keep], row_of[keep]
-        if len(vals):
-            idx = (pd.util.hash_array(vals) % self.hash_dim).astype(np.int64)
-            gathered = self.w1[idx]      # float32: half the gather traffic
+        codes, row_of = codes[keep], row_of[keep]
+        if len(codes):
+            uidx = (pd.util.hash_array(uniq)
+                    % self.hash_dim).astype(np.int64)
+            # two-step gather: pull each unique token's W1 row once (the
+            # small, cache-resident table), then expand by code -- the
+            # gathered rows are identical to w1[idx], so the downstream
+            # reduceat sums the exact same float32 values in the exact
+            # same (text) order
+            gathered = self.w1[uidx][codes]
         else:
             gathered = np.zeros((0, self.w1.shape[1]), np.float32)
         # per-row sums: reduceat needs non-empty segments; rows with zero
