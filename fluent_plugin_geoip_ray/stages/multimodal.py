@@ -322,6 +322,13 @@ def synthesize_binary_table(n: int = 64, seed: int = 42,
                 img, quality=90, subsample=bool(i % 2),
                 dc_al=i % 3, ac_al=i % 3))
             fmt = "jpeg"  # the stored format label; sniffing sees JFIF
+        elif fmt == "jpeg_lossless":
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = np.stack([(yy * 3 + i) % 256, (xx * 5) % 256,
+                            ((yy + xx) * 2) % 256], -1).astype(np.uint8)
+            payloads.append(jpegc.encode_jpeg_lossless(
+                img, predictor=1 + i % 7, interleave=bool(i % 2)))
+            fmt = "jpeg"  # sniffing sees JFIF
         else:
             samples = (rng.standard_normal(4000) * 8000).astype(np.int16)
             payloads.append(encode_wav(samples))

@@ -595,3 +595,21 @@ def test_lossless_gray_public_decode_exact():
 def test_lossless_raw_samples_rejects_dct_files():
     with pytest.raises(ValueError):
         decode_jpeg_lossless_samples(encode_jpeg(_gradient(16, 16)))
+
+
+def test_decode_image_stage_strict_lossless_jpeg():
+    """SOF3 payloads flow through the actor-pool decode stage like any
+    other JPEG (same JFIF sniff), in strict mode -- the Ray-side
+    plumbing needs no special-casing for the lossless process."""
+    from fluent_plugin_geoip_ray.stages.multimodal import (
+        resize_nearest,
+        synthesize_binary_table,
+    )
+
+    t = synthesize_binary_table(n=7, real=True, formats=("jpeg_lossless",))
+    out = DecodeImage(out_hw=(8, 8), strict=True)(t)
+    assert out.column("pixels").type == pa.list_(pa.uint8(), 192)
+    raw = t.column("payload")[0].as_py()
+    ref = resize_nearest(decode_jpeg(raw), (8, 8)).ravel()
+    got = np.asarray(out.column("pixels")[0].as_py(), dtype=np.uint8)
+    assert np.array_equal(got, ref)

@@ -304,6 +304,15 @@ def main() -> int:
             "fluent_plugin_geoip_ray.stages.multimodal",
             fromlist=["synthesize_image_corpus"]
         ).synthesize_image_corpus(n_base=10 * k)).repartition(8)).count()),
+        # ---- round-5 operators ----
+        ("embed", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.ml", fromlist=["embed_texts"]
+        ).embed_texts(rd.from_arrow(docs), concurrency=8).count()),
+        ("dense_2key", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.window",
+            fromlist=["dense_tumbling"]
+        ).dense_tumbling(rd.from_arrow(events), ts_col="ts", size_sec=3600,
+                         keys=["user_id", "event_type"]).count()),
         ("dedup_audio", lambda: __import__(
             "fluent_plugin_geoip_ray.stages.multimodal",
             fromlist=["dedup_audio"]
