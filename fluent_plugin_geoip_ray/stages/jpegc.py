@@ -237,7 +237,7 @@ def decode_jpeg(data: bytes, _raw_samples: bool = False) -> np.ndarray:
     dac_ac: dict[int, int] = {}      # tbl -> Kx AC conditioning
     frame = None
     ll_planes = None  # lossless: per-comp reconstructed sample planes
-    ll_pt = 0
+    ll_pts = None     # lossless: per-comp point transform (Pt is per SCAN)
     prog_grids = None  # progressive: per-comp (bh, bw, 64) coefficient grids
     restart_interval = 0
     pos = 2
@@ -337,7 +337,7 @@ def decode_jpeg(data: bytes, _raw_samples: bool = False) -> np.ndarray:
                 scan.append({"comp": comp, "dc": tt >> 4, "ac": tt & 15})
             if frame.get("lossless"):
                 predictor = seg[1 + 2 * ns]  # Ss = predictor selector
-                ll_pt = seg[3 + 2 * ns] & 15  # Al = point transform
+                pt = seg[3 + 2 * ns] & 15  # Al = point transform (per scan)
                 if not 1 <= predictor <= 7:
                     raise NotImplementedError(
                         f"lossless predictor {predictor} (0 is "
@@ -345,9 +345,10 @@ def decode_jpeg(data: bytes, _raw_samples: bool = False) -> np.ndarray:
                 end = _find_scan_end(data, pos, n)
                 if ll_planes is None:
                     ll_planes = [None] * len(frame["comps"])
+                    ll_pts = [0] * len(frame["comps"])
                 _decode_lossless_scan(frame, scan, data[pos:end], htables,
-                                      restart_interval, predictor, ll_pt,
-                                      ll_planes)
+                                      restart_interval, predictor, pt,
+                                      ll_planes, ll_pts)
                 pos = end
             elif not frame["progressive"]:
                 end = data.find(b"\xff\xd9", pos)
@@ -383,7 +384,7 @@ def decode_jpeg(data: bytes, _raw_samples: bool = False) -> np.ndarray:
                                              restart_interval, prog_grids)
                 pos = end
     if frame is not None and frame.get("lossless") and ll_planes is not None:
-        return _assemble_lossless(frame, ll_planes, ll_pt, _raw_samples)
+        return _assemble_lossless(frame, ll_planes, ll_pts, _raw_samples)
     if _raw_samples:
         raise ValueError("not a lossless JPEG (raw-sample decode is "
                          "lossless-only)")
@@ -1785,9 +1786,11 @@ LL_VALS = list(range(17))
 
 
 def _decode_lossless_scan(frame, scan, ecs, htables, restart_interval,
-                          predictor, pt, planes):
+                          predictor, pt, planes, pts):
     """Decode one lossless scan into ``planes`` (per-frame-component
-    int64 sample grids, allocated here on first touch)."""
+    int64 sample grids), recording the scan's point transform in
+    ``pts`` per component (Pt is a per-SCAN parameter -- two
+    non-interleaved scans may legally carry different values)."""
     P = frame["precision"]
     default = 1 << (P - 1 - pt)
     hmax = max(c["h"] for c in frame["comps"])
@@ -1797,14 +1800,15 @@ def _decode_lossless_scan(frame, scan, ecs, htables, restart_interval,
                              for c in scan):
         raise NotImplementedError(
             "interleaved lossless scan with sampling factors != 1x1")
+    # component dimensions are ALWAYS the A.1.1 ceil(d * f / fmax)
+    # formula -- also for interleaved scans, whose components may be a
+    # subset of the frame (e.g. the two 1x1 chroma planes of a frame
+    # whose luma is 2x2)
     dims = []
     for sc in scan:
         comp = sc["comp"]
-        if len(scan) == 1:
-            hc = -(-frame["h"] * comp["v"] // vmax)
-            wc = -(-frame["w"] * comp["h"] // hmax)
-        else:
-            hc, wc = frame["h"], frame["w"]
+        hc = -(-frame["h"] * comp["v"] // vmax)
+        wc = -(-frame["w"] * comp["h"] // hmax)
         dims.append((hc, wc))
     if len({d for d in dims}) != 1:
         raise NotImplementedError("interleaved lossless components with "
@@ -1824,12 +1828,21 @@ def _decode_lossless_scan(frame, scan, ecs, htables, restart_interval,
                 diffs[ci][idx] = (32768 if t == 16
                                   else _extend(br.read(t), t))
             idx += 1
+        # _BitReader fabricates zero bytes past end-of-data (code 000
+        # would silently decode as SSSS=0 forever), so a truncated
+        # stream is only detectable by the read position overshooting
+        # the segment -- padding bits never advance past the last byte
+        if br.p > len(seg):
+            raise ValueError("lossless scan is short of samples "
+                             "(truncated entropy segment)")
     if idx != total:
         raise ValueError("lossless scan is short of samples")
     for ci, sc in enumerate(scan):
         recon = _ll_reconstruct(diffs[ci].reshape(hc, wc), predictor,
                                 default, restart_interval)
-        planes[comp_pos[sc["comp"]["id"]]] = recon
+        pos = comp_pos[sc["comp"]["id"]]
+        planes[pos] = recon
+        pts[pos] = pt
 
 
 def _ll_reconstruct(d, predictor, default, restart_interval):
@@ -1856,43 +1869,50 @@ def _ll_reconstruct(d, predictor, default, restart_interval):
         if reset:
             px = default
             reset = False
-        elif y == 0:
-            px = recon[0, x - 1]
-        elif x == 0:
-            px = recon[y - 1, 0]
         else:
-            ra = int(recon[y, x - 1])
-            rb = int(recon[y - 1, x])
-            rc = int(recon[y - 1, x - 1])
-            if predictor == 1:
-                px = ra
-            elif predictor == 2:
-                px = rb
-            elif predictor == 3:
-                px = rc
-            elif predictor == 4:
-                px = ra + rb - rc
-            elif predictor == 5:
-                px = ra + ((rb - rc) >> 1)
-            elif predictor == 6:
-                px = rb + ((ra - rc) >> 1)
-            else:
-                px = (ra + rb) >> 1
-        recon[y, x] = (int(px) + int(flat[i])) & 0xFFFF
+            px = _ll_predict(recon, y, x, predictor)
+        recon[y, x] = (px + int(flat[i])) & 0xFFFF
     return recon
 
 
-def _assemble_lossless(frame, planes, pt, raw):
+def _ll_predict(recon, y, x, predictor) -> int:
+    """Annex H.1.2.1 prediction for one non-default sample: first line
+    uses Ra, first column uses Rb, everything else the scan's selected
+    predictor.  Shared by the decoder's serial reconstruction and the
+    fixture encoder so the mirrored halves cannot drift apart."""
+    if y == 0:
+        return int(recon[0, x - 1])
+    if x == 0:
+        return int(recon[y - 1, 0])
+    ra = int(recon[y, x - 1])
+    rb = int(recon[y - 1, x])
+    rc = int(recon[y - 1, x - 1])
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1
+
+
+def _assemble_lossless(frame, planes, pts, raw):
     """Reconstructed planes -> RGB uint8 (``raw=False``, JFIF YCbCr
-    convention for 3 components) or exact int32 samples with the point
-    transform undone (``raw=True``)."""
+    convention for 3 components) or exact int32 samples with each
+    component's own point transform undone (``raw=True``)."""
     if any(p is None for p in planes):
         raise ValueError("lossless frame is missing a component scan")
     P = frame["precision"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
     outs = []
-    for c, pl in zip(frame["comps"], planes):
+    for c, pl, pt in zip(frame["comps"], planes, pts):
         arr = pl << pt
         arr = np.repeat(np.repeat(arr, vmax // c["v"], 0), hmax // c["h"], 1)
         outs.append(arr[:frame["h"], :frame["w"]])
@@ -2005,31 +2025,11 @@ def _ll_encode_scan(comps, predictor, precision, pt, restart_interval,
             if resets[ci]:
                 px = default
                 resets[ci] = False
-            elif y == 0:
-                px = recon[0, x - 1]
-            elif x == 0:
-                px = recon[y - 1, 0]
             else:
-                ra = int(recon[y, x - 1])
-                rb = int(recon[y - 1, x])
-                rc = int(recon[y - 1, x - 1])
-                if predictor == 1:
-                    px = ra
-                elif predictor == 2:
-                    px = rb
-                elif predictor == 3:
-                    px = rc
-                elif predictor == 4:
-                    px = ra + rb - rc
-                elif predictor == 5:
-                    px = ra + ((rb - rc) >> 1)
-                elif predictor == 6:
-                    px = rb + ((ra - rc) >> 1)
-                else:
-                    px = (ra + rb) >> 1
+                px = _ll_predict(recon, y, x, predictor)
             val = int(comps[ci][y, x])
             recon[y, x] = val
-            diff = (val - int(px)) & 0xFFFF
+            diff = (val - px) & 0xFFFF
             if diff == 32768:  # SSSS=16: no appended bits (H.1.2.2)
                 code, length = codes[16]
                 bw.write(code, length)

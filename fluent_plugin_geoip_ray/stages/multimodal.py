@@ -298,6 +298,14 @@ def synthesize_binary_table(n: int = 64, seed: int = 42,
                          "width": w, "height": h})
             continue
         fmt = formats[i % len(formats)]
+
+        def det_rgb():
+            # shared deterministic pattern for every jpeg* branch (the
+            # multimodal golden oracle pins these bytes)
+            yy, xx = np.mgrid[0:h, 0:w]
+            return np.stack([(yy * 3 + i) % 256, (xx * 5) % 256,
+                             ((yy + xx) * 2) % 256], -1).astype(np.uint8)
+
         if fmt == "bmp":
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payloads.append(encode_bmp(img))
@@ -308,26 +316,17 @@ def synthesize_binary_table(n: int = 64, seed: int = 42,
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payloads.append(encode_png(img))
         elif fmt == "jpeg":
-            yy, xx = np.mgrid[0:h, 0:w]
-            img = np.stack([(yy * 3 + i) % 256, (xx * 5) % 256,
-                            ((yy + xx) * 2) % 256], -1).astype(np.uint8)
             payloads.append(jpegc.encode_jpeg(
-                img, quality=90, subsample=bool(i % 2),
+                det_rgb(), quality=90, subsample=bool(i % 2),
                 restart_interval=(i % 3)))
         elif fmt == "jpeg_progressive":
-            yy, xx = np.mgrid[0:h, 0:w]
-            img = np.stack([(yy * 3 + i) % 256, (xx * 5) % 256,
-                            ((yy + xx) * 2) % 256], -1).astype(np.uint8)
             payloads.append(jpegc.encode_jpeg_progressive(
-                img, quality=90, subsample=bool(i % 2),
+                det_rgb(), quality=90, subsample=bool(i % 2),
                 dc_al=i % 3, ac_al=i % 3))
             fmt = "jpeg"  # the stored format label; sniffing sees JFIF
         elif fmt == "jpeg_lossless":
-            yy, xx = np.mgrid[0:h, 0:w]
-            img = np.stack([(yy * 3 + i) % 256, (xx * 5) % 256,
-                            ((yy + xx) * 2) % 256], -1).astype(np.uint8)
             payloads.append(jpegc.encode_jpeg_lossless(
-                img, predictor=1 + i % 7, interleave=bool(i % 2)))
+                det_rgb(), predictor=1 + i % 7, interleave=bool(i % 2)))
             fmt = "jpeg"  # sniffing sees JFIF
         else:
             samples = (rng.standard_normal(4000) * 8000).astype(np.int16)

@@ -613,3 +613,80 @@ def test_decode_image_stage_strict_lossless_jpeg():
     ref = resize_nearest(decode_jpeg(raw), (8, 8)).ravel()
     got = np.asarray(out.column("pixels")[0].as_py(), dtype=np.uint8)
     assert np.array_equal(got, ref)
+
+
+def test_lossless_per_scan_point_transform():
+    """Pt is a per-SCAN parameter: a two-component file whose scans
+    carry different Pt values must undo each component's own shift."""
+    from fluent_plugin_geoip_ray.stages.jpegc import (
+        _find_scan_end,  # noqa: F401 (import guards the private API)
+    )
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 256, (10, 8), dtype=np.uint8)
+    b = rng.integers(0, 256, (10, 8), dtype=np.uint8)
+    # build the two single-scan files, then splice scan 2 (Pt=2, comp
+    # id rewritten to 2) into file 1 (Pt=0) before its EOI
+    f1 = bytearray(encode_jpeg_lossless(a, predictor=1, pt=0))
+    f2 = bytearray(encode_jpeg_lossless(b, predictor=1, pt=2))
+    # extend f1's SOF to two components
+    i = bytes(f1).find(b"\xff\xc3")
+    f1[i + 2:i + 4] = (11 + 3).to_bytes(2, "big")
+    f1[i + 9] = 2  # ncomp = 2
+    f1[i + 13:i + 13] = bytes([2, 0x11, 0])  # comp id 2, 1x1
+    # take scan 2 (SOS..before EOI) from f2, rewrite its comp id to 2
+    j = bytes(f2).find(b"\xff\xda")
+    scan2 = bytearray(f2[j:-2])
+    scan2[5] = 2  # the single scan component id
+    out = bytes(f1[:-2]) + bytes(scan2) + b"\xff\xd9"
+    dec = decode_jpeg_lossless_samples(out)
+    assert np.array_equal(dec[:, :, 0], a.astype(np.int32))          # Pt=0
+    assert np.array_equal(dec[:, :, 1], (b.astype(np.int32) >> 2) << 2)
+
+
+def test_lossless_truncated_raises():
+    img = _gradient(16, 16)[:, :, 0]
+    data = encode_jpeg_lossless(img)
+    # chop entropy bytes before the EOI -- must raise, never silently
+    # decode fabricated zero diffs
+    truncated = data[:-22] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg_lossless_samples(truncated)
+
+
+def test_lossless_subset_interleaved_dims():
+    """An interleaved scan of 1x1 components inside a frame whose max
+    sampling factor is 2 covers ceil(d/2) samples per axis (T.81
+    A.1.1), not the full frame -- build such a file by hand around the
+    encoder's single-component entropy coder."""
+    from fluent_plugin_geoip_ray.stages.jpegc import (
+        LL_BITS,
+        LL_VALS,
+        _canonical_codes,
+        _ll_encode_scan,
+    )
+    import struct as _s
+    h, w = 8, 8
+    rng = np.random.default_rng(4)
+    luma = rng.integers(0, 256, (h, w), dtype=np.int64)
+    cb = rng.integers(0, 256, (4, 4), dtype=np.int64)
+    cr = rng.integers(0, 256, (4, 4), dtype=np.int64)
+    codes = _canonical_codes(LL_BITS, LL_VALS)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + _s.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])  # luma 2x2
+    out += b"\xff\xc4" + _s.pack(">H", 19 + len(LL_VALS)) \
+        + bytes([0x00]) + bytes(LL_BITS) + bytes(LL_VALS)
+    out += b"\xff\xda" + _s.pack(">HB", 8, 1) + bytes([1, 0, 1, 0, 0])
+    out += _ll_encode_scan([luma], 1, 8, 0, 0, codes)
+    out += b"\xff\xda" + _s.pack(">HB", 10, 2) \
+        + bytes([2, 0, 3, 0, 1, 0, 0])
+    out += _ll_encode_scan([cb, cr], 1, 8, 0, 0, codes)
+    out += b"\xff\xd9"
+    dec = decode_jpeg_lossless_samples(bytes(out))
+    assert dec.shape == (h, w, 3)
+    assert np.array_equal(dec[:, :, 0], luma.astype(np.int32))
+    # chroma planes upsample 2x2 from the 4x4 grids
+    assert np.array_equal(dec[:, :, 1], np.repeat(np.repeat(
+        cb, 2, 0), 2, 1).astype(np.int32))
+    assert np.array_equal(dec[:, :, 2], np.repeat(np.repeat(
+        cr, 2, 0), 2, 1).astype(np.int32))
