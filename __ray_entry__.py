@@ -1208,9 +1208,10 @@ def q_embed_ann(sf_dir: str):
     build_ivfpq_index(emb, idx, n_clusters=16, m=16, ksub=16,
                       id_col="doc_id")
     # queries: every 50th document's text, embedded by the same model
-    qt = pq.read_table(f"{sf_dir}/documents.parquet",
-                       columns=["doc_id", "text"])
-    qt = qt.sort_by("doc_id")
+    # (one driver-side read serves query selection AND corpus text lookup)
+    all_docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+    qt = all_docs.sort_by("doc_id")
     mask = np.asarray(qt.column("doc_id").to_numpy()) % 50 == 0
     qt = qt.filter(pa.array(mask))
     qe = TextEmbedder()(qt)
@@ -1220,15 +1221,12 @@ def q_embed_ann(sf_dir: str):
                              shortlist_mult=4, id_col="doc_id").to_pandas()
     top1 = hits[hits["rank"] == 1].sort_values("query_id")
     qids = qt.column("doc_id").to_numpy()
-    query_text = dict(zip(qt.column("doc_id").to_pylist(),
-                          qt.column("text").to_pylist()))
-    # resolve rank-1 hits' text from the corpus (tiny: |queries| lookups)
-    all_docs = pq.read_table(f"{sf_dir}/documents.parquet",
-                             columns=["doc_id", "text"])
+    # resolve rank-1 hits' text from the corpus (tiny: |queries| lookups);
+    # every query doc is a corpus doc, so one lookup table serves both sides
     text_of = dict(zip(all_docs.column("doc_id").to_pylist(),
                        all_docs.column("text").to_pylist()))
     out_qid = qids[top1["query_id"].to_numpy()]
-    match = [text_of[int(h)] == query_text[int(qd)]
+    match = [text_of[int(h)] == text_of[int(qd)]
              for h, qd in zip(top1["doc_id"], out_qid)]
     return pa.table({
         "query_id": pa.array(out_qid, pa.int64()),

@@ -612,10 +612,29 @@ def _compact_one_partition(part: str, target_rows_per_file: int) -> dict:
     live_compact, live_batch, man = partition_live_files(part)
     base = os.path.basename(part)
     if not live_batch:
+        # nothing to merge, but still GC: a crash between a prior commit
+        # and its cleanup leaves absorbed batch-* files and superseded
+        # compact generations on disk -- invisible to readers, yet
+        # unbounded growth if the skip path never collects them.
+        gc_removed = 0
+        if man is not None:
+            committed = set(man["files"])
+            absorbed = set(man["absorbed"])
+            for f in glob.glob(os.path.join(part, "batch-*.parquet")):
+                if os.path.basename(f) in absorbed:
+                    os.remove(f)
+                    gc_removed += 1
+            for f in glob.glob(os.path.join(part, "compact-*.parquet")):
+                if os.path.basename(f) not in committed:
+                    os.remove(f)
+                    gc_removed += 1
+            for f in glob.glob(os.path.join(part, "_compact-g*.tmp")):
+                os.remove(f)
+                gc_removed += 1
         n = sum(pqmod.ParquetFile(f).metadata.num_rows for f in live_compact)
         return {base: {"files_before": len(live_compact),
                        "files_after": len(live_compact), "rows": n,
-                       "skipped": True}}
+                       "skipped": True, "gc_removed": gc_removed}}
 
     gen = (int(man["generation"]) + 1) if man else 0
     for f in glob.glob(os.path.join(part, "compact-g*.parquet")):

@@ -2812,7 +2812,8 @@ def similarity_join(left_ds, right_ds, threshold: float = 0.5,
                     text_col: str = "text", shingle_k: int = 3,
                     num_buckets: int = 32, max_group_pairs: int = 5_000_000,
                     heavy_df_limit: int = 1024,
-                    df_index_dir: str | None = None):
+                    df_index_dir: str | None = None,
+                    size_broadcast_limit: int = 5_000_000):
     """EXACT two-table fuzzy join (entity matching): emit every
     (left, right) pair whose word-``shingle_k``-gram Jaccard >= t, with
     the exact similarity.
@@ -2916,6 +2917,23 @@ def similarity_join(left_ds, right_ds, threshold: float = 0.5,
 
     _empty_i64 = pa.array([], pa.int64())
 
+    def _index_df_run(gs: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        """Per-run classification df from the persisted index bucket.
+
+        A missing or empty bucket file (small corpora leave most buckets
+        unwritten) yields df=0 for every run -- grams degrade to LIGHT,
+        costing pruning efficiency, never correctness."""
+        if len(starts) == 0:
+            return np.empty(0, np.int64)
+        ig, idf = _load_df_bucket(
+            df_index_dir,
+            int(pd.util.hash_array(
+                gs[:1].copy().view(np.uint64)) % num_buckets))
+        if len(ig) == 0:
+            return np.zeros(len(starts), np.int64)
+        pos = np.minimum(np.searchsorted(ig, gs[starts]), len(ig) - 1)
+        return np.where(ig[pos] == gs[starts], idf[pos], 0).astype(np.int64)
+
     def _mixed1(pairs_lk, pairs_rk, gs, ks, ss, dfs, xb_annot):
         """Unified stage-1 output: tag 0 = light pair rows (lk/rk ride the
         gram/key columns), tag 1 = df-annotated gram rows."""
@@ -2940,15 +2958,7 @@ def similarity_join(left_ds, right_ds, threshold: float = 0.5,
         ends = np.append(starts[1:], len(gs))
         runlen = ends - starts
         if df_index_dir is not None:
-            ig, idf = _load_df_bucket(
-                df_index_dir,
-                int(pd.util.hash_array(
-                    gs[:1].copy().view(np.uint64)) % num_buckets))
-            pos = np.searchsorted(ig, gs[starts])
-            pos_c = np.minimum(pos, max(len(ig) - 1, 0))
-            df_run = np.where(
-                (len(ig) > 0) & (ig[pos_c] == gs[starts]),
-                idf[pos_c] if len(ig) else 0, 0).astype(np.int64)
+            df_run = _index_df_run(gs, starts)
         else:
             df_run = runlen.astype(np.int64)
         light = df_run <= heavy_df_limit
@@ -2995,15 +3005,7 @@ def similarity_join(left_ds, right_ds, threshold: float = 0.5,
         starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
         runlen = np.diff(np.append(starts, len(gs)))
         if df_index_dir is not None:
-            ig, idf = _load_df_bucket(
-                df_index_dir,
-                int(pd.util.hash_array(
-                    gs[:1].copy().view(np.uint64)) % num_buckets))
-            pos = np.searchsorted(ig, gs[starts])
-            pos_c = np.minimum(pos, max(len(ig) - 1, 0))
-            df_run = np.where(
-                (len(ig) > 0) & (ig[pos_c] == gs[starts]),
-                idf[pos_c] if len(ig) else 0, 0).astype(np.int64)
+            df_run = _index_df_run(gs, starts)
         else:
             df_run = runlen.astype(np.int64)
         return pa.table({
@@ -3037,7 +3039,7 @@ def similarity_join(left_ds, right_ds, threshold: float = 0.5,
         take_stats, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()["df"] > heavy_df_limit).any())
 
-    if not any_heavy and (sk_l.count() + sk_r.count()) <= 5_000_000:
+    if not any_heavy and (sk_l.count() + sk_r.count()) <= size_broadcast_limit:
         # FAST PATH: no gram is heavy, so any pair with J >= t shares a
         # light gram and its light count IS the complete exact
         # intersection -- skip prefix candidates and meta hops, judge

@@ -344,10 +344,12 @@ def synthesize_binary_table(n: int = 64, seed: int = 42,
 class DecodeImage:
     """Actor-pool decode stage: payload bytes -> fixed-shape pixel tensor.
 
-    REAL for 24-bit BMP, binary PPM, PNG, and baseline + progressive +
-    arithmetic-coded sequential JPEG (the codecs above plus
+    REAL for 24-bit BMP, binary PPM, PNG, and every DCT-based or lossless
+    T.81 JPEG process -- baseline, extended/12-bit, progressive, sequential
+    + progressive arithmetic, lossless SOF3 (the codecs above plus
     ``jpegc.decode_jpeg``, then nearest-neighbor resize to ``out_hw``).
-    Progressive-arithmetic JPEG and unknown formats fall back per ``strict``:
+    Hierarchical / arithmetic-lossless JPEG (``jpegc`` raises
+    NotImplementedError) and unknown formats fall back per ``strict``:
     ``strict=True`` raises NotImplementedError (honest production default),
     ``strict=False`` emits a deterministic fake tensor seeded from the
     payload's sha256 so downstream plumbing stays exercisable.

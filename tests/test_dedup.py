@@ -1310,3 +1310,44 @@ def test_similarity_join_df_index_parity_and_reuse(tmp_path):
     with _pytest.raises(ValueError):
         similarity_join(rd.from_arrow(left), rd.from_arrow(right),
                         num_buckets=16, df_index_dir=idx)
+
+
+def test_similarity_join_df_index_missing_bucket(tmp_path):
+    """An index built over a tiny corpus leaves most df-* bucket files
+    unwritten; joining corpora whose grams hash to those buckets must
+    treat the grams as df=0 (light) -- pruning efficiency lost, results
+    bit-identical -- not crash (regression: IndexError on empty bucket)."""
+    from fluent_plugin_geoip_ray.stages.dedup import (
+        build_gram_df_index,
+        similarity_join,
+    )
+
+    left = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["the quick brown fox jumps high",
+                 "completely different words here now",
+                 "the quick brown fox jumps"],
+    })
+    right = pa.table({
+        "doc_id": pa.array([10, 11], pa.int64()),
+        "text": ["the quick brown fox jumps high today",
+                 "unrelated content entirely"],
+    })
+    # index sees ONE short doc: with 32 buckets nearly all files missing
+    idx = str(tmp_path / "sparse_df")
+    tiny = pa.table({"doc_id": pa.array([99], pa.int64()),
+                     "text": ["only doc the index ever saw"]})
+    build_gram_df_index([(rd.from_arrow(tiny), "doc_id")], idx,
+                        num_buckets=32)
+
+    direct = (similarity_join(rd.from_arrow(left), rd.from_arrow(right),
+                              threshold=0.3, num_buckets=32)
+              .to_pandas().sort_values(["left_key", "right_key"])
+              .reset_index(drop=True))
+    via_idx = (similarity_join(rd.from_arrow(left), rd.from_arrow(right),
+                               threshold=0.3, num_buckets=32,
+                               df_index_dir=idx)
+               .to_pandas().sort_values(["left_key", "right_key"])
+               .reset_index(drop=True))
+    assert direct.equals(via_idx)
+    assert len(direct) > 0

@@ -530,3 +530,48 @@ def test_compact_sink_parallel_covers_all_partitions(sf_path, tmp_path):
     for k in rep_par:
         assert rep_par[k]["rows"] == rep_ser[k]["rows"]
         assert rep_par[k]["files_after"] == rep_ser[k]["files_after"]
+
+
+def test_compact_sink_skip_path_gcs_leaked_files(sf_path, tmp_path):
+    """A crash between the manifest commit and cleanup leaves absorbed
+    batch files, superseded compact files, and stray tmps on disk; the
+    next run takes the skip path (nothing to merge) and must still GC
+    them (regression: skip path returned early, leaking forever)."""
+    import json
+
+    from fluent_plugin_geoip_ray.pipelines.flagship import (
+        _COMPACT_MANIFEST,
+        compact_sink,
+        partition_live_files,
+    )
+
+    out = str(tmp_path / "crash3")
+    run_flagship(sf_path, out_dir=out)
+    raw = os.path.join(out, "raw")
+    part = sorted(glob.glob(os.path.join(raw, "part=*")))[0]
+    rows = _partition_rows(part)
+
+    compact_sink(raw, target_rows_per_file=10_000_000)
+    # simulate crash-before-cleanup debris: absorbed batch files back on
+    # disk, a compact file from a superseded generation, a stray tmp
+    man = json.load(open(os.path.join(part, _COMPACT_MANIFEST)))
+    lc, _, _ = partition_live_files(part)
+    src = pq.read_table(lc)
+    for name in man["absorbed"]:
+        pq.write_table(src.slice(0, 1), os.path.join(part, name))
+    stale = os.path.join(part, "compact-g0099-00000.parquet")
+    pq.write_table(src.slice(0, 1), stale)
+    tmp = os.path.join(part, "_compact-g0099-00001.tmp")
+    open(tmp, "w").close()
+
+    report = compact_sink(raw, target_rows_per_file=10_000_000)
+    base = os.path.basename(part)
+    assert report[base]["skipped"] is True
+    assert report[base]["gc_removed"] == len(man["absorbed"]) + 2
+    assert not glob.glob(os.path.join(part, "batch-*.parquet"))
+    assert not os.path.exists(stale) and not os.path.exists(tmp)
+    assert _partition_rows(part) == rows
+
+    # and once clean, re-running GCs nothing
+    report2 = compact_sink(raw, target_rows_per_file=10_000_000)
+    assert report2[base]["gc_removed"] == 0
