@@ -1234,6 +1234,92 @@ def q_embed_ann(sf_dir: str):
     })
 
 
+def q_events_cumulative(sf_dir: str):
+    """Cumulative window aggregates per user -- SQL ``OVER (PARTITION BY
+    user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)``: running
+    count, running min (exact float compare -- MIN copies a value, no
+    accumulation error), running int sum, ROW_NUMBER, NTILE(4).  One
+    exchange on the key, per-bucket lexsort + numpy cumsum / pandas
+    Cython cummin."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import running_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    return running_agg(ds, "user_id", order_by=["ts", "event_id"],
+                       aggs=[("value", "count", "cum_n"),
+                             ("value", "min", "cum_min_value"),
+                             ("event_id", "sum", "cum_eid"),
+                             ("event_id", "row_number", "rn"),
+                             ("event_id", "ntile:4", "tile")])
+
+
+def q_idle_customers(sf_dir: str):
+    """Large-large ANTI join (NOT EXISTS): customers with no events --
+    neither side broadcast, only the right KEY column moves, one hash
+    exchange, per-bucket vectorized ``is_in`` anti-filter."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.join import anti_join_big
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return anti_join_big(cust, ev, on="c_custkey", right_on="user_id")
+
+
+def q_agg_subnet(sf_dir: str):
+    """Traffic rollup by /16 network: the natural downstream aggregation
+    of the reference's enriched records (filter_geoip.rb stops at the
+    per-record lookup).  Arrow string algebra builds the CIDR label
+    (``split_pattern`` + ``binary_join_element_wise``), then the
+    partial+final count -- the SQL twin uses the same ``split_part``
+    algebra so labels compare byte-identically."""
+    from fluent_plugin_geoip_ray.stages.aggregate import count_by
+    from fluent_plugin_geoip_ray.stages.parse import (ip_subnet_column,
+                                                      parse_dataset)
+
+    ds = parse_dataset(_transcripts_ds(sf_dir))
+    ds = ip_subnet_column(ds, ip_col="ip", bits=16, out="subnet")
+    ds = ds.map_batches(
+        lambda t: t.select(["subnet"]).filter(t["subnet"].combine_chunks()
+                                              .is_valid()),
+        batch_format="pyarrow")
+    return count_by(ds, "subnet")
+
+
+_GEO_REF = (48.8566, 2.3522)  # Paris; deliberately NOT a fixture city, so
+#                               no distance sits on a 500-km ring boundary
+
+
+def q_geo_rings(sf_dir: str):
+    """Distance-ring rollup: haversine km from each enriched event's
+    (latitude, longitude) to a fixed reference point, binned into 500-km
+    rings, counted per ring.  The trig is float and numpy's SIMD sin/cos
+    may differ from libm in the last ulp, so only the BINNED output is
+    hashed (ring width 500 km; fixture distances sit far from every
+    edge -- verified margin > 1 km at all sf)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from fluent_plugin_geoip_ray.functions.geo import haversine_km
+    from fluent_plugin_geoip_ray.stages.aggregate import count_by
+
+    ds = _enriched_ds(sf_dir, gate=True)
+
+    def ring(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lat = np.asarray(pc.cast(t.column("latitude"), pa.float64()))
+        lon = np.asarray(pc.cast(t.column("longitude"), pa.float64()))
+        d = haversine_km(lat, lon, *_GEO_REF)
+        return pa.table(
+            {"ring": pa.array(np.floor(d / 500.0).astype(np.int64))})
+
+    return count_by(ds.map_batches(ring, batch_format="pyarrow"), "ring")
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training (Sennrich semantics) via the distributed
     word-count path.  KNOWN-ANSWER oracle on a hand-computable corpus
@@ -2297,6 +2383,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new in round 5 (keep inside the driver's ~50-query window)
         "dense_windows_2key": q_dense_windows_2key,
         "embed_ann": q_embed_ann,
+        "events_cumulative": q_events_cumulative,
+        "idle_customers": q_idle_customers,
+        "agg_subnet": q_agg_subnet,
+        "geo_rings": q_geo_rings,
         "enrich": q_enrich,
         "route_enriched": q_route_enriched,
         "parse_extract": q_parse_extract,
@@ -2413,6 +2503,10 @@ _ENRICHED = f"""
     LEFT JOIN read_parquet('{_G_PATH}') g ON p.ip = g.ip
 """
 
+
+from fluent_plugin_geoip_ray.functions.geo import sql_haversine_expr as _she
+
+_SQL_HAVERSINE = _she("latitude", "longitude", *_GEO_REF)
 
 from fluent_plugin_geoip_ray.stages.sample import sql_hash_expr as _shx
 
@@ -3361,6 +3455,33 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(s.n, 0) AS n
             FROM dense d LEFT JOIN sparse s
               USING (event_type, shard, window_start)""",
+        # cumulative window family: MIN copies values (exact float
+        # compare); SUM/COUNT run over ints; ROW_NUMBER/NTILE exact
+        "events_cumulative": """
+            SELECT event_id, user_id, ts, value,
+                   CAST(COUNT(value) OVER w AS BIGINT) AS cum_n,
+                   MIN(value) OVER w AS cum_min_value,
+                   CAST(SUM(event_id) OVER w AS BIGINT) AS cum_eid,
+                   ROW_NUMBER() OVER w AS rn,
+                   NTILE(4) OVER w AS tile
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)""",
+        "idle_customers": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM events e
+                              WHERE e.user_id = c.c_custkey)""",
+        "agg_subnet": f"""
+            SELECT split_part(ip, '.', 1) || '.' || split_part(ip, '.', 2)
+                       || '.0.0/16' AS subnet,
+                   count(*) AS n
+            FROM ({_PARSED}) WHERE ip IS NOT NULL GROUP BY subnet""",
+        # binned-only output (raw trig never hashed; see q_geo_rings)
+        "geo_rings": f"""
+            SELECT CAST(floor(({_SQL_HAVERSINE}) / 500.0) AS BIGINT)
+                       AS ring,
+                   count(*) AS n
+            FROM ({_ENRICHED}) WHERE enriched GROUP BY ring""",
         "spike_windows": """
             SELECT event_type, window_start, n, prev_n FROM (
               SELECT event_type, window_start, n,

@@ -545,3 +545,93 @@ def range_join_big(left_ds, intervals_ds, value_col: str, by: str,
     from .exchange import hash_exchange
 
     return hash_exchange(both, num_buckets, match_bucket)
+
+
+def anti_join_big(left_ds, right_ds, on, right_on: str | None = None,
+                  num_buckets: int = 32):
+    """Large-large ANTI join: keep left rows whose key matches NO right
+    row -- SQL ``WHERE NOT EXISTS (SELECT 1 FROM right WHERE right.k =
+    left.k)``.  NEITHER side is broadcast (the broadcast counterpart is
+    :func:`semi_join_filter` with ``anti=True``; use that when the right
+    key set fits the object store comfortably).
+
+    SQL NOT EXISTS null semantics: a NULL left key never matches (it
+    SURVIVES); NULL right keys match nothing.
+
+    Scale shape: only the right side's KEY column moves (projected before
+    the exchange); both sides hash-bucket on the key through ONE
+    :func:`~fluent_plugin_geoip_ray.stages.exchange.hash_exchange`, and
+    each bucket runs one vectorized ``np.isin`` anti-filter (the same
+    per-bucket step as dedup's ``_drop_losers_ds``).  Left rows move at
+    most once; right duplicates collapse per-batch before moving
+    (``pc.unique``), so a hot right key costs one row per block.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import hash_exchange
+
+    rk = right_on or on
+    lschema = left_ds.schema()
+    lnames = list(lschema.names)
+    if "__rkey" in lnames:
+        raise ValueError("anti_join_big: left side may not carry __rkey")
+    ltypes = dict(zip(lschema.names, lschema.types))
+    ktype = dict(zip(right_ds.schema().names,
+                     right_ds.schema().types))[rk]
+
+    def bucket_of(col: pa.Array | pa.ChunkedArray):
+        # TYPE-STABLE key hash: an int column WITH nulls round-trips
+        # through pandas as float64 (hashing 138.0 != hashing 138), so
+        # integer keys hash through int64 directly -- null fill value is
+        # irrelevant (null left keys survive regardless of bucket, null
+        # right keys are dropped before this).  Both sides share this
+        # path, so buckets align whenever the key TYPES match (the
+        # equi-join contract).
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            v = np.asarray(pc.fill_null(pc.cast(col, pa.int64()), 0))
+            h = pd.util.hash_array(v)
+        else:
+            h = pd.util.hash_array(col.to_pandas().to_numpy(dtype=object))
+        return (h % num_buckets).astype(np.int32)
+
+    def add_left(t: pa.Table) -> pa.Table:
+        cols = {c: t.column(c) for c in lnames}
+        cols["__rkey"] = pa.nulls(t.num_rows, type=ktype)
+        cols["__bucket"] = pa.array(bucket_of(t.column(on)))
+        cols["__side"] = pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def add_right(t: pa.Table) -> pa.Table:
+        # keys only; NULL right keys match nothing -> drop; per-batch
+        # dedupe so a hot key ships one row per block
+        keys = pc.unique(pc.drop_null(t.column(rk).combine_chunks()
+                         if isinstance(t.column(rk), pa.ChunkedArray)
+                         else t.column(rk)))
+        cols = {c: pa.nulls(len(keys), type=ltypes[c]) for c in lnames}
+        cols["__rkey"] = keys
+        cols["__bucket"] = pa.array(bucket_of(keys))
+        cols["__side"] = pa.array(np.ones(len(keys), dtype=np.int8))
+        return pa.table(cols)
+
+    both = left_ds.map_batches(
+        add_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right_ds.select_columns([rk]).map_batches(
+            add_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def anti_bucket(g: pa.Table) -> pa.Table:
+        side = g.column("__side")
+        lf = g.filter(pc.equal(side, 0)).select(lnames)
+        keys = pc.unique(g.filter(pc.equal(side, 1)).column("__rkey")
+                         .combine_chunks())
+        if len(keys) == 0:
+            return lf
+        mask = pc.is_in(lf.column(on), value_set=keys)
+        return lf.filter(pc.fill_null(pc.invert(mask), True))
+
+    return hash_exchange(both, num_buckets, anti_bucket)

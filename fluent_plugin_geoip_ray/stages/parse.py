@@ -136,3 +136,38 @@ def explode_column(ds, col: str, value_col: str | None = None,
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ip_subnet_column(ds, ip_col: str = "ip", bits: int = 16,
+                     out: str = "subnet"):
+    """Append the dotted CIDR prefix of an IPv4 column -- the standard
+    traffic-rollup key ("which /16 is hammering us?") the reference's
+    enriched records feed downstream (filter_geoip.rb stops at the
+    lookup; aggregation by network is the next stage of every log
+    pipeline).
+
+    ``bits`` must be octet-aligned (8/16/24): the label is the first
+    ``bits/8`` octets joined with dots plus ``.0``-padding and the mask
+    suffix (``"10.1.0.0/16"``), built from Arrow ``split_pattern`` +
+    ``binary_join_element_wise`` only -- no per-row Python, and the same
+    string algebra ``split_part`` reproduces in SQL.  NULL ips stay NULL.
+    """
+    import pyarrow.compute as pc
+
+    if bits not in (8, 16, 24):
+        raise ValueError(f"bits must be 8, 16 or 24, got {bits}")
+    k = bits // 8
+    suffix = "".join(".0" for _ in range(4 - k)) + f"/{bits}"
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t.column(ip_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern(col, ".")
+        pieces = [pc.list_element(parts, i) for i in range(k)]
+        label = pieces[0] if k == 1 else \
+            pc.binary_join_element_wise(*pieces, ".")
+        label = pc.binary_join_element_wise(label, suffix, "")
+        return t.append_column(out, label)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -225,3 +225,32 @@ def _embed_stage(ds, text_col: str = "text", out_col: str = "embedding",
 
     return embed_texts(ds, text_col=text_col, out_col=out_col,
                        concurrency=concurrency, **kw)
+
+
+@register_stage("running_agg")
+def _running_agg_stage(ds, key: str, order_by: list, aggs: list):
+    from .window import running_agg
+
+    return running_agg(ds, key, order_by=list(order_by),
+                       aggs=[tuple(a) for a in aggs])
+
+
+@register_stage("anti_join")
+def _anti_join_stage(ds, right_path: str, on: str,
+                     right_on: str | None = None, num_buckets: int = 32):
+    import ray.data as rd
+
+    from .join import anti_join_big
+
+    right = rd.read_parquet(right_path,
+                            columns=[right_on or on])
+    return anti_join_big(ds, right, on=on, right_on=right_on,
+                         num_buckets=num_buckets)
+
+
+@register_stage("ip_subnet")
+def _ip_subnet_stage(ds, ip_col: str = "ip", bits: int = 16,
+                     out: str = "subnet"):
+    from .parse import ip_subnet_column
+
+    return ip_subnet_column(ds, ip_col=ip_col, bits=bits, out=out)

@@ -578,3 +578,123 @@ def dense_tumbling(ds, ts_col: str = "ts", size_sec: int = 3600,
         return pa.table(out)
 
     return hash_exchange(bucketed, num_buckets, densify)
+
+
+def running_agg(ds, key: str, order_by: list[str], aggs: list,
+                num_buckets: int = 32):
+    """Per-key CUMULATIVE window aggregates -- SQL ``agg(col) OVER
+    (PARTITION BY key ORDER BY ... ROWS UNBOUNDED PRECEDING)`` plus the
+    frame-less rank family.  Completes the window family next to
+    :func:`lag_lead_by` (navigation) and :func:`rate_limit` (bounded
+    frames): running totals, running extrema, row numbers, NTILE.
+
+    ``aggs`` is a list of ``(src, agg, out)`` with ``agg`` in ``{"sum",
+    "count", "min", "max", "row_number", "ntile:<k>"}`` (``src`` is
+    ignored for ``row_number``/``ntile``).  SQL null semantics: ``sum``/
+    ``count``/``min``/``max`` skip NULL inputs and are NULL until the
+    first non-null value of the key's frame; ``ntile:<k>`` assigns the
+    first ``n % k`` tiles one extra row (the SQL NTILE contract).
+
+    Null-KEY caveat (shared with :func:`lag_lead_by`): NULL partition
+    keys compare unequal to each other here (each null row is its own
+    segment), while SQL ``PARTITION BY`` groups all nulls together --
+    filter or fill null keys upstream if that distinction matters.
+
+    Scale shape mirrors :func:`lag_lead_by`: a key's rows must co-locate
+    and carry an order, so the projection moves through ONE hash exchange
+    on the key; each bucket lexsorts once, segments are key-change flags,
+    and every aggregate is one numpy ``cumsum``/segment-base subtraction
+    or a pandas Cython ``groupby.cummin/cummax`` -- no per-row Python.
+    Project upstream so only needed columns shuffle; one key's rows live
+    in one bucket (salt upstream if a single key dominates).
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import hash_exchange
+
+    valid = {"sum", "count", "min", "max", "row_number"}
+    for src, agg, _out in aggs:
+        if agg in valid:
+            continue
+        if agg.startswith("ntile:") and agg[6:].isdigit() and int(agg[6:]) >= 1:
+            continue
+        raise ValueError(f"running_agg: unknown agg {agg!r} for {src!r}")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        g = t.column(key).to_pandas().to_numpy(dtype=object)
+        b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def scan_bucket(t: pa.Table) -> pa.Table:
+        sort_cols = [t.column(c).to_pandas().to_numpy()
+                     for c in (*reversed(order_by), key)]
+        order = np.lexsort(tuple(sort_cols))
+        t = t.take(pa.array(order))
+        g = t.column(key).to_pandas().to_numpy(dtype=object)
+        n = len(g)
+        starts = np.ones(n, dtype=bool)
+        if n > 1:
+            starts[1:] = g[1:] != g[:-1]
+        start_idx = np.flatnonzero(starts)
+        seg = np.cumsum(starts) - 1                     # segment id per row
+        seg_base = start_idx[seg]                       # first row of my seg
+        rn = np.arange(n, dtype=np.int64) - seg_base + 1
+        seg_len = np.diff(np.r_[start_idx, n])[seg]     # my segment's length
+
+        out = t
+        for src, agg, out_name in aggs:
+            if agg == "row_number":
+                col = pa.array(rn)
+            elif agg.startswith("ntile:"):
+                k = int(agg[6:])
+                q, r = seg_len // k, seg_len % k
+                big = r * (q + 1)                       # rows in fat tiles
+                in_big = rn <= big
+                fat = (rn - 1) // np.maximum(q + 1, 1)
+                thin = r + (rn - 1 - big) // np.maximum(q, 1)
+                col = pa.array(np.where(in_big, fat, thin) + 1)
+            else:
+                src_col = t.column(src)
+                if isinstance(src_col, pa.ChunkedArray):
+                    src_col = src_col.combine_chunks()
+                notnull = ~np.asarray(pc.is_null(src_col))
+                cnt = np.cumsum(notnull.astype(np.int64))
+                run_cnt = cnt - (cnt[seg_base] - notnull[seg_base])
+                if agg == "count":
+                    col = pa.array(run_cnt)
+                elif agg == "sum":
+                    is_int = pa.types.is_integer(src_col.type)
+                    v = np.asarray(pc.fill_null(src_col, 0)) \
+                        .astype(np.int64 if is_int else np.float64)
+                    c = np.cumsum(v)
+                    run = c - (c[seg_base] - v[seg_base])
+                    col = pa.array(np.where(run_cnt > 0, run, 0),
+                                   pa.int64() if is_int else pa.float64())
+                    col = pc.if_else(pa.array(run_cnt > 0), col,
+                                     pa.scalar(None, col.type))
+                else:                                   # min / max
+                    # SQL MIN/MAX skip NULLs (a null row still sees the
+                    # running extremum so far), so nulls become +/-inf
+                    # sentinels before the Cython cummin/cummax; rows with
+                    # no value yet (run_cnt == 0) null out below.  int64
+                    # round-trips through float64 exactly up to 2^53.
+                    fill = np.inf if agg == "min" else -np.inf
+                    v = np.asarray(pc.cast(src_col, pa.float64()),
+                                   dtype=np.float64)
+                    s = pd.Series(np.where(notnull, v, fill))
+                    grp = s.groupby(seg)
+                    run = (grp.cummin() if agg == "min"
+                           else grp.cummax()).to_numpy()
+                    col = pa.array(run, pa.float64())
+                    col = pc.if_else(pa.array(run_cnt > 0), col,
+                                     pa.scalar(None, pa.float64()))
+                    if not pa.types.is_floating(src_col.type):
+                        col = pc.cast(col, src_col.type)
+            out = out.append_column(out_name, col)
+        return out
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return hash_exchange(bucketed, num_buckets, scan_bucket)

@@ -1105,3 +1105,65 @@ def test_pivot_counts_empty_values_other_only():
     assert out.loc["u", "all"] == 2 and out.loc["v", "all"] == 1
     with pytest.raises(ValueError):
         pivot_counts(rd.from_arrow(t), "k", "e", values=[])
+
+
+def test_anti_join_big_matches_merge_and_null_semantics():
+    import pandas as pd
+    from fluent_plugin_geoip_ray.stages.join import anti_join_big
+
+    rng = np.random.default_rng(23)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 200, 1000).astype(np.int64),
+        "v": np.arange(1000, dtype=np.int64),
+    })
+    # null left keys must SURVIVE (SQL NOT EXISTS: NULL matches nothing)
+    left.loc[::97, "k"] = np.nan
+    right = pd.DataFrame({"rk": rng.integers(100, 300, 800).astype(np.int64)})
+
+    lt = pa.table({"k": pa.array(left["k"], pa.int64(), from_pandas=True),
+                   "v": pa.array(left["v"])})
+    out = anti_join_big(rd.from_arrow(lt).repartition(5),
+                        rd.from_pandas(right).repartition(3),
+                        on="k", right_on="rk", num_buckets=8)
+    got = out.to_pandas().sort_values("v").reset_index(drop=True)
+
+    rset = set(right["rk"])
+    keep = left["k"].isna() | ~left["k"].isin(rset)
+    exp = left[keep].sort_values("v").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["v"] == exp["v"]).all()
+    assert got["k"].isna().sum() == exp["k"].isna().sum()
+
+    # collision guard
+    bad = rd.from_arrow(lt.append_column("__rkey", pa.nulls(1000, pa.int64())))
+    with pytest.raises(ValueError, match="__rkey"):
+        anti_join_big(bad, rd.from_pandas(right), on="k", right_on="rk")
+
+
+def test_ip_subnet_column_prefixes_and_validation():
+    from fluent_plugin_geoip_ray.stages.parse import ip_subnet_column
+
+    t = pa.table({"ip": pa.array(
+        ["10.1.2.3", "192.168.250.1", None, "8.8.8.8"])})
+    out8 = ip_subnet_column(rd.from_arrow(t), bits=8).to_pandas()
+    out16 = ip_subnet_column(rd.from_arrow(t), bits=16).to_pandas()
+    out24 = ip_subnet_column(rd.from_arrow(t), bits=24).to_pandas()
+    assert list(out8["subnet"]) == ["10.0.0.0/8", "192.0.0.0/8",
+                                    None, "8.0.0.0/8"]
+    assert list(out16["subnet"]) == ["10.1.0.0/16", "192.168.0.0/16",
+                                     None, "8.8.0.0/16"]
+    assert list(out24["subnet"]) == ["10.1.2.0/24", "192.168.250.0/24",
+                                     None, "8.8.8.0/24"]
+    with pytest.raises(ValueError, match="bits"):
+        ip_subnet_column(rd.from_arrow(t), bits=12)
+
+
+def test_haversine_known_distances():
+    from fluent_plugin_geoip_ray.functions.geo import haversine_km
+
+    lat = np.array([48.8566, 51.5074, 35.6895])   # Paris, London, Tokyo
+    lon = np.array([2.3522, -0.1278, 139.6917])
+    d = haversine_km(lat, lon, 48.8566, 2.3522)   # ref = Paris
+    assert d[0] == 0.0                            # self-distance exact
+    assert abs(d[1] - 343.9) < 2.0                # Paris-London ~344 km
+    assert abs(d[2] - 9712.0) < 30.0              # Paris-Tokyo ~9712 km

@@ -411,3 +411,69 @@ def test_dense_tumbling_composite_key():
                                            base + 6 * 3600]
     assert bb["n"].tolist() == [1, 0, 1]
     assert len(out) == 7
+
+
+def test_running_agg_matches_pandas_expanding():
+    from fluent_plugin_geoip_ray.stages.window import running_agg
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 25, size=n),
+        "ts": rng.integers(0, 5000, size=n),
+        "value": np.where(rng.random(n) < 0.15, np.nan,
+                          rng.random(n) * 100),
+    })
+    out = running_agg(
+        rd.from_pandas(df).repartition(6), "user_id",
+        order_by=["ts", "event_id"],
+        aggs=[("value", "count", "cum_n"),
+              ("value", "sum", "cum_sum"),
+              ("value", "min", "cum_min"),
+              ("value", "max", "cum_max"),
+              ("event_id", "sum", "cum_eid"),
+              ("", "row_number", "rn"),
+              ("", "ntile:4", "tile")],
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+
+    s = df.sort_values(["user_id", "ts", "event_id"])
+    g = s.groupby("user_id")["value"]
+    exp = s.assign(
+        cum_n=g.expanding().count().droplevel(0).astype(np.int64),
+        cum_sum=g.expanding().sum().droplevel(0),
+        cum_min=g.expanding().min().droplevel(0),
+        cum_max=g.expanding().max().droplevel(0),
+        cum_eid=s.groupby("user_id")["event_id"].cumsum(),
+        rn=s.groupby("user_id").cumcount().astype(np.int64) + 1,
+    ).sort_values("event_id").reset_index(drop=True)
+    # pandas expanding().sum() yields 0.0 where no value yet; SQL gives NULL
+    exp.loc[exp["cum_n"] == 0, "cum_sum"] = np.nan
+
+    for c in ["cum_n", "cum_eid", "rn"]:
+        assert (out[c] == exp[c]).all(), c
+    for c in ["cum_sum", "cum_min", "cum_max"]:
+        assert np.allclose(out[c], exp[c], equal_nan=True, rtol=0,
+                           atol=1e-9), c
+
+    # NTILE contract: within each key, tiles partition rows in rank order,
+    # first (n % 4) tiles get ceil(n/4) rows, the rest floor(n/4)
+    for _uid, grp in out.groupby("user_id"):
+        n_g = len(grp)
+        q, r = divmod(n_g, 4)
+        sizes = grp.groupby("tile").size()
+        expected = {t + 1: (q + 1 if t < r else q)
+                    for t in range(4) if (q + 1 if t < r else q) > 0}
+        assert sizes.to_dict() == expected
+        ranked = grp.sort_values("rn")["tile"].to_numpy()
+        assert (np.diff(ranked) >= 0).all()  # tiles follow rank order
+
+
+def test_running_agg_validation():
+    from fluent_plugin_geoip_ray.stages.window import running_agg
+
+    ds = rd.from_pandas(events_df(50))
+    with pytest.raises(ValueError, match="unknown agg"):
+        running_agg(ds, "user_id", ["ts"], [("value", "median", "m")])
+    with pytest.raises(ValueError, match="unknown agg"):
+        running_agg(ds, "user_id", ["ts"], [("", "ntile:0", "t")])

@@ -320,6 +320,20 @@ def main() -> int:
             "fluent_plugin_geoip_ray.stages.multimodal",
             fromlist=["synthesize_audio_corpus"]
         ).synthesize_audio_corpus(n_base=10 * k)).repartition(8)).count()),
+        ("running_agg", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.window",
+            fromlist=["running_agg"]
+        ).running_agg(rd.from_arrow(events), "user_id",
+                      order_by=["ts", "event_id"],
+                      aggs=[("value", "sum", "cs"), ("value", "min", "cm"),
+                            ("", "row_number", "rn")]).count()),
+        ("anti_join", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.join", fromlist=["anti_join_big"]
+        ).anti_join_big(
+            rd.from_arrow(events),
+            rd.from_arrow(events).filter(expr="event_type == 'click'")
+              .select_columns(["user_id"]),
+            on="user_id").count()),
     ]
     only = set(sys.argv[3:])
     if only:
