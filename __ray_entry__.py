@@ -1255,6 +1255,22 @@ def q_events_cumulative(sf_dir: str):
                              ("event_id", "ntile:4", "tile")])
 
 
+def q_ranked_events(sf_dir: str):
+    """Tie-aware rank family: RANK / DENSE_RANK / PERCENT_RANK per user
+    ordered by event_type (a string column with heavy ties, so rank !=
+    row_number).  percent_rank is (rank-1)/(n-1) in double -- exact."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import running_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type"])
+    return running_agg(ds, "user_id", order_by=["event_type"],
+                       aggs=[("", "rank", "r"),
+                             ("", "dense_rank", "dr"),
+                             ("", "percent_rank", "pr")])
+
+
 def q_idle_customers(sf_dir: str):
     """Large-large ANTI join (NOT EXISTS): customers with no events --
     neither side broadcast, only the right KEY column moves, one hash
@@ -2384,6 +2400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_windows_2key": q_dense_windows_2key,
         "embed_ann": q_embed_ann,
         "events_cumulative": q_events_cumulative,
+        "ranked_events": q_ranked_events,
         "idle_customers": q_idle_customers,
         "agg_subnet": q_agg_subnet,
         "geo_rings": q_geo_rings,
@@ -3467,6 +3484,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)""",
+        "ranked_events": """
+            SELECT event_id, user_id, event_type,
+                   RANK() OVER w AS r,
+                   DENSE_RANK() OVER w AS dr,
+                   PERCENT_RANK() OVER w AS pr
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_type)""",
         "idle_customers": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e

@@ -23,6 +23,18 @@ import pyarrow as pa
 from .aggregate import groupby_agg
 
 
+def _key_np(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Partition-key column -> numpy: int64 fast lane for null-free
+    integer keys (hashing + lexsort + neighbor compares all stay
+    vectorized C), object lane otherwise (strings; int-with-nulls keeps
+    the documented null-key caveat)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type) and col.null_count == 0:
+        return col.to_numpy(zero_copy_only=False).astype(np.int64)
+    return col.to_pandas().to_numpy(dtype=object)
+
+
 def _ts_us(batch: pa.Table, ts_col: str) -> np.ndarray:
     col = batch.column(ts_col)
     if isinstance(col, pa.ChunkedArray):
@@ -356,7 +368,7 @@ def lag_lead_by(ds, key: str, order_by: list[str], cols: dict,
                              f"{direction!r} for {src!r}")
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        g = t.column(key).to_pandas().to_numpy(dtype=object)
+        g = _key_np(t.column(key))
         b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
         return t.append_column("__bucket", pa.array(b))
 
@@ -364,10 +376,10 @@ def lag_lead_by(ds, key: str, order_by: list[str], cols: dict,
         import pyarrow.compute as pc
 
         sort_cols = [t.column(c).to_pandas().to_numpy()
-                     for c in (*reversed(order_by), key)]
+                     for c in reversed(order_by)] + [_key_np(t.column(key))]
         order = np.lexsort(tuple(sort_cols))
         t = t.take(pa.array(order))
-        g = t.column(key).to_pandas().to_numpy(dtype=object)
+        g = _key_np(t.column(key))
         n = len(g)
         same_prev = np.r_[False, g[1:] == g[:-1]] if n else \
             np.zeros(0, bool)
@@ -589,11 +601,16 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
     frames): running totals, running extrema, row numbers, NTILE.
 
     ``aggs`` is a list of ``(src, agg, out)`` with ``agg`` in ``{"sum",
-    "count", "min", "max", "row_number", "ntile:<k>"}`` (``src`` is
-    ignored for ``row_number``/``ntile``).  SQL null semantics: ``sum``/
-    ``count``/``min``/``max`` skip NULL inputs and are NULL until the
-    first non-null value of the key's frame; ``ntile:<k>`` assigns the
-    first ``n % k`` tiles one extra row (the SQL NTILE contract).
+    "count", "min", "max", "row_number", "rank", "dense_rank",
+    "percent_rank", "ntile:<k>"}`` (``src`` is ignored for the rank
+    family and ``ntile``).  SQL null semantics: ``sum``/``count``/
+    ``min``/``max`` skip NULL inputs and are NULL until the first
+    non-null value of the key's frame; ``ntile:<k>`` assigns the first
+    ``n % k`` tiles one extra row (the SQL NTILE contract); ``rank``/
+    ``dense_rank``/``percent_rank`` are tie-aware over the FULL
+    ``order_by`` tuple (``percent_rank`` = ``(rank-1)/(n-1)``, 0.0 for
+    single-row partitions -- int-to-double conversion and one IEEE
+    division, so the compare vs SQL is exact).
 
     Null-KEY caveat (shared with :func:`lag_lead_by`): NULL partition
     keys compare unequal to each other here (each null row is its own
@@ -614,25 +631,28 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
 
     from .exchange import hash_exchange
 
-    valid = {"sum", "count", "min", "max", "row_number"}
+    valid = {"sum", "count", "min", "max", "row_number", "rank",
+             "dense_rank", "percent_rank"}
     for src, agg, _out in aggs:
         if agg in valid:
             continue
         if agg.startswith("ntile:") and agg[6:].isdigit() and int(agg[6:]) >= 1:
             continue
         raise ValueError(f"running_agg: unknown agg {agg!r} for {src!r}")
+    need_ties = any(a in ("rank", "dense_rank", "percent_rank")
+                    for _s, a, _o in aggs)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        g = t.column(key).to_pandas().to_numpy(dtype=object)
+        g = _key_np(t.column(key))
         b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
         return t.append_column("__bucket", pa.array(b))
 
     def scan_bucket(t: pa.Table) -> pa.Table:
         sort_cols = [t.column(c).to_pandas().to_numpy()
-                     for c in (*reversed(order_by), key)]
+                     for c in reversed(order_by)] + [_key_np(t.column(key))]
         order = np.lexsort(tuple(sort_cols))
         t = t.take(pa.array(order))
-        g = t.column(key).to_pandas().to_numpy(dtype=object)
+        g = _key_np(t.column(key))
         n = len(g)
         starts = np.ones(n, dtype=bool)
         if n > 1:
@@ -643,10 +663,34 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
         rn = np.arange(n, dtype=np.int64) - seg_base + 1
         seg_len = np.diff(np.r_[start_idx, n])[seg]     # my segment's length
 
+        if need_ties:
+            # tie runs: a row starts a new ORDER BY peer group when the
+            # key changes or ANY order column differs from its neighbor
+            run_start = starts.copy()
+            if n > 1:
+                for c in sort_cols[:-1]:                # order cols, sorted
+                    cs = c[order]
+                    run_start[1:] |= cs[1:] != cs[:-1]
+            last_start = np.maximum.accumulate(
+                np.where(run_start, np.arange(n, dtype=np.int64), -1))
+            rank = last_start - seg_base + 1            # rn of my run's head
+            dr = np.cumsum(run_start)
+            dense = dr - dr[seg_base] + 1
+
         out = t
         for src, agg, out_name in aggs:
             if agg == "row_number":
                 col = pa.array(rn)
+            elif agg == "rank":
+                col = pa.array(rank)
+            elif agg == "dense_rank":
+                col = pa.array(dense)
+            elif agg == "percent_rank":
+                col = pa.array(np.where(
+                    seg_len > 1,
+                    (rank - 1).astype(np.float64)
+                    / np.maximum(seg_len - 1, 1).astype(np.float64),
+                    0.0))
             elif agg.startswith("ntile:"):
                 k = int(agg[6:])
                 q, r = seg_len // k, seg_len % k

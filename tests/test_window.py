@@ -477,3 +477,34 @@ def test_running_agg_validation():
         running_agg(ds, "user_id", ["ts"], [("value", "median", "m")])
     with pytest.raises(ValueError, match="unknown agg"):
         running_agg(ds, "user_id", ["ts"], [("", "ntile:0", "t")])
+
+
+def test_running_agg_rank_family_ties():
+    from fluent_plugin_geoip_ray.stages.window import running_agg
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 15, n),
+        "o": rng.integers(0, 8, n),        # heavy ties within each key
+    })
+    out = running_agg(
+        rd.from_pandas(df).repartition(4), "k", order_by=["o"],
+        aggs=[("", "rank", "r"), ("", "dense_rank", "dr"),
+              ("", "percent_rank", "pr")],
+    ).to_pandas()
+
+    s = df.sort_values(["k", "o"])
+    exp = s.assign(
+        r=s.groupby("k")["o"].rank(method="min").astype(np.int64),
+        dr=s.groupby("k")["o"].rank(method="dense").astype(np.int64),
+    )
+    cnt = s.groupby("k")["o"].transform("size")
+    exp["pr"] = np.where(cnt > 1, (exp["r"] - 1) / (cnt - 1), 0.0)
+
+    # rank functions depend only on (k, o), so join on id for row identity
+    m = out.set_index("id")[["r", "dr", "pr"]].loc[exp["id"]]
+    assert (m["r"].to_numpy() == exp["r"].to_numpy()).all()
+    assert (m["dr"].to_numpy() == exp["dr"].to_numpy()).all()
+    assert np.array_equal(m["pr"].to_numpy(), exp["pr"].to_numpy())
