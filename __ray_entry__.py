@@ -1252,7 +1252,8 @@ def q_events_cumulative(sf_dir: str):
                              ("value", "min", "cum_min_value"),
                              ("event_id", "sum", "cum_eid"),
                              ("event_id", "row_number", "rn"),
-                             ("event_id", "ntile:4", "tile")])
+                             ("event_id", "ntile:4", "tile"),
+                             ("value", "first_value", "fv")])
 
 
 def q_ranked_events(sf_dir: str):
@@ -1268,7 +1269,32 @@ def q_ranked_events(sf_dir: str):
     return running_agg(ds, "user_id", order_by=["event_type"],
                        aggs=[("", "rank", "r"),
                              ("", "dense_rank", "dr"),
-                             ("", "percent_rank", "pr")])
+                             ("", "percent_rank", "pr"),
+                             ("", "cume_dist", "cd")])
+
+
+def q_events_moving(sf_dir: str):
+    """Sliding-frame window aggregates -- SQL ``OVER (PARTITION BY
+    user_id ORDER BY ts, event_id ROWS BETWEEN 4 PRECEDING AND CURRENT
+    ROW)``: the canonical per-host moving average.  Moving count/min/max
+    of the float column (exact: selection copies values), moving
+    sum/avg of the int column (int64 prefix sums + one IEEE division --
+    exact vs SQL).  Same shape as running_agg: ONE exchange on the key,
+    per-bucket lexsort, two prefix-sum gathers per agg + Cython
+    rolling extrema."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import rolling_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    return rolling_agg(ds, "user_id", order_by=["ts", "event_id"],
+                       aggs=[("value", "count", "mv_n"),
+                             ("value", "min", "mv_min"),
+                             ("value", "max", "mv_max"),
+                             ("event_id", "sum", "mv_eid"),
+                             ("event_id", "avg", "mv_avg_eid")],
+                       window=5)
 
 
 def q_idle_customers(sf_dir: str):
@@ -2401,6 +2427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_ann": q_embed_ann,
         "events_cumulative": q_events_cumulative,
         "ranked_events": q_ranked_events,
+        "events_moving": q_events_moving,
         "idle_customers": q_idle_customers,
         "agg_subnet": q_agg_subnet,
         "geo_rings": q_geo_rings,
@@ -3480,7 +3507,8 @@ def oracle_sql() -> dict[str, str]:
                    MIN(value) OVER w AS cum_min_value,
                    CAST(SUM(event_id) OVER w AS BIGINT) AS cum_eid,
                    ROW_NUMBER() OVER w AS rn,
-                   NTILE(4) OVER w AS tile
+                   NTILE(4) OVER w AS tile,
+                   FIRST_VALUE(value) OVER w AS fv
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)""",
@@ -3488,9 +3516,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id, event_type,
                    RANK() OVER w AS r,
                    DENSE_RANK() OVER w AS dr,
-                   PERCENT_RANK() OVER w AS pr
+                   PERCENT_RANK() OVER w AS pr,
+                   CUME_DIST() OVER w AS cd
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY event_type)""",
+        "events_moving": """
+            SELECT event_id, user_id, ts, value,
+                   CAST(COUNT(value) OVER w AS BIGINT) AS mv_n,
+                   MIN(value) OVER w AS mv_min,
+                   MAX(value) OVER w AS mv_max,
+                   CAST(SUM(event_id) OVER w AS BIGINT) AS mv_eid,
+                   AVG(event_id) OVER w AS mv_avg_eid
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
         "idle_customers": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e

@@ -602,15 +602,17 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
 
     ``aggs`` is a list of ``(src, agg, out)`` with ``agg`` in ``{"sum",
     "count", "min", "max", "row_number", "rank", "dense_rank",
-    "percent_rank", "ntile:<k>"}`` (``src`` is ignored for the rank
-    family and ``ntile``).  SQL null semantics: ``sum``/``count``/
-    ``min``/``max`` skip NULL inputs and are NULL until the first
-    non-null value of the key's frame; ``ntile:<k>`` assigns the first
-    ``n % k`` tiles one extra row (the SQL NTILE contract); ``rank``/
-    ``dense_rank``/``percent_rank`` are tie-aware over the FULL
-    ``order_by`` tuple (``percent_rank`` = ``(rank-1)/(n-1)``, 0.0 for
-    single-row partitions -- int-to-double conversion and one IEEE
-    division, so the compare vs SQL is exact).
+    "percent_rank", "cume_dist", "first_value", "ntile:<k>"}`` (``src``
+    is ignored for the rank family and ``ntile``).  SQL null semantics:
+    ``sum``/``count``/``min``/``max`` skip NULL inputs and are NULL
+    until the first non-null value of the key's frame; ``first_value``
+    does NOT skip nulls (the SQL default); ``ntile:<k>`` assigns the
+    first ``n % k`` tiles one extra row (the SQL NTILE contract);
+    ``rank``/``dense_rank``/``percent_rank``/``cume_dist`` are
+    tie-aware over the FULL ``order_by`` tuple (``percent_rank`` =
+    ``(rank-1)/(n-1)``, 0.0 for single-row partitions; ``cume_dist`` =
+    peers-through-me over partition rows -- int-to-double conversion
+    and one IEEE division each, so the compare vs SQL is exact).
 
     Null-KEY caveat (shared with :func:`lag_lead_by`): NULL partition
     keys compare unequal to each other here (each null row is its own
@@ -632,14 +634,14 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
     from .exchange import hash_exchange
 
     valid = {"sum", "count", "min", "max", "row_number", "rank",
-             "dense_rank", "percent_rank"}
+             "dense_rank", "percent_rank", "cume_dist", "first_value"}
     for src, agg, _out in aggs:
         if agg in valid:
             continue
         if agg.startswith("ntile:") and agg[6:].isdigit() and int(agg[6:]) >= 1:
             continue
         raise ValueError(f"running_agg: unknown agg {agg!r} for {src!r}")
-    need_ties = any(a in ("rank", "dense_rank", "percent_rank")
+    need_ties = any(a in ("rank", "dense_rank", "percent_rank", "cume_dist")
                     for _s, a, _o in aggs)
 
     def add_bucket(t: pa.Table) -> pa.Table:
@@ -676,6 +678,8 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
             rank = last_start - seg_base + 1            # rn of my run's head
             dr = np.cumsum(run_start)
             dense = dr - dr[seg_base] + 1
+            run_first = np.flatnonzero(run_start)       # per-run head index
+            run_end = np.r_[run_first[1:], n][dr - 1] - 1  # my run's last row
 
         out = t
         for src, agg, out_name in aggs:
@@ -691,6 +695,18 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
                     (rank - 1).astype(np.float64)
                     / np.maximum(seg_len - 1, 1).astype(np.float64),
                     0.0))
+            elif agg == "cume_dist":
+                # rows <= my peer group, over partition size: int/int in
+                # double, one IEEE division -- exact vs SQL
+                col = pa.array((run_end - seg_base + 1).astype(np.float64)
+                               / seg_len.astype(np.float64))
+            elif agg == "first_value":
+                # value at the frame's first row; SQL FIRST_VALUE does
+                # NOT skip nulls -- arrow take keeps the source type
+                src_col = t.column(src)
+                if isinstance(src_col, pa.ChunkedArray):
+                    src_col = src_col.combine_chunks()
+                col = src_col.take(pa.array(seg_base))
             elif agg.startswith("ntile:"):
                 k = int(agg[6:])
                 q, r = seg_len // k, seg_len % k
@@ -736,6 +752,132 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
                                      pa.scalar(None, pa.float64()))
                     if not pa.types.is_floating(src_col.type):
                         col = pc.cast(col, src_col.type)
+            out = out.append_column(out_name, col)
+        return out
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return hash_exchange(bucketed, num_buckets, scan_bucket)
+
+
+def rolling_agg(ds, key: str, order_by: list[str], aggs: list,
+                window: int, num_buckets: int = 32):
+    """Per-key SLIDING-frame window aggregates -- SQL ``agg(col) OVER
+    (PARTITION BY key ORDER BY ... ROWS BETWEEN window-1 PRECEDING AND
+    CURRENT ROW)``: the log pipeline's moving averages / moving extrema
+    ("mean latency over the last N requests per host").  Completes the
+    frame family next to :func:`running_agg` (unbounded frames) and
+    :func:`rate_limit` (time-based frames).
+
+    ``aggs`` is ``[(src, agg, out), ...]`` with ``agg`` in ``{"sum",
+    "count", "avg", "min", "max"}``; ``window >= 1`` is the frame size
+    in ROWS (clipped at the partition head, the SQL contract).  SQL
+    null semantics: NULL inputs don't contribute; a frame with zero
+    non-null inputs yields NULL (``count`` yields 0).  Exactness vs a
+    SQL oracle: ``count``/``min``/``max`` always; ``sum``/``avg`` for
+    INTEGER sources (int64 prefix sums, one IEEE division for avg);
+    float ``sum``/``avg`` use prefix-sum subtraction whose rounding
+    order differs from a direct per-frame sum in the last ulp.
+
+    Null-KEY caveat shared with :func:`running_agg`: each NULL key row
+    is its own partition here, while SQL groups all nulls together.
+
+    Scale shape: identical to :func:`running_agg` -- ONE hash exchange
+    on the key, per-bucket lexsort, then O(n) numpy per aggregate:
+    sliding sums/counts are two prefix-sum gathers (frame head =
+    ``max(segment head, i - window + 1)``), sliding extrema are pandas'
+    Cython ``groupby.rolling.min/max`` (a monotonic-deque kernel).  No
+    per-row Python anywhere; project upstream so only needed columns
+    shuffle; salt upstream if one key dominates a bucket.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import hash_exchange
+
+    valid = {"sum", "count", "avg", "min", "max"}
+    for src, agg, _out in aggs:
+        if agg not in valid:
+            raise ValueError(f"rolling_agg: unknown agg {agg!r} for {src!r}")
+    if not isinstance(window, int) or window < 1:
+        raise ValueError(f"rolling_agg: window must be an int >= 1, "
+                         f"got {window!r}")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        g = _key_np(t.column(key))
+        b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def scan_bucket(t: pa.Table) -> pa.Table:
+        sort_cols = [t.column(c).to_pandas().to_numpy()
+                     for c in reversed(order_by)] + [_key_np(t.column(key))]
+        order = np.lexsort(tuple(sort_cols))
+        t = t.take(pa.array(order))
+        g = _key_np(t.column(key))
+        n = len(g)
+        starts = np.ones(n, dtype=bool)
+        if n > 1:
+            starts[1:] = g[1:] != g[:-1]
+        start_idx = np.flatnonzero(starts)
+        seg = np.cumsum(starts) - 1                     # segment id per row
+        seg_base = start_idx[seg]                       # first row of my seg
+        idx = np.arange(n, dtype=np.int64)
+        lb = np.maximum(seg_base, idx - (window - 1))   # frame head (incl.)
+
+        # per-source prefix machinery, computed once per distinct src
+        cache: dict = {}
+
+        def prep(src):
+            if src in cache:
+                return cache[src]
+            src_col = t.column(src)
+            if isinstance(src_col, pa.ChunkedArray):
+                src_col = src_col.combine_chunks()
+            notnull = ~np.asarray(pc.is_null(src_col))
+            cnt_pre = np.r_[0, np.cumsum(notnull.astype(np.int64))]
+            mcnt = cnt_pre[idx + 1] - cnt_pre[lb]
+            cache[src] = (src_col, notnull, mcnt)
+            return cache[src]
+
+        def msum_of(src):
+            src_col, _notnull, mcnt = prep(src)
+            is_int = pa.types.is_integer(src_col.type)
+            v = np.asarray(pc.fill_null(src_col, 0)) \
+                .astype(np.int64 if is_int else np.float64)
+            pre = np.r_[0, np.cumsum(v)]
+            return pre[idx + 1] - pre[lb], mcnt, is_int
+
+        out = t
+        for src, agg, out_name in aggs:
+            if agg == "count":
+                _c, _nn, mcnt = prep(src)
+                col = pa.array(mcnt)
+            elif agg == "sum":
+                ms, mcnt, is_int = msum_of(src)
+                col = pa.array(ms, pa.int64() if is_int else pa.float64())
+                col = pc.if_else(pa.array(mcnt > 0), col,
+                                 pa.scalar(None, col.type))
+            elif agg == "avg":
+                ms, mcnt, _is_int = msum_of(src)
+                col = pa.array(
+                    ms.astype(np.float64)
+                    / np.maximum(mcnt, 1).astype(np.float64))
+                col = pc.if_else(pa.array(mcnt > 0), col,
+                                 pa.scalar(None, pa.float64()))
+            else:                                       # min / max
+                src_col, notnull, mcnt = prep(src)
+                fill = np.inf if agg == "min" else -np.inf
+                v = np.asarray(pc.cast(src_col, pa.float64()),
+                               dtype=np.float64)
+                s = pd.Series(np.where(notnull, v, fill))
+                r = s.groupby(seg).rolling(window, min_periods=1)
+                run = (r.min() if agg == "min" else r.max()).to_numpy()
+                col = pa.array(run, pa.float64())
+                col = pc.if_else(pa.array(mcnt > 0), col,
+                                 pa.scalar(None, pa.float64()))
+                if not pa.types.is_floating(src_col.type):
+                    col = pc.cast(col, src_col.type)
             out = out.append_column(out_name, col)
         return out
 

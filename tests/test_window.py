@@ -508,3 +508,116 @@ def test_running_agg_rank_family_ties():
     assert (m["r"].to_numpy() == exp["r"].to_numpy()).all()
     assert (m["dr"].to_numpy() == exp["dr"].to_numpy()).all()
     assert np.array_equal(m["pr"].to_numpy(), exp["pr"].to_numpy())
+
+
+def test_running_agg_cume_dist_first_value():
+    from fluent_plugin_geoip_ray.stages.window import running_agg
+
+    rng = np.random.default_rng(47)
+    n = 1500
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 12, n),
+        "o": rng.integers(0, 6, n),
+        "v": rng.normal(size=n),
+    })
+    df.loc[rng.random(n) < 0.1, "v"] = np.nan   # FIRST_VALUE keeps nulls
+    out = running_agg(
+        rd.from_pandas(df).repartition(4), "k", order_by=["o", "id"],
+        aggs=[("", "cume_dist", "cd"), ("v", "first_value", "fv")],
+    ).to_pandas().set_index("id").loc[df["id"]]
+
+    s = df.sort_values(["k", "o", "id"])
+    # (o, id) is unique within k, so every peer group is a single row:
+    # cume_dist == row_number / n
+    grp = s.groupby("k")
+    exp_cd = (grp.cumcount() + 1) / grp["o"].transform("size")
+    # literal first row's v, may be NaN (pandas "first" would SKIP NaN;
+    # SQL FIRST_VALUE does not)
+    exp_fv = grp["v"].transform(lambda x: x.iloc[0])
+    exp = s.assign(cd=exp_cd, fv=exp_fv).set_index("id").loc[df["id"]]
+    assert np.array_equal(out["cd"].to_numpy(), exp["cd"].to_numpy())
+    assert np.allclose(out["fv"].to_numpy(), exp["fv"].to_numpy(),
+                       equal_nan=True)
+
+    # tie-aware cume_dist: order by o alone -> whole peer runs share cd
+    out2 = running_agg(
+        rd.from_pandas(df).repartition(4), "k", order_by=["o"],
+        aggs=[("", "cume_dist", "cd")],
+    ).to_pandas()
+    m = df.merge(out2[["id", "cd"]], on="id")
+    cnt_le = m.groupby("k").apply(
+        lambda g: pd.Series(
+            (g["o"].to_numpy()[None, :] <= g["o"].to_numpy()[:, None])
+            .sum(axis=1) / len(g), index=g.index),
+        include_groups=False).droplevel(0).sort_index()
+    assert np.array_equal(m.sort_index()["cd"].to_numpy(),
+                          cnt_le.to_numpy())
+
+
+def test_rolling_agg_matches_pandas_rolling():
+    from fluent_plugin_geoip_ray.stages.window import rolling_agg
+
+    rng = np.random.default_rng(53)
+    n = 3000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 20, n),
+        "iv": rng.integers(-50, 50, n),
+        "fv": rng.normal(size=n),
+    })
+    df.loc[rng.random(n) < 0.15, "fv"] = np.nan
+    w = 5
+    out = rolling_agg(
+        rd.from_pandas(df).repartition(4), "k", order_by=["id"],
+        aggs=[("iv", "sum", "ms"), ("iv", "avg", "ma"),
+              ("fv", "count", "mc"), ("fv", "min", "mmin"),
+              ("fv", "max", "mmax")],
+        window=w,
+    ).to_pandas().set_index("id").sort_index()
+
+    s = df.sort_values(["k", "id"])
+    g = s.groupby("k")
+    exp = s.assign(
+        ms=g["iv"].rolling(w, min_periods=1).sum().droplevel(0),
+        ma=g["iv"].rolling(w, min_periods=1).mean().droplevel(0),
+        mc=g["fv"].rolling(w, min_periods=1).count().droplevel(0),
+        mmin=g["fv"].rolling(w, min_periods=1).min().droplevel(0),
+        mmax=g["fv"].rolling(w, min_periods=1).max().droplevel(0),
+    ).set_index("id").sort_index()
+
+    assert np.array_equal(out["ms"].to_numpy(), exp["ms"].to_numpy())
+    assert np.array_equal(out["ma"].to_numpy(), exp["ma"].to_numpy())
+    assert np.array_equal(out["mc"].to_numpy(),
+                          exp["mc"].to_numpy().astype(np.int64))
+    assert np.allclose(out["mmin"].to_numpy(), exp["mmin"].to_numpy(),
+                       equal_nan=True)
+    assert np.allclose(out["mmax"].to_numpy(), exp["mmax"].to_numpy(),
+                       equal_nan=True)
+    # int sums stay int64 (exact vs SQL); window-1 rows at partition
+    # heads use the clipped frame (pandas min_periods=1 matches)
+    assert out["ms"].dtype == np.int64 or str(out["ms"].dtype) == "Int64"
+
+
+def test_rolling_agg_all_null_frame_and_validation():
+    from fluent_plugin_geoip_ray.stages.window import rolling_agg
+
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "k": [1, 1, 1, 1, 1, 1],
+        "v": [None, None, None, 3.0, None, None],
+    })
+    out = rolling_agg(rd.from_pandas(df), "k", ["id"],
+                      [("v", "sum", "s"), ("v", "avg", "a"),
+                       ("v", "count", "c")], window=2
+                      ).to_pandas().set_index("id").sort_index()
+    # frames fully null -> NULL sum/avg, count 0; frame catching row 3 -> 3.0
+    assert out["c"].tolist() == [0, 0, 0, 1, 1, 0]
+    assert out["s"].isna().tolist() == [True, True, True, False, False, True]
+    assert out.loc[3, "s"] == 3.0 and out.loc[4, "a"] == 3.0
+
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError, match="unknown agg"):
+        rolling_agg(ds, "k", ["id"], [("v", "median", "m")], window=3)
+    with pytest.raises(ValueError, match="window"):
+        rolling_agg(ds, "k", ["id"], [("v", "sum", "s")], window=0)
