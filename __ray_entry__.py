@@ -1297,6 +1297,25 @@ def q_events_moving(sf_dir: str):
                        window=5)
 
 
+def q_events_moving_time(sf_dir: str):
+    """Time-RANGE sliding frame -- SQL ``RANGE BETWEEN INTERVAL '10
+    minutes' PRECEDING AND CURRENT ROW`` per user: count / int-sum /
+    int-avg over the trailing 10-minute window, peer-inclusive (rows
+    sharing a timestamp share one frame).  Frame edges come from two
+    global searchsorted calls over per-segment-offset timestamps."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import rolling_time_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    return rolling_time_agg(ds, "user_id", "ts",
+                            aggs=[("event_id", "count", "tw_n"),
+                                  ("event_id", "sum", "tw_eid"),
+                                  ("event_id", "avg", "tw_avg_eid")],
+                            preceding_sec=600)
+
+
 def q_idle_customers(sf_dir: str):
     """Large-large ANTI join (NOT EXISTS): customers with no events --
     neither side broadcast, only the right KEY column moves, one hash
@@ -2428,6 +2447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cumulative": q_events_cumulative,
         "ranked_events": q_ranked_events,
         "events_moving": q_events_moving,
+        "events_moving_time": q_events_moving_time,
         "idle_customers": q_idle_customers,
         "agg_subnet": q_agg_subnet,
         "geo_rings": q_geo_rings,
@@ -3530,6 +3550,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+        "events_moving_time": """
+            SELECT event_id, user_id, ts,
+                   CAST(COUNT(event_id) OVER w AS BIGINT) AS tw_n,
+                   CAST(SUM(event_id) OVER w AS BIGINT) AS tw_eid,
+                   AVG(event_id) OVER w AS tw_avg_eid
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
+                               AND CURRENT ROW)""",
         "idle_customers": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e

@@ -884,3 +884,136 @@ def rolling_agg(ds, key: str, order_by: list[str], aggs: list,
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
                               zero_copy_batch=True)
     return hash_exchange(bucketed, num_buckets, scan_bucket)
+
+
+def rolling_time_agg(ds, key: str, ts_col: str, aggs: list,
+                     preceding_sec: int, num_buckets: int = 32):
+    """Per-key TIME-RANGE sliding-frame aggregates -- SQL ``agg(col)
+    OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN INTERVAL
+    'preceding_sec seconds' PRECEDING AND CURRENT ROW)``: "events and
+    mean value in the last N minutes per host".  Completes the frame
+    family: :func:`running_agg` (unbounded), :func:`rolling_agg` (ROWS
+    frames), this (RANGE frames).
+
+    ``aggs`` is ``[(src, agg, out), ...]`` with ``agg`` in ``{"sum",
+    "count", "avg"}`` (extrema need a two-sided deque RANGE frames
+    don't admit vectorized -- use :func:`rolling_agg` for ROWS
+    extrema).  SQL RANGE semantics are honored exactly, INCLUDING
+    peers: rows sharing a timestamp share one frame that contains all
+    of them, regardless of physical order.  NULL inputs don't
+    contribute; an all-null frame yields NULL (``count`` 0).  sum/avg
+    on INTEGER sources are exact vs SQL (int64 prefix sums, one IEEE
+    division); float sums carry the prefix-sum last-ulp caveat.
+
+    Null-KEY caveat shared with :func:`running_agg`; NULL timestamps
+    are rejected (SQL RANGE frames require a non-null sort key).
+
+    Scale shape: ONE hash exchange on the key, per-bucket lexsort by
+    (key, ts), then O(n log n) numpy: per-segment timestamps are
+    rebased to their segment head and given disjoint per-segment
+    offsets (gap > the frame width), so BOTH frame edges come from two
+    GLOBAL ``np.searchsorted`` calls; every aggregate is two
+    prefix-sum gathers.  No per-row or per-key Python.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .exchange import hash_exchange
+
+    valid = {"sum", "count", "avg"}
+    for src, agg, _out in aggs:
+        if agg not in valid:
+            raise ValueError(
+                f"rolling_time_agg: unknown agg {agg!r} for {src!r}")
+    if preceding_sec < 0:
+        raise ValueError("rolling_time_agg: preceding_sec must be >= 0")
+    delta_us = int(preceding_sec) * 1_000_000
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        g = _key_np(t.column(key))
+        b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
+        return t.append_column("__bucket", pa.array(b))
+
+    def scan_bucket(t: pa.Table) -> pa.Table:
+        ts_raw = t.column(ts_col)
+        if isinstance(ts_raw, pa.ChunkedArray):
+            ts_raw = ts_raw.combine_chunks()
+        if ts_raw.null_count:
+            raise ValueError("rolling_time_agg: null timestamps in "
+                             f"{ts_col!r} (RANGE needs a non-null sort key)")
+        ts_all = _ts_us(t, ts_col)
+        order = np.lexsort((ts_all, _key_np(t.column(key))))
+        t = t.take(pa.array(order))
+        ts = ts_all[order]
+        g = _key_np(t.column(key))
+        n = len(g)
+        starts = np.ones(n, dtype=bool)
+        if n > 1:
+            starts[1:] = g[1:] != g[:-1]
+        start_idx = np.flatnonzero(starts)
+        seg = np.cumsum(starts) - 1
+        seg_base = start_idx[seg]
+
+        # disjoint per-segment time axes: rebase each segment to its
+        # head, then shift segment k by k * (max_rel + delta + 2) so a
+        # query can never cross a segment boundary; one global
+        # searchsorted then answers every per-segment range probe
+        rel = ts - ts[seg_base]                         # >= 0, sorted per seg
+        span = (int(rel.max()) if n else 0) + delta_us + 2
+        nseg = len(start_idx)
+        if nseg * span < 2**62:                         # shifted fits int64
+            shifted = rel + seg * span
+            lb = np.searchsorted(shifted, shifted - delta_us, side="left")
+            ub = np.searchsorted(shifted, shifted, side="right")  # + peers
+        else:                                           # pathological spread:
+            lb = np.empty(n, dtype=np.int64)            # per-segment probes,
+            ub = np.empty(n, dtype=np.int64)            # O(segments) Python
+            ends = np.r_[start_idx[1:], n]
+            for s0, s1 in zip(start_idx, ends):
+                seg_ts = ts[s0:s1]
+                lb[s0:s1] = s0 + np.searchsorted(
+                    seg_ts, seg_ts - delta_us, side="left")
+                ub[s0:s1] = s0 + np.searchsorted(seg_ts, seg_ts,
+                                                 side="right")
+
+        cache: dict = {}
+
+        def prep(src):
+            if src in cache:
+                return cache[src]
+            src_col = t.column(src)
+            if isinstance(src_col, pa.ChunkedArray):
+                src_col = src_col.combine_chunks()
+            notnull = ~np.asarray(pc.is_null(src_col))
+            cnt_pre = np.r_[0, np.cumsum(notnull.astype(np.int64))]
+            mcnt = cnt_pre[ub] - cnt_pre[lb]
+            is_int = pa.types.is_integer(src_col.type)
+            v = np.asarray(pc.fill_null(src_col, 0)) \
+                .astype(np.int64 if is_int else np.float64)
+            pre = np.r_[0, np.cumsum(v)]
+            msum = pre[ub] - pre[lb]
+            cache[src] = (mcnt, msum, is_int)
+            return cache[src]
+
+        out = t
+        for src, agg, out_name in aggs:
+            mcnt, msum, is_int = prep(src)
+            if agg == "count":
+                col = pa.array(mcnt)
+            elif agg == "sum":
+                col = pa.array(msum, pa.int64() if is_int else pa.float64())
+                col = pc.if_else(pa.array(mcnt > 0), col,
+                                 pa.scalar(None, col.type))
+            else:                                       # avg
+                col = pa.array(
+                    msum.astype(np.float64)
+                    / np.maximum(mcnt, 1).astype(np.float64))
+                col = pc.if_else(pa.array(mcnt > 0), col,
+                                 pa.scalar(None, pa.float64()))
+            out = out.append_column(out_name, col)
+        return out
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return hash_exchange(bucketed, num_buckets, scan_bucket)

@@ -621,3 +621,63 @@ def test_rolling_agg_all_null_frame_and_validation():
         rolling_agg(ds, "k", ["id"], [("v", "median", "m")], window=3)
     with pytest.raises(ValueError, match="window"):
         rolling_agg(ds, "k", ["id"], [("v", "sum", "s")], window=0)
+
+
+def test_rolling_time_agg_matches_bruteforce_with_peers():
+    from fluent_plugin_geoip_ray.stages.window import rolling_time_agg
+
+    rng = np.random.default_rng(61)
+    n = 1200
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    # coarse second grid -> guaranteed duplicate timestamps (peer groups)
+    ts = base + rng.integers(0, 300, n).astype("timedelta64[s]")
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 10, n),
+        "ts": ts.astype("datetime64[us]"),
+        "iv": rng.integers(-9, 9, n),
+    })
+    delta = 30  # seconds
+    out = rolling_time_agg(
+        rd.from_pandas(df).repartition(4), "k", "ts",
+        [("iv", "count", "c"), ("iv", "sum", "s"), ("iv", "avg", "a")],
+        preceding_sec=delta,
+    ).to_pandas().set_index("id").sort_index()
+
+    # brute force with SQL RANGE peer semantics: frame = all rows of my
+    # key with ts in [my ts - delta, my ts] -- position-independent
+    tus = df["ts"].astype("int64").to_numpy()
+    kk = df["k"].to_numpy()
+    iv = df["iv"].to_numpy()
+    ec, es = np.empty(n, np.int64), np.empty(n, np.int64)
+    for i in range(n):
+        m = (kk == kk[i]) & (tus >= tus[i] - delta * 1_000_000) \
+            & (tus <= tus[i])
+        ec[i], es[i] = m.sum(), iv[m].sum()
+    assert np.array_equal(out["c"].to_numpy(), ec)
+    assert np.array_equal(out["s"].to_numpy(), es)
+    assert np.array_equal(out["a"].to_numpy(), es / ec)
+
+
+def test_rolling_time_agg_null_semantics_and_validation():
+    from fluent_plugin_geoip_ray.stages.window import rolling_time_agg
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "id": np.arange(4, dtype=np.int64),
+        "k": [1, 1, 1, 1],
+        "ts": base + np.array([0, 10, 100, 110]).astype("timedelta64[s]"),
+        "v": [None, 2.0, None, None],
+    })
+    out = rolling_time_agg(rd.from_pandas(df), "k", "ts",
+                           [("v", "count", "c"), ("v", "sum", "s")],
+                           preceding_sec=15
+                           ).to_pandas().set_index("id").sort_index()
+    assert out["c"].tolist() == [0, 1, 0, 0]        # all-null frames -> 0
+    assert out["s"].isna().tolist() == [True, False, True, True]
+
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError, match="unknown agg"):
+        rolling_time_agg(ds, "k", "ts", [("v", "min", "m")], 10)
+    with pytest.raises(ValueError, match="preceding_sec"):
+        rolling_time_agg(ds, "k", "ts", [("v", "sum", "s")], -1)
