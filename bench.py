@@ -191,6 +191,18 @@ def run_bench() -> dict:
                 key="user_id", gap_sec=1800, order_tiebreak="event_id",
             ).count())
 
+            from fluent_plugin_geoip_ray.stages.window import rolling_agg
+
+            timed("rolling_events", lambda: rolling_agg(
+                rd.read_parquet(events_path,
+                                columns=["user_id", "event_id", "ts",
+                                         "value"]),
+                "user_id", order_by=["ts", "event_id"],
+                aggs=[("value", "min", "mv_min"),
+                      ("event_id", "sum", "mv_eid"),
+                      ("event_id", "avg", "mv_avg")],
+                window=5).count())
+
         if os.path.exists(docs_path):
             import __ray_entry__ as entrymod
 

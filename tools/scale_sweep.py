@@ -327,6 +327,28 @@ def main() -> int:
                       order_by=["ts", "event_id"],
                       aggs=[("value", "sum", "cs"), ("value", "min", "cm"),
                             ("", "row_number", "rn")]).count()),
+        ("rolling_agg", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.window",
+            fromlist=["rolling_agg"]
+        ).rolling_agg(rd.from_arrow(events), "user_id",
+                      order_by=["ts", "event_id"],
+                      aggs=[("value", "min", "mm"), ("event_id", "sum", "ms"),
+                            ("event_id", "avg", "ma")],
+                      window=5).count()),
+        ("rolling_time_agg", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.window",
+            fromlist=["rolling_time_agg"]
+        ).rolling_time_agg(rd.from_arrow(events), "user_id", "ts",
+                           aggs=[("event_id", "count", "c"),
+                                 ("event_id", "sum", "s")],
+                           preceding_sec=600).count()),
+        ("rank_family", lambda: __import__(
+            "fluent_plugin_geoip_ray.stages.window",
+            fromlist=["running_agg"]
+        ).running_agg(rd.from_arrow(events), "user_id",
+                      order_by=["event_type"],
+                      aggs=[("", "rank", "r"), ("", "cume_dist", "cd"),
+                            ("value", "first_value", "fv")]).count()),
         ("anti_join", lambda: __import__(
             "fluent_plugin_geoip_ray.stages.join", fromlist=["anti_join_big"]
         ).anti_join_big(
