@@ -1297,6 +1297,21 @@ def q_events_moving(sf_dir: str):
                        window=5)
 
 
+def q_active_customers(sf_dir: str):
+    """Large-large SEMI join (EXISTS): customers with at least one event
+    -- the EXISTS mirror of ``idle_customers``.  Neither side broadcast;
+    only the right KEY column moves (per-batch unique collapse), one
+    hash exchange, per-bucket vectorized is_in filter."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.join import semi_join_big
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return semi_join_big(cust, ev, on="c_custkey", right_on="user_id")
+
+
 def q_events_moving_time(sf_dir: str):
     """Time-RANGE sliding frame -- SQL ``RANGE BETWEEN INTERVAL '10
     minutes' PRECEDING AND CURRENT ROW`` per user: count / int-sum /
@@ -2448,6 +2463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranked_events": q_ranked_events,
         "events_moving": q_events_moving,
         "events_moving_time": q_events_moving_time,
+        "active_customers": q_active_customers,
         "idle_customers": q_idle_customers,
         "agg_subnet": q_agg_subnet,
         "geo_rings": q_geo_rings,
@@ -3559,6 +3575,10 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
                                AND CURRENT ROW)""",
+        "active_customers": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM events e
+                          WHERE e.user_id = c.c_custkey)""",
         "idle_customers": """
             SELECT c_custkey, c_name FROM customer c
             WHERE NOT EXISTS (SELECT 1 FROM events e

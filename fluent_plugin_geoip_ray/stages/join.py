@@ -566,6 +566,30 @@ def anti_join_big(left_ds, right_ds, on, right_on: str | None = None,
     most once; right duplicates collapse per-batch before moving
     (``pc.unique``), so a hot right key costs one row per block.
     """
+    return _exists_join_big(left_ds, right_ds, on, right_on, num_buckets,
+                            anti=True)
+
+
+def semi_join_big(left_ds, right_ds, on, right_on: str | None = None,
+                  num_buckets: int = 32):
+    """Large-large SEMI join: keep left rows whose key matches at least
+    one right row, each at most once -- SQL ``WHERE EXISTS (SELECT 1
+    FROM right WHERE right.k = left.k)``.  The EXISTS mirror of
+    :func:`anti_join_big` (same exchange, inverted per-bucket mask);
+    use :func:`semi_join_filter` when the right key set is small enough
+    to broadcast.
+
+    SQL EXISTS null semantics: a NULL left key never matches (it is
+    DROPPED); NULL right keys match nothing.  Scale shape identical to
+    :func:`anti_join_big`: only the right KEY column moves, duplicates
+    collapse per batch, left rows move at most once.
+    """
+    return _exists_join_big(left_ds, right_ds, on, right_on, num_buckets,
+                            anti=False)
+
+
+def _exists_join_big(left_ds, right_ds, on, right_on: str | None,
+                     num_buckets: int, anti: bool):
     import numpy as np
     import pandas as pd
     import pyarrow.compute as pc
@@ -576,7 +600,7 @@ def anti_join_big(left_ds, right_ds, on, right_on: str | None = None,
     lschema = left_ds.schema()
     lnames = list(lschema.names)
     if "__rkey" in lnames:
-        raise ValueError("anti_join_big: left side may not carry __rkey")
+        raise ValueError("anti/semi_join_big: left side may not carry __rkey")
     ltypes = dict(zip(lschema.names, lschema.types))
     ktype = dict(zip(right_ds.schema().names,
                      right_ds.schema().types))[rk]
@@ -624,14 +648,16 @@ def anti_join_big(left_ds, right_ds, on, right_on: str | None = None,
             add_right, batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    def anti_bucket(g: pa.Table) -> pa.Table:
+    def exists_bucket(g: pa.Table) -> pa.Table:
         side = g.column("__side")
         lf = g.filter(pc.equal(side, 0)).select(lnames)
         keys = pc.unique(g.filter(pc.equal(side, 1)).column("__rkey")
                          .combine_chunks())
         if len(keys) == 0:
-            return lf
+            return lf if anti else lf.slice(0, 0)
         mask = pc.is_in(lf.column(on), value_set=keys)
-        return lf.filter(pc.fill_null(pc.invert(mask), True))
+        if anti:                       # NULL left key -> no match -> keep
+            return lf.filter(pc.fill_null(pc.invert(mask), True))
+        return lf.filter(pc.fill_null(mask, False))
 
-    return hash_exchange(both, num_buckets, anti_bucket)
+    return hash_exchange(both, num_buckets, exists_bucket)

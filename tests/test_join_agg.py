@@ -1140,6 +1140,42 @@ def test_anti_join_big_matches_merge_and_null_semantics():
         anti_join_big(bad, rd.from_pandas(right), on="k", right_on="rk")
 
 
+def test_semi_join_big_matches_merge_and_null_semantics():
+    import pandas as pd
+    from fluent_plugin_geoip_ray.stages.join import semi_join_big
+
+    rng = np.random.default_rng(29)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 200, 1000).astype(np.int64),
+        "v": np.arange(1000, dtype=np.int64),
+    })
+    # null left keys must be DROPPED (SQL EXISTS: NULL matches nothing)
+    left.loc[::97, "k"] = np.nan
+    right = pd.DataFrame({"rk": rng.integers(100, 300, 800).astype(np.int64)})
+
+    lt = pa.table({"k": pa.array(left["k"], pa.int64(), from_pandas=True),
+                   "v": pa.array(left["v"])})
+    out = semi_join_big(rd.from_arrow(lt).repartition(5),
+                        rd.from_pandas(right).repartition(3),
+                        on="k", right_on="rk", num_buckets=8)
+    got = out.to_pandas().sort_values("v").reset_index(drop=True)
+
+    rset = set(right["rk"])
+    keep = left["k"].notna() & left["k"].isin(rset)
+    exp = left[keep].sort_values("v").reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert (got["v"] == exp["v"]).all()
+    assert got["k"].isna().sum() == 0
+    # each surviving left row appears exactly once despite right dups
+    assert got["v"].is_unique
+
+    # buckets whose right side is empty must emit nothing on the semi path
+    empty_right = pd.DataFrame({"rk": np.array([], dtype=np.int64)})
+    none = semi_join_big(rd.from_arrow(lt),
+                         rd.from_pandas(empty_right), on="k", right_on="rk")
+    assert none.count() == 0
+
+
 def test_ip_subnet_column_prefixes_and_validation():
     from fluent_plugin_geoip_ray.stages.parse import ip_subnet_column
 
