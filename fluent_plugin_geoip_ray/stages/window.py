@@ -24,15 +24,71 @@ from .aggregate import groupby_agg
 
 
 def _key_np(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """Partition-key column -> numpy: int64 fast lane for null-free
-    integer keys (hashing + lexsort + neighbor compares all stay
-    vectorized C), object lane otherwise (strings; int-with-nulls keeps
-    the documented null-key caveat)."""
+    """Partition-key column -> numpy for WITHIN-BUCKET lexsort and
+    neighbor compares: int64 fast lane for null-free integer keys,
+    object lane otherwise (strings; int-with-nulls keeps the documented
+    null-key caveat).  NOT for bucket hashing -- the lane may differ
+    between blocks of one dataset (null_count varies per block), which
+    is harmless locally but would split a key across buckets; use
+    :func:`_bucket_ids` for that."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type) and col.null_count == 0:
         return col.to_numpy(zero_copy_only=False).astype(np.int64)
     return col.to_pandas().to_numpy(dtype=object)
+
+
+def _bucket_ids(col: pa.Array | pa.ChunkedArray,
+                num_buckets: int) -> np.ndarray:
+    """TYPE-STABLE key -> bucket hash (same contract as join.py's
+    bucket_of): integer keys always hash through the int64 lane with
+    nulls filled (the fill value only picks the null rows' bucket --
+    each null row is its own segment inside it), everything else through
+    the object lane.  Per-block lane flips (an int key column with
+    nulls in SOME blocks) would otherwise route one key value to two
+    different buckets and silently split its partition."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        v = np.asarray(pc.fill_null(pc.cast(col, pa.int64()), 0))
+        h = pd.util.hash_array(v)
+    else:
+        h = pd.util.hash_array(col.to_pandas().to_numpy(dtype=object))
+    return (h % num_buckets).astype(np.int32)
+
+
+def _add_bucket_fn(key: str, num_buckets: int):
+    """The shared map-side stage of every per-key window operator."""
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", pa.array(_bucket_ids(t.column(key), num_buckets)))
+    return add_bucket
+
+
+def _sorted_segments(t: pa.Table, key: str, order_by: list[str]):
+    """Shared reduce-side preamble of the frame family: lexsort the
+    bucket by (key, *order_by), then locate key segments.  Returns
+    ``(t_sorted, sorted_order_cols, g, starts, start_idx, seg,
+    seg_base)`` where ``g`` is the sorted key lane, ``starts`` flags
+    segment heads, ``seg`` is the per-row segment id and ``seg_base``
+    each row's segment-head index."""
+    sort_cols = [t.column(c).to_pandas().to_numpy()
+                 for c in reversed(order_by)] + [_key_np(t.column(key))]
+    order = np.lexsort(tuple(sort_cols))
+    t = t.take(pa.array(order))
+    g = sort_cols[-1][order]
+    n = len(g)
+    starts = np.ones(n, dtype=bool)
+    if n > 1:
+        starts[1:] = g[1:] != g[:-1]
+    start_idx = np.flatnonzero(starts)
+    seg = np.cumsum(starts) - 1
+    seg_base = start_idx[seg]
+    ordered_cols = [c[order] for c in reversed(sort_cols[:-1])]
+    return t, ordered_cols, g, starts, start_idx, seg, seg_base
 
 
 def _ts_us(batch: pa.Table, ts_col: str) -> np.ndarray:
@@ -367,22 +423,12 @@ def lag_lead_by(ds, key: str, order_by: list[str], cols: dict,
             raise ValueError(f"direction must be lag|lead, got "
                              f"{direction!r} for {src!r}")
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        g = _key_np(t.column(key))
-        b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
-        return t.append_column("__bucket", pa.array(b))
-
     def shift_bucket(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        sort_cols = [t.column(c).to_pandas().to_numpy()
-                     for c in reversed(order_by)] + [_key_np(t.column(key))]
-        order = np.lexsort(tuple(sort_cols))
-        t = t.take(pa.array(order))
-        g = _key_np(t.column(key))
+        t, _oc, g, starts, _si, _seg, _sb = _sorted_segments(t, key, order_by)
         n = len(g)
-        same_prev = np.r_[False, g[1:] == g[:-1]] if n else \
-            np.zeros(0, bool)
+        same_prev = ~starts
         # lag valid at i iff rows i-offset..i all share the key (the
         # offset consecutive same_prev flags ending at i are all True)
         ok_lag = np.zeros(n, dtype=bool)
@@ -415,8 +461,8 @@ def lag_lead_by(ds, key: str, order_by: list[str], cols: dict,
             out = out.append_column(out_name, shifted)
         return out
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    bucketed = ds.map_batches(_add_bucket_fn(key, num_buckets),
+                              batch_format="pyarrow", zero_copy_batch=True)
     return hash_exchange(bucketed, num_buckets, shift_bucket)
 
 
@@ -609,7 +655,8 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
     does NOT skip nulls (the SQL default); ``ntile:<k>`` assigns the
     first ``n % k`` tiles one extra row (the SQL NTILE contract);
     ``rank``/``dense_rank``/``percent_rank``/``cume_dist`` are
-    tie-aware over the FULL ``order_by`` tuple (``percent_rank`` =
+    tie-aware over the FULL ``order_by`` tuple, with NULL order values
+    peers of each other (the SQL contract) (``percent_rank`` =
     ``(rank-1)/(n-1)``, 0.0 for single-row partitions; ``cume_dist`` =
     peers-through-me over partition rows -- int-to-double conversion
     and one IEEE division each, so the compare vs SQL is exact).
@@ -644,35 +691,25 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
     need_ties = any(a in ("rank", "dense_rank", "percent_rank", "cume_dist")
                     for _s, a, _o in aggs)
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        g = _key_np(t.column(key))
-        b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
-        return t.append_column("__bucket", pa.array(b))
-
     def scan_bucket(t: pa.Table) -> pa.Table:
-        sort_cols = [t.column(c).to_pandas().to_numpy()
-                     for c in reversed(order_by)] + [_key_np(t.column(key))]
-        order = np.lexsort(tuple(sort_cols))
-        t = t.take(pa.array(order))
-        g = _key_np(t.column(key))
+        t, ordered_cols, g, starts, start_idx, seg, seg_base = \
+            _sorted_segments(t, key, order_by)
         n = len(g)
-        starts = np.ones(n, dtype=bool)
-        if n > 1:
-            starts[1:] = g[1:] != g[:-1]
-        start_idx = np.flatnonzero(starts)
-        seg = np.cumsum(starts) - 1                     # segment id per row
-        seg_base = start_idx[seg]                       # first row of my seg
         rn = np.arange(n, dtype=np.int64) - seg_base + 1
         seg_len = np.diff(np.r_[start_idx, n])[seg]     # my segment's length
 
         if need_ties:
             # tie runs: a row starts a new ORDER BY peer group when the
-            # key changes or ANY order column differs from its neighbor
+            # key changes or ANY order column differs from its neighbor;
+            # SQL makes NULL order values peers of EACH OTHER, so a
+            # both-null neighbor pair never breaks a run (NaN != NaN and
+            # NaT != NaT are True elementwise -- mask them back out)
             run_start = starts.copy()
             if n > 1:
-                for c in sort_cols[:-1]:                # order cols, sorted
-                    cs = c[order]
-                    run_start[1:] |= cs[1:] != cs[:-1]
+                for cs in ordered_cols:                 # order cols, sorted
+                    neq = cs[1:] != cs[:-1]
+                    nn = pd.isna(cs)
+                    run_start[1:] |= neq & ~(nn[1:] & nn[:-1])
             last_start = np.maximum.accumulate(
                 np.where(run_start, np.arange(n, dtype=np.int64), -1))
             rank = last_start - seg_base + 1            # rn of my run's head
@@ -755,9 +792,37 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
             out = out.append_column(out_name, col)
         return out
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    bucketed = ds.map_batches(_add_bucket_fn(key, num_buckets),
+                              batch_format="pyarrow", zero_copy_batch=True)
     return hash_exchange(bucketed, num_buckets, scan_bucket)
+
+
+def _range_extrema(v: np.ndarray, lb: np.ndarray, idx: np.ndarray,
+                   is_min: bool, sentinel) -> np.ndarray:
+    """Extrema over per-row inclusive ranges ``[lb[i], idx[i]]`` with
+    ``lb <= idx`` -- a vectorized sparse-table RMQ (min/max is
+    idempotent, so two overlapping power-of-two lookups cover any
+    range).  Works on any numpy comparable dtype WITHOUT a float cast,
+    so int64 extrema are exact over the full range (no 2^53 loss);
+    ``sentinel`` fills the unused tail of each level.  O(n log w) build
+    for max frame length w, O(n) query."""
+    n = len(v)
+    if n == 0:
+        return v.copy()
+    lens = idx - lb + 1
+    maxlen = int(lens.max())
+    op = np.minimum if is_min else np.maximum
+    levels = [v]
+    half = 1
+    while half * 2 <= maxlen:
+        prev = levels[-1]
+        cur = np.full(n, sentinel, dtype=v.dtype)
+        cur[:n - half] = op(prev[:n - half], prev[half:])
+        levels.append(cur)
+        half *= 2
+    stack = np.stack(levels)                            # (L, n)
+    j = np.frexp(lens.astype(np.float64))[1] - 1        # floor(log2(len))
+    return op(stack[j, lb], stack[j, idx - (1 << j) + 1])
 
 
 def rolling_agg(ds, key: str, order_by: list[str], aggs: list,
@@ -774,10 +839,12 @@ def rolling_agg(ds, key: str, order_by: list[str], aggs: list,
     in ROWS (clipped at the partition head, the SQL contract).  SQL
     null semantics: NULL inputs don't contribute; a frame with zero
     non-null inputs yields NULL (``count`` yields 0).  Exactness vs a
-    SQL oracle: ``count``/``min``/``max`` always; ``sum``/``avg`` for
-    INTEGER sources (int64 prefix sums, one IEEE division for avg);
-    float ``sum``/``avg`` use prefix-sum subtraction whose rounding
-    order differs from a direct per-frame sum in the last ulp.
+    SQL oracle: ``count``/``min``/``max`` always (extrema never leave
+    the source dtype -- int64 stays exact over its FULL range, no 2^53
+    float round-trip); ``sum``/``avg`` for INTEGER sources (int64
+    prefix sums, one IEEE division for avg); float ``sum``/``avg`` use
+    prefix-sum subtraction whose rounding order differs from a direct
+    per-frame sum in the last ulp.
 
     Null-KEY caveat shared with :func:`running_agg`: each NULL key row
     is its own partition here, while SQL groups all nulls together.
@@ -785,10 +852,11 @@ def rolling_agg(ds, key: str, order_by: list[str], aggs: list,
     Scale shape: identical to :func:`running_agg` -- ONE hash exchange
     on the key, per-bucket lexsort, then O(n) numpy per aggregate:
     sliding sums/counts are two prefix-sum gathers (frame head =
-    ``max(segment head, i - window + 1)``), sliding extrema are pandas'
-    Cython ``groupby.rolling.min/max`` (a monotonic-deque kernel).  No
-    per-row Python anywhere; project upstream so only needed columns
-    shuffle; salt upstream if one key dominates a bucket.
+    ``max(segment head, i - window + 1)``), sliding extrema one
+    sparse-table RMQ (:func:`_range_extrema`, O(n log window) build +
+    two gathers).  No per-row Python anywhere; project upstream so only
+    needed columns shuffle; salt upstream if one key dominates a
+    bucket.
     """
     import numpy as np
     import pandas as pd
@@ -804,24 +872,10 @@ def rolling_agg(ds, key: str, order_by: list[str], aggs: list,
         raise ValueError(f"rolling_agg: window must be an int >= 1, "
                          f"got {window!r}")
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        g = _key_np(t.column(key))
-        b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
-        return t.append_column("__bucket", pa.array(b))
-
     def scan_bucket(t: pa.Table) -> pa.Table:
-        sort_cols = [t.column(c).to_pandas().to_numpy()
-                     for c in reversed(order_by)] + [_key_np(t.column(key))]
-        order = np.lexsort(tuple(sort_cols))
-        t = t.take(pa.array(order))
-        g = _key_np(t.column(key))
+        t, _oc, g, _starts, start_idx, _seg, seg_base = \
+            _sorted_segments(t, key, order_by)
         n = len(g)
-        starts = np.ones(n, dtype=bool)
-        if n > 1:
-            starts[1:] = g[1:] != g[:-1]
-        start_idx = np.flatnonzero(starts)
-        seg = np.cumsum(starts) - 1                     # segment id per row
-        seg_base = start_idx[seg]                       # first row of my seg
         idx = np.arange(n, dtype=np.int64)
         lb = np.maximum(seg_base, idx - (window - 1))   # frame head (incl.)
 
@@ -841,12 +895,15 @@ def rolling_agg(ds, key: str, order_by: list[str], aggs: list,
             return cache[src]
 
         def msum_of(src):
+            if (src, "sum") in cache:
+                return cache[(src, "sum")]
             src_col, _notnull, mcnt = prep(src)
             is_int = pa.types.is_integer(src_col.type)
             v = np.asarray(pc.fill_null(src_col, 0)) \
                 .astype(np.int64 if is_int else np.float64)
             pre = np.r_[0, np.cumsum(v)]
-            return pre[idx + 1] - pre[lb], mcnt, is_int
+            cache[(src, "sum")] = (pre[idx + 1] - pre[lb], mcnt, is_int)
+            return cache[(src, "sum")]
 
         out = t
         for src, agg, out_name in aggs:
@@ -866,28 +923,38 @@ def rolling_agg(ds, key: str, order_by: list[str], aggs: list,
                 col = pc.if_else(pa.array(mcnt > 0), col,
                                  pa.scalar(None, pa.float64()))
             else:                                       # min / max
+                # SQL MIN/MAX skip NULLs -> null slots become never-win
+                # sentinels of the SOURCE dtype (no float cast: int64
+                # extrema stay exact over the full range); all-null
+                # frames (mcnt == 0) null out below
                 src_col, notnull, mcnt = prep(src)
-                fill = np.inf if agg == "min" else -np.inf
-                v = np.asarray(pc.cast(src_col, pa.float64()),
-                               dtype=np.float64)
-                s = pd.Series(np.where(notnull, v, fill))
-                r = s.groupby(seg).rolling(window, min_periods=1)
-                run = (r.min() if agg == "min" else r.max()).to_numpy()
-                col = pa.array(run, pa.float64())
+                if pa.types.is_integer(src_col.type):
+                    info = np.iinfo(src_col.type.to_pandas_dtype())
+                    sentinel = info.max if agg == "min" else info.min
+                    v = np.asarray(pc.fill_null(src_col, int(sentinel)))
+                else:
+                    sentinel = np.inf if agg == "min" else -np.inf
+                    v = np.where(
+                        notnull,
+                        np.asarray(pc.cast(src_col, pa.float64()),
+                                   dtype=np.float64),
+                        sentinel)
+                run = _range_extrema(v, lb, idx, agg == "min", sentinel)
+                col = pa.array(run)
                 col = pc.if_else(pa.array(mcnt > 0), col,
-                                 pa.scalar(None, pa.float64()))
-                if not pa.types.is_floating(src_col.type):
+                                 pa.scalar(None, col.type))
+                if col.type != src_col.type:
                     col = pc.cast(col, src_col.type)
             out = out.append_column(out_name, col)
         return out
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    bucketed = ds.map_batches(_add_bucket_fn(key, num_buckets),
+                              batch_format="pyarrow", zero_copy_batch=True)
     return hash_exchange(bucketed, num_buckets, scan_bucket)
 
 
 def rolling_time_agg(ds, key: str, ts_col: str, aggs: list,
-                     preceding_sec: int, num_buckets: int = 32):
+                     preceding_sec: float, num_buckets: int = 32):
     """Per-key TIME-RANGE sliding-frame aggregates -- SQL ``agg(col)
     OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN INTERVAL
     'preceding_sec seconds' PRECEDING AND CURRENT ROW)``: "events and
@@ -928,12 +995,9 @@ def rolling_time_agg(ds, key: str, ts_col: str, aggs: list,
                 f"rolling_time_agg: unknown agg {agg!r} for {src!r}")
     if preceding_sec < 0:
         raise ValueError("rolling_time_agg: preceding_sec must be >= 0")
-    delta_us = int(preceding_sec) * 1_000_000
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        g = _key_np(t.column(key))
-        b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
-        return t.append_column("__bucket", pa.array(b))
+    # multiply BEFORE truncating so fractional seconds are honored at
+    # microsecond resolution (int() first would silently narrow 0.5s -> 0)
+    delta_us = int(round(preceding_sec * 1_000_000))
 
     def scan_bucket(t: pa.Table) -> pa.Table:
         ts_raw = t.column(ts_col)
@@ -1014,6 +1078,6 @@ def rolling_time_agg(ds, key: str, ts_col: str, aggs: list,
             out = out.append_column(out_name, col)
         return out
 
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    bucketed = ds.map_batches(_add_bucket_fn(key, num_buckets),
+                              batch_format="pyarrow", zero_copy_batch=True)
     return hash_exchange(bucketed, num_buckets, scan_bucket)

@@ -681,3 +681,100 @@ def test_rolling_time_agg_null_semantics_and_validation():
         rolling_time_agg(ds, "k", "ts", [("v", "min", "m")], 10)
     with pytest.raises(ValueError, match="preceding_sec"):
         rolling_time_agg(ds, "k", "ts", [("v", "sum", "s")], -1)
+
+
+def test_bucket_hash_type_stable_across_blocks_with_nulls():
+    """Round-5 review (critical): an int64 key column with nulls in only
+    SOME blocks must not flip hash lanes per block -- key 7's rows in a
+    null-free block and a null-containing block must land in ONE bucket
+    (one partition), or cumulative aggregates silently split."""
+    from fluent_plugin_geoip_ray.stages.window import running_agg
+
+    block_a = pa.table({
+        "k": pa.array([7, 7], pa.int64()),           # null-free block
+        "o": pa.array([1, 2], pa.int64()),
+        "v": pa.array([10.0, 20.0]),
+    })
+    block_b = pa.table({
+        "k": pa.array([7, None], pa.int64()),        # null-carrying block
+        "o": pa.array([3, 4], pa.int64()),
+        "v": pa.array([30.0, 40.0]),
+    })
+    out = running_agg(rd.from_arrow([block_a, block_b]), "k",
+                      order_by=["o"], aggs=[("v", "sum", "cs")]
+                      ).to_pandas().sort_values("o")
+    # key 7 is ONE partition: running sums 10, 30, 60
+    assert out[out["k"] == 7]["cs"].tolist() == [10.0, 30.0, 60.0]
+
+
+def test_rolling_agg_extrema_exact_beyond_2_53():
+    """Round-5 review: int64 min/max must not round-trip through float64
+    (2^53 loss / ArrowInvalid crash) -- snowflake-style IDs are normal
+    inputs."""
+    from fluent_plugin_geoip_ray.stages.window import rolling_agg
+
+    big = 2**53
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "k": np.ones(6, dtype=np.int64),
+        "v": np.array([big + 1, big + 3, -2**62, big + 5, big + 2, big + 4],
+                      dtype=np.int64),
+    })
+    out = rolling_agg(rd.from_pandas(df), "k", ["id"],
+                      [("v", "min", "mn"), ("v", "max", "mx")], window=3
+                      ).to_pandas().set_index("id").sort_index()
+    exp_mn = [big + 1, big + 1, -2**62, -2**62, -2**62, big + 2]
+    exp_mx = [big + 1, big + 3, big + 3, big + 5, big + 5, big + 5]
+    assert out["mn"].tolist() == exp_mn
+    assert out["mx"].tolist() == exp_mx
+    assert out["mn"].dtype == np.int64          # dtype never left int64
+
+
+def test_running_agg_rank_family_null_order_values_are_peers():
+    """Round-5 review: SQL makes NULL order values peers of EACH OTHER;
+    NaN != NaN must not split them into singleton peer groups."""
+    import duckdb
+    from fluent_plugin_geoip_ray.stages.window import running_agg
+
+    df = pd.DataFrame({
+        "id": np.arange(8, dtype=np.int64),
+        "k": [1, 1, 1, 1, 2, 2, 2, 2],
+        "o": [5.0, np.nan, np.nan, 7.0, np.nan, np.nan, np.nan, 1.0],
+    })
+    out = running_agg(rd.from_pandas(df).repartition(3), "k",
+                      order_by=["o"],
+                      aggs=[("", "rank", "r"), ("", "dense_rank", "dr"),
+                            ("", "percent_rank", "pr"),
+                            ("", "cume_dist", "cd")]
+                      ).to_pandas().sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT id, RANK() OVER w AS r, DENSE_RANK() OVER w AS dr,
+               PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY o)
+        ORDER BY id""").fetchdf()
+    con.close()
+    for c in ("r", "dr", "pr", "cd"):
+        assert np.array_equal(out[c].to_numpy().astype(np.float64),
+                              exp[c].to_numpy().astype(np.float64)), c
+
+
+def test_rolling_time_agg_fractional_preceding_sec():
+    """Round-5 review: preceding_sec=0.5 must mean half a second, not a
+    silent truncation to a peers-only frame."""
+    from fluent_plugin_geoip_ray.stages.window import rolling_time_agg
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "id": np.arange(3, dtype=np.int64),
+        "k": [1, 1, 1],
+        "ts": base + np.array([0, 400_000, 1_000_000])
+                        .astype("timedelta64[us]"),
+        "v": np.array([1, 2, 4], dtype=np.int64),
+    })
+    out = rolling_time_agg(rd.from_pandas(df), "k", "ts",
+                           [("v", "sum", "s")], preceding_sec=0.5
+                           ).to_pandas().set_index("id").sort_index()
+    # frames: [0], [0, 0.4s], [1.0s] (0.4s is 0.6s earlier -- outside)
+    assert out["s"].tolist() == [1, 3, 4]

@@ -30,12 +30,15 @@ def frames(draw):
     df = pd.DataFrame({
         "id": np.arange(n, dtype=np.int64),
         "k": rng.integers(0, nkeys, n),
-        "o": rng.integers(0, draw(st.integers(1, 5)), n),  # heavy ties
+        "o": rng.integers(0, draw(st.integers(1, 5)), n)
+             .astype(np.float64),                   # heavy ties
         "iv": rng.integers(-20, 20, n).astype(np.float64),
         "fv": np.round(rng.normal(size=n), 3),
         "tsu": rng.integers(0, 60, n) * 1_000_000,  # dup timestamps, us
     })
-    for c in ("iv", "fv"):
+    # null ORDER BY values too: SQL sorts them NULLS LAST (numpy lexsort
+    # agrees: NaN last) and makes them peers of each other
+    for c in ("iv", "fv", "o"):
         df.loc[rng.random(n) < draw(st.floats(0.0, 0.4)), c] = np.nan
     df["ts"] = (np.datetime64("2026-01-01", "us")
                 + df["tsu"].to_numpy().astype("timedelta64[us]"))
