@@ -168,12 +168,10 @@ def groupby_agg(ds, keys: list[str], aggs: list[tuple], batch_size: int = 65536,
         num_buckets = 32
 
         def add_bucket(t: pa.Table) -> pa.Table:
-            cols = [t.column(k).to_pandas().to_numpy(dtype=object) for k in keys]
-            h = pd.util.hash_array(cols[0])
-            for c in cols[1:]:
-                h = h ^ pd.util.hash_array(c)
+            from .exchange import stable_bucket_ids
+
             return t.append_column(
-                "__bucket", pa.array((h % num_buckets).astype(np.int32))
+                "__bucket", pa.array(stable_bucket_ids(t, keys, num_buckets))
             )
 
         bucketed = partials.map_batches(
@@ -446,9 +444,10 @@ def quantiles_by(ds, key: str, value: str, qs: tuple = (0.5, 0.95, 0.99),
     num_buckets = 32
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        keys_np = t.column(key).to_pandas().to_numpy(dtype=object)
-        b = (_pd.util.hash_array(keys_np) % num_buckets).astype(np.int32)
-        return t.append_column("__bucket", pa.array(b))
+        from .exchange import stable_bucket_ids
+
+        return t.append_column(
+            "__bucket", pa.array(stable_bucket_ids(t, [key], num_buckets)))
 
     def finalize_bucket(t: pa.Table) -> pa.Table:
         keys_np = t.column(key).to_pandas().to_numpy(dtype=object)
@@ -532,9 +531,11 @@ def top_k_by_group(ds, group_col: str, order_col: str, k: int,
         import pandas as pd
 
         def add_bucket(t: pa.Table) -> pa.Table:
-            gk = t.column(group_col).to_pandas().to_numpy(dtype=object)
-            b = (pd.util.hash_array(gk) % num_buckets).astype(np.int32)
-            return t.append_column("__bucket", pa.array(b))
+            from .exchange import stable_bucket_ids
+
+            return t.append_column(
+                "__bucket",
+                pa.array(stable_bucket_ids(t, [group_col], num_buckets)))
 
         from .exchange import hash_exchange
 
@@ -590,9 +591,13 @@ def approx_distinct_by(ds, key: str, value: str, p: int = 11,
     m = 1 << p
 
     def partial(batch: pa.Table) -> pa.Table:
+        from .exchange import stable_hash
+
         keys = batch.column(key).to_pandas().to_numpy(dtype=object)
-        vals = batch.column(value).to_pandas().to_numpy(dtype=object)
-        h = pd.util.hash_array(vals)
+        # stable_hash, not the object lane: an int value column with
+        # nulls in SOME blocks would hash one value two ways (int vs
+        # float object) and overcount it as two distincts
+        h = stable_hash(batch.column(value))
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         rest = h << np.uint64(p)
         # rho = position of first 1-bit in `rest` (from MSB), in 1..64-p+1
@@ -659,9 +664,10 @@ def approx_distinct_by(ds, key: str, value: str, p: int = 11,
         return rd.from_arrow(merge_table(pa.concat_tables(tables).combine_chunks()))
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        keys_np = t.column(key).to_pandas().to_numpy(dtype=object)
-        b = (pd.util.hash_array(keys_np) % num_buckets).astype(np.int32)
-        return t.append_column("__bucket", pa.array(b))
+        from .exchange import stable_bucket_ids
+
+        return t.append_column(
+            "__bucket", pa.array(stable_bucket_ids(t, [key], num_buckets)))
 
     from .exchange import hash_exchange
 
@@ -868,12 +874,11 @@ def string_agg_by(ds, key: str, value_col: str, order_by: list[str],
     cols = [key, *order_by, value_col]
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        import numpy as np
+        from .exchange import stable_bucket_ids
 
         t = t.select(cols)
-        g = t.column(key).to_pandas().to_numpy(dtype=object)
-        b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
-        return t.append_column("__bucket", pa.array(b))
+        return t.append_column(
+            "__bucket", pa.array(stable_bucket_ids(t, [key], num_buckets)))
 
     def assemble(t: pa.Table) -> pa.Table:
         import numpy as np
@@ -1283,13 +1288,10 @@ def distinct_rows(ds, cols: list[str] | None = None, num_buckets: int = 32,
                               zero_copy_batch=True, batch_size=batch_size)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = None
-        for k in keys:
-            hv = pd.util.hash_array(t.column(k).to_pandas()
-                                    .to_numpy(dtype=object))
-            h = hv if h is None else h ^ hv
+        from .exchange import stable_bucket_ids
+
         return t.append_column(
-            "__bucket", pa.array((h % num_buckets).astype(np.int32)))
+            "__bucket", pa.array(stable_bucket_ids(t, keys, num_buckets)))
 
     from .exchange import hash_exchange
 

@@ -34,6 +34,46 @@ import pyarrow as pa
 _SPLIT_CACHE: dict[tuple, object] = {}
 
 
+def stable_hash(col) -> np.ndarray:
+    """Type-stable per-row uint64 hash for BUCKET ROUTING of a key or
+    value column.  The lane choice must never depend on a per-block
+    property: ``to_pandas().to_numpy(dtype=object)`` yields int objects
+    for a null-free int64 block but float objects for a null-carrying
+    one, and pandas hashes ``138`` and ``138.0`` differently in the
+    object lane -- one key value would silently split across buckets
+    (round-5 review finding).  So integer Arrow columns ALWAYS hash
+    through the int64 numeric lane with nulls filled (the fill value
+    only picks the null rows' bucket; null keys never equal anything
+    downstream), and every other type through the object lane, whose
+    pandas conversion is per-type deterministic (strings stay str,
+    floats stay float with or without nulls, timestamps stay
+    Timestamp).  Accepts an Arrow Array/ChunkedArray or a numpy array
+    (passed straight to ``pd.util.hash_array``).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        if pa.types.is_integer(col.type):
+            v = np.asarray(pc.fill_null(pc.cast(col, pa.int64()), 0))
+            return pd.util.hash_array(v)
+        return pd.util.hash_array(col.to_pandas().to_numpy(dtype=object))
+    return pd.util.hash_array(col)
+
+
+def stable_bucket_ids(table: pa.Table, keys: list[str],
+                      num_buckets: int) -> np.ndarray:
+    """int32 bucket ids from xor-combined :func:`stable_hash` of the
+    key columns -- the one routing function every exchange producer
+    should share."""
+    h = stable_hash(table.column(keys[0]))
+    for k in keys[1:]:
+        h = h ^ stable_hash(table.column(k))
+    return (h % num_buckets).astype(np.int32)
+
+
 def _split_task(num_buckets: int, bucket_col: str):
     """Remote fn: block -> ``num_buckets`` tables (cached per signature)."""
     import ray

@@ -136,12 +136,9 @@ def bucketed_join(left_ds, right_ds, on, num_buckets: int = 32,
         def fn(batch: pa.Table) -> pa.Table:
             import numpy as np
 
-            h = pd.util.hash_array(
-                batch.column(on_keys[0]).to_pandas().to_numpy(dtype=object))
-            for k in on_keys[1:]:
-                h = h ^ pd.util.hash_array(
-                    batch.column(k).to_pandas().to_numpy(dtype=object))
-            b = (h % num_buckets).astype(np.int32)
+            from .exchange import stable_bucket_ids
+
+            b = stable_bucket_ids(batch, on_keys, num_buckets)
             cols = {}
             for name in all_names:
                 if name in batch.column_names:
@@ -325,8 +322,9 @@ def asof_join_big(left_ds, right_ds, on: str, by: str, right_cols: dict,
 
     def add_bucket(side):
         def fn(batch: pa.Table) -> pa.Table:
-            keys = batch.column(by).to_pandas().to_numpy(dtype=object)
-            b = (pd.util.hash_array(keys) % num_buckets).astype(np.int32)
+            from .exchange import stable_bucket_ids
+
+            b = stable_bucket_ids(batch, [by], num_buckets)
             cols = {}
             for name in all_names:
                 if side == 1 and name in out_names:
@@ -485,8 +483,9 @@ def range_join_big(left_ds, intervals_ds, value_col: str, by: str,
 
     def add_bucket(side):
         def fn(batch: pa.Table) -> pa.Table:
-            keys = batch.column(by).to_pandas().to_numpy(dtype=object)
-            b = (pd.util.hash_array(keys) % num_buckets).astype(np.int32)
+            from .exchange import stable_bucket_ids
+
+            b = stable_bucket_ids(batch, [by], num_buckets)
             cols = {}
             for name in all_names:
                 if side == 1 and name in out_names:

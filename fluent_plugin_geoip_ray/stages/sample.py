@@ -136,9 +136,11 @@ def sample_per_group(ds, group_col: str, key_col: str, k: int, seed: int = 0,
         import pandas as pd
 
         def add_bucket(t: pa.Table) -> pa.Table:
-            gk = t.column(group_col).to_pandas().to_numpy(dtype=object)
-            b = (pd.util.hash_array(gk) % num_buckets).astype(np.int32)
-            return t.append_column("__bucket", pa.array(b))
+            from .exchange import stable_bucket_ids
+
+            return t.append_column(
+                "__bucket",
+                pa.array(stable_bucket_ids(t, [group_col], num_buckets)))
 
         from .exchange import hash_exchange
 
@@ -493,9 +495,11 @@ def stratified_sample(ds, stratum_col: str, key_col: str, fraction: float,
         return t.filter(pa.array(keep))
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        g = t.column(stratum_col).to_pandas().to_numpy(dtype=object)
-        b = (pd.util.hash_array(g) % num_buckets).astype(np.int32)
-        return t.append_column("__bucket", pa.array(b))
+        from .exchange import stable_bucket_ids
+
+        return t.append_column(
+            "__bucket",
+            pa.array(stable_bucket_ids(t, [stratum_col], num_buckets)))
 
     partial = ds.map_batches(select, batch_format="pyarrow",
                              zero_copy_batch=True)

@@ -579,9 +579,10 @@ def group_mean_pool(ds, group_col: str, vec_col: str = "embedding",
         })
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        gv = t.column("g").to_pandas().to_numpy(dtype=object)
-        b = (pd.util.hash_array(gv) % num_buckets).astype(np.int32)
-        return t.append_column("__bucket", pa.array(b))
+        from .exchange import stable_bucket_ids
+
+        return t.append_column(
+            "__bucket", pa.array(stable_bucket_ids(t, ["g"], num_buckets)))
 
     def finalize(t: pa.Table) -> pa.Table:
         gv = t.column("g").to_pandas().to_numpy()

@@ -23,71 +23,89 @@ import pyarrow as pa
 from .aggregate import groupby_agg
 
 
-def _key_np(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
-    """Partition-key column -> numpy for WITHIN-BUCKET lexsort and
-    neighbor compares: int64 fast lane for null-free integer keys,
-    object lane otherwise (strings; int-with-nulls keeps the documented
-    null-key caveat).  NOT for bucket hashing -- the lane may differ
-    between blocks of one dataset (null_count varies per block), which
-    is harmless locally but would split a key across buckets; use
-    :func:`_bucket_ids` for that."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    if pa.types.is_integer(col.type) and col.null_count == 0:
-        return col.to_numpy(zero_copy_only=False).astype(np.int64)
-    return col.to_pandas().to_numpy(dtype=object)
-
-
-def _bucket_ids(col: pa.Array | pa.ChunkedArray,
-                num_buckets: int) -> np.ndarray:
-    """TYPE-STABLE key -> bucket hash (same contract as join.py's
-    bucket_of): integer keys always hash through the int64 lane with
-    nulls filled (the fill value only picks the null rows' bucket --
-    each null row is its own segment inside it), everything else through
-    the object lane.  Per-block lane flips (an int key column with
-    nulls in SOME blocks) would otherwise route one key value to two
-    different buckets and silently split its partition."""
-    import pandas as pd
+def _key_lanes(col: pa.Array | pa.ChunkedArray):
+    """Partition-key column -> ``(filled_values, is_null)`` numpy pair
+    for WITHIN-BUCKET lexsort and neighbor compares.  Nulls are never
+    materialized as values: an int64-with-nulls column used to round-
+    trip through pandas float64, and object-lane NaN breaks np.lexsort's
+    comparator (NaN < x is always False), which could interleave OTHER
+    keys' duplicates and split their segments.  Instead the values lane
+    is null-FILLED in a fixed per-type representation (int64 for
+    ints/temporals/bools -- exact, no 2^53 float loss -- float64 for
+    floats, ""-filled objects for strings) and the boolean null lane
+    both sorts nulls last and keeps each null row its own segment (the
+    documented null-key caveat)."""
     import pyarrow.compute as pc
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if pa.types.is_integer(col.type):
-        v = np.asarray(pc.fill_null(pc.cast(col, pa.int64()), 0))
-        h = pd.util.hash_array(v)
+    kn = np.asarray(pc.is_null(col)) if col.null_count \
+        else np.zeros(len(col), dtype=bool)
+    t = col.type
+    if pa.types.is_integer(t) or pa.types.is_boolean(t) or \
+            pa.types.is_temporal(t):
+        kf = np.asarray(pc.fill_null(pc.cast(col, pa.int64()), 0))
+    elif pa.types.is_floating(t):
+        kf = np.asarray(pc.fill_null(pc.cast(col, pa.float64()), 0.0))
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        kf = pc.fill_null(col, "").to_pandas().to_numpy(dtype=object)
     else:
-        h = pd.util.hash_array(col.to_pandas().to_numpy(dtype=object))
-    return (h % num_buckets).astype(np.int32)
+        kf = col.to_pandas().to_numpy(dtype=object)
+    return kf, kn
 
 
 def _add_bucket_fn(key: str, num_buckets: int):
-    """The shared map-side stage of every per-key window operator."""
+    """The shared map-side stage of every per-key window operator --
+    TYPE-STABLE routing via :func:`exchange.stable_bucket_ids` (a
+    per-block int-vs-object hash-lane flip would split a key's
+    partition across buckets)."""
+    from .exchange import stable_bucket_ids
+
     def add_bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
-            "__bucket", pa.array(_bucket_ids(t.column(key), num_buckets)))
+            "__bucket", pa.array(stable_bucket_ids(t, [key], num_buckets)))
     return add_bucket
+
+
+def _numeric_src(t: pa.Table, src: str) -> pa.Array:
+    """Fetch an aggregate source column, tolerating the NULL-TYPED
+    columns Ray Data block rebuilds (repartition/split) infer for
+    blocks whose column is entirely null: a null-typed source becomes
+    an all-null float64 lane here (every aggregate of it is NULL
+    anyway), instead of crashing an impossible cast later; downstream
+    union promotes null/float64 blocks against the real-typed buckets.
+    """
+    col = t.column(src)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        return pa.nulls(t.num_rows, pa.float64())
+    return col
 
 
 def _sorted_segments(t: pa.Table, key: str, order_by: list[str]):
     """Shared reduce-side preamble of the frame family: lexsort the
-    bucket by (key, *order_by), then locate key segments.  Returns
+    bucket by (key, *order_by) -- nulls-last null-safe key lanes via
+    :func:`_key_lanes` -- then locate key segments.  Returns
     ``(t_sorted, sorted_order_cols, g, starts, start_idx, seg,
-    seg_base)`` where ``g`` is the sorted key lane, ``starts`` flags
-    segment heads, ``seg`` is the per-row segment id and ``seg_base``
-    each row's segment-head index."""
+    seg_base)`` where ``g`` is the sorted filled key lane (length
+    bookkeeping + equality together with ``starts``), ``starts`` flags
+    segment heads (null keys each start one), ``seg`` is the per-row
+    segment id and ``seg_base`` each row's segment-head index."""
+    kf, kn = _key_lanes(t.column(key))
     sort_cols = [t.column(c).to_pandas().to_numpy()
-                 for c in reversed(order_by)] + [_key_np(t.column(key))]
+                 for c in reversed(order_by)] + [kf, kn]
     order = np.lexsort(tuple(sort_cols))
     t = t.take(pa.array(order))
-    g = sort_cols[-1][order]
+    g, gn = kf[order], kn[order]
     n = len(g)
     starts = np.ones(n, dtype=bool)
     if n > 1:
-        starts[1:] = g[1:] != g[:-1]
+        starts[1:] = (g[1:] != g[:-1]) | gn[1:] | gn[:-1]
     start_idx = np.flatnonzero(starts)
     seg = np.cumsum(starts) - 1
     seg_base = start_idx[seg]
-    ordered_cols = [c[order] for c in reversed(sort_cols[:-1])]
+    ordered_cols = [c[order] for c in reversed(sort_cols[:-2])]
     return t, ordered_cols, g, starts, start_idx, seg, seg_base
 
 
@@ -753,9 +771,7 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
                 thin = r + (rn - 1 - big) // np.maximum(q, 1)
                 col = pa.array(np.where(in_big, fat, thin) + 1)
             else:
-                src_col = t.column(src)
-                if isinstance(src_col, pa.ChunkedArray):
-                    src_col = src_col.combine_chunks()
+                src_col = _numeric_src(t, src)
                 notnull = ~np.asarray(pc.is_null(src_col))
                 cnt = np.cumsum(notnull.astype(np.int64))
                 run_cnt = cnt - (cnt[seg_base] - notnull[seg_base])
@@ -885,9 +901,7 @@ def rolling_agg(ds, key: str, order_by: list[str], aggs: list,
         def prep(src):
             if src in cache:
                 return cache[src]
-            src_col = t.column(src)
-            if isinstance(src_col, pa.ChunkedArray):
-                src_col = src_col.combine_chunks()
+            src_col = _numeric_src(t, src)
             notnull = ~np.asarray(pc.is_null(src_col))
             cnt_pre = np.r_[0, np.cumsum(notnull.astype(np.int64))]
             mcnt = cnt_pre[idx + 1] - cnt_pre[lb]
@@ -1006,18 +1020,10 @@ def rolling_time_agg(ds, key: str, ts_col: str, aggs: list,
         if ts_raw.null_count:
             raise ValueError("rolling_time_agg: null timestamps in "
                              f"{ts_col!r} (RANGE needs a non-null sort key)")
-        ts_all = _ts_us(t, ts_col)
-        order = np.lexsort((ts_all, _key_np(t.column(key))))
-        t = t.take(pa.array(order))
-        ts = ts_all[order]
-        g = _key_np(t.column(key))
+        t, _oc, g, _starts, start_idx, seg, seg_base = \
+            _sorted_segments(t, key, [ts_col])
         n = len(g)
-        starts = np.ones(n, dtype=bool)
-        if n > 1:
-            starts[1:] = g[1:] != g[:-1]
-        start_idx = np.flatnonzero(starts)
-        seg = np.cumsum(starts) - 1
-        seg_base = start_idx[seg]
+        ts = _ts_us(t, ts_col)
 
         # disjoint per-segment time axes: rebase each segment to its
         # head, then shift segment k by k * (max_rel + delta + 2) so a
@@ -1046,9 +1052,7 @@ def rolling_time_agg(ds, key: str, ts_col: str, aggs: list,
         def prep(src):
             if src in cache:
                 return cache[src]
-            src_col = t.column(src)
-            if isinstance(src_col, pa.ChunkedArray):
-                src_col = src_col.combine_chunks()
+            src_col = _numeric_src(t, src)
             notnull = ~np.asarray(pc.is_null(src_col))
             cnt_pre = np.r_[0, np.cumsum(notnull.astype(np.int64))]
             mcnt = cnt_pre[ub] - cnt_pre[lb]

@@ -1,0 +1,108 @@
+"""Round-5 review regression family: bucket routing must be TYPE-STABLE
+across blocks.
+
+An int64 key column with nulls in SOME blocks used to flip the hash lane
+per block (null-free block -> int objects, null-carrying block -> float
+objects; pandas hashes 138 and 138.0 differently in the object lane), so
+one key value was routed to two different buckets: split partitions in
+the window family, silently dropped matches in the bucketed joins,
+duplicate group rows in the bucketed aggregate merges, and distinct
+overcounts in HLL.  Every exchange producer now routes through
+exchange.stable_bucket_ids / stable_hash.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _mixed_blocks(nulls_in_second=True):
+    """Two blocks sharing int64 keys; the second optionally carries a
+    null key (which used to flip its whole block's hash lane)."""
+    a = pa.table({
+        "k": pa.array([7, 8, 7, 9], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+    })
+    second = [7, 8, None, 9] if nulls_in_second else [7, 8, 9, 9]
+    b = pa.table({
+        "k": pa.array(second, pa.int64()),
+        "v": pa.array([10.0, 20.0, 30.0, 40.0]),
+    })
+    return rd.from_arrow([a, b])
+
+
+def test_stable_hash_int_lane_ignores_block_null_presence():
+    from fluent_plugin_geoip_ray.stages.exchange import stable_hash
+
+    clean = pa.array([138, 7, 9], pa.int64())
+    dirty = pa.array([138, None, 7], pa.int64())
+    hc, hd = stable_hash(clean), stable_hash(dirty)
+    assert hc[0] == hd[0] and hc[1] == hd[2]
+
+
+def test_groupby_agg_bucketed_with_mixed_null_blocks():
+    from fluent_plugin_geoip_ray.stages.aggregate import groupby_agg
+
+    out = groupby_agg(_mixed_blocks(), ["k"], [("v", "sum", "s")],
+                      merge="bucketed").to_pandas()
+    # key 7 must be ONE group (1+3+10), not two rows in two buckets
+    assert len(out[out["k"] == 7]) == 1
+    assert out.set_index("k").loc[7, "s"] == 14.0
+    assert out.set_index("k").loc[8, "s"] == 22.0
+
+
+def test_bucketed_join_with_mixed_null_blocks():
+    from fluent_plugin_geoip_ray.stages.join import bucketed_join
+
+    left = _mixed_blocks()                      # nulls in block 2
+    right = rd.from_arrow(pa.table({            # null-free right side
+        "k": pa.array([7, 8, 9], pa.int64()),
+        "name": pa.array(["seven", "eight", "nine"]),
+    }))
+    out = bucketed_join(left, right, on=["k"]).to_pandas()
+    # every non-null left row matches; lane flips used to drop block-2 rows
+    assert len(out) == 7
+    assert (out[out["k"] == 7]["name"] == "seven").all()
+    assert len(out[out["k"] == 7]) == 3
+
+
+def test_approx_distinct_stable_across_null_carrying_blocks():
+    from fluent_plugin_geoip_ray.stages.aggregate import approx_distinct_by
+
+    # same 200 distinct int values in both blocks; block 2 adds one null.
+    # A value-lane flip would hash every value two ways -> ~2x estimate.
+    vals = np.arange(200, dtype=np.int64)
+    a = pa.table({"k": pa.array(np.zeros(200, np.int64)),
+                  "v": pa.array(vals)})
+    b = pa.table({"k": pa.array(np.zeros(201, np.int64)),
+                  "v": pa.array(list(vals) + [None], pa.int64())})
+    est = (approx_distinct_by(rd.from_arrow([a, b]), "k", "v")
+           .to_pandas()["approx_distinct"].iloc[0])
+    assert 170 <= est <= 240     # ~200 +- HLL error, nowhere near 400
+
+
+def test_running_agg_three_block_lane_mix_matches_pandas():
+    from fluent_plugin_geoip_ray.stages.window import running_agg
+
+    rng = np.random.default_rng(71)
+    parts = []
+    rows = []
+    for i in range(3):
+        k = rng.integers(0, 5, 50).astype(np.float64)
+        if i == 1:
+            k[::17] = np.nan                     # null keys in ONE block
+        t = pa.table({
+            "k": pa.array(pd.array(k).astype("Int64"), pa.int64(),
+                          from_pandas=True),
+            "o": pa.array(np.arange(i * 50, (i + 1) * 50, dtype=np.int64)),
+            "v": pa.array(rng.normal(size=50)),
+        })
+        parts.append(t)
+        rows.append(t.to_pandas())
+    out = running_agg(rd.from_arrow(parts), "k", ["o"],
+                      [("v", "sum", "cs")]).to_pandas()
+    df = pd.concat(rows).sort_values(["k", "o"])
+    exp = df.dropna(subset=["k"]).groupby("k")["v"].cumsum()
+    got = out.dropna(subset=["k"]).sort_values(["k", "o"])["cs"]
+    assert np.allclose(got.to_numpy(), exp.to_numpy())

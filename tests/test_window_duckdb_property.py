@@ -13,7 +13,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 import ray.data as rd
-from hypothesis import given, settings, strategies as st
+from hypothesis import Phase, given, settings, strategies as st
 
 from fluent_plugin_geoip_ray.stages.window import (
     rolling_agg,
@@ -71,7 +71,11 @@ def _assert_eq(got: pd.DataFrame, exp: pd.DataFrame, cols: list):
         assert ok, f"column {c}:\ngot {g[:20]}\nexp {e[:20]}"
 
 
-@settings(max_examples=12, deadline=None)
+# no shrink phase: each example runs 4 Ray pipelines (~1.5 s), so
+# shrinking a failure would burn minutes; an unshrunken case reproduces
+# fine from the printed blob
+@settings(max_examples=12, deadline=None,
+          phases=(Phase.explicit, Phase.reuse, Phase.generate))
 @given(frames())
 def test_window_family_matches_duckdb(case):
     df, w, delta, nparts = case
