@@ -605,21 +605,13 @@ def _exists_join_big(left_ds, right_ds, on, right_on: str | None,
                      right_ds.schema().types))[rk]
 
     def bucket_of(col: pa.Array | pa.ChunkedArray):
-        # TYPE-STABLE key hash: an int column WITH nulls round-trips
-        # through pandas as float64 (hashing 138.0 != hashing 138), so
-        # integer keys hash through int64 directly -- null fill value is
-        # irrelevant (null left keys survive regardless of bucket, null
-        # right keys are dropped before this).  Both sides share this
-        # path, so buckets align whenever the key TYPES match (the
-        # equi-join contract).
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_integer(col.type):
-            v = np.asarray(pc.fill_null(pc.cast(col, pa.int64()), 0))
-            h = pd.util.hash_array(v)
-        else:
-            h = pd.util.hash_array(col.to_pandas().to_numpy(dtype=object))
-        return (h % num_buckets).astype(np.int32)
+        # TYPE-STABLE key hash (exchange.stable_hash): both sides share
+        # this path, so buckets align whenever the key TYPES match (the
+        # equi-join contract); null left keys survive regardless of
+        # bucket, null right keys are dropped before this.
+        from .exchange import stable_hash
+
+        return (stable_hash(col) % num_buckets).astype(np.int32)
 
     def add_left(t: pa.Table) -> pa.Table:
         cols = {c: t.column(c) for c in lnames}
