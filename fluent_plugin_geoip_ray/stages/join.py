@@ -180,36 +180,58 @@ def bucketed_join(left_ds, right_ds, on, num_buckets: int = 32,
     return hash_exchange(both, num_buckets, join_bucket)
 
 
-def _asof_keys_np(col):
-    """Join-key column -> numpy: int64 when integral (fast lexsort lane),
-    object otherwise (string user ids etc.; numpy compares elementwise)."""
+def _asof_key_lanes(col):
+    """Join-key column -> ``(filled_values, is_null)`` numpy pair for
+    MATCHING (not hashing).  Nulls are never materialized as values:
+    astype(int64) on a null-carrying int column manufactured INT64_MIN
+    keys that matched each other, and object-lane NaN breaks lexsort's
+    comparator (NaN < x always False), which can interleave OTHER keys'
+    markers and corrupt the forward-fill -- instead values are
+    null-FILLED per type (int64 for ints -- exact, no 2^53 loss --
+    float64 for floats, "" objects for strings) and the null lane both
+    sorts nulls last and rejects their matches (SQL: NULL joins
+    nothing)."""
     import numpy as np
+    import pyarrow.compute as pc
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if pa.types.is_integer(col.type):
-        return col.to_numpy(zero_copy_only=False).astype(np.int64)
-    return col.to_pandas().to_numpy(dtype=object)
+    kn = np.asarray(pc.is_null(col)) if col.null_count \
+        else np.zeros(len(col), dtype=bool)
+    t = col.type
+    if pa.types.is_integer(t) or pa.types.is_boolean(t) or \
+            pa.types.is_temporal(t):
+        kf = np.asarray(pc.fill_null(pc.cast(col, pa.int64()), 0))
+    elif pa.types.is_floating(t):
+        kf = np.asarray(pc.fill_null(pc.cast(col, pa.float64()), 0.0))
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        kf = pc.fill_null(col, "").to_pandas().to_numpy(dtype=object)
+    else:
+        kf = col.to_pandas().to_numpy(dtype=object)
+    return kf, kn
 
 
-def _asof_match(u, t, mb, mt):
-    """Vectorized backward as-of match: probes (u=key, t=time) against
-    markers (mb, mt) PRE-SORTED by (key, time).  Returns an int64 pyarrow
-    index array into the markers (null where no marker at-or-before).
+def _asof_match(u, un, t, mb, mn, mt):
+    """Vectorized backward as-of match: probes (u=key filled, un=is-null,
+    t=time) against markers (mb, mn, mt) PRE-SORTED by (is-null, key,
+    time).  Returns an int64 pyarrow index array into the markers (null
+    where no marker at-or-before, always null for null keys).
 
-    Markers and probes are lexsorted together by (key, time, marker-first)
-    and the last-marker rank forward-fills via ``np.maximum.accumulate``;
-    a marker leaking across a key boundary is rejected by the final key
-    equality check.  Ties: a marker AT the probe time matches (inclusive
-    <=, matching SQL ASOF JOIN)."""
+    Markers and probes are lexsorted together by (is-null, key, time,
+    marker-first) and the last-marker rank forward-fills via
+    ``np.maximum.accumulate``; a marker leaking across a key boundary is
+    rejected by the final key equality check, and null keys (sorted
+    last) never match anything (SQL).  Ties: a marker AT the probe time
+    matches (inclusive <=, matching SQL ASOF JOIN)."""
     import numpy as np
     import pyarrow.compute as pc
 
     m, n = len(mb), len(u)
     comb_b = np.concatenate([mb, u])
+    comb_n = np.concatenate([mn, un])
     comb_t = np.concatenate([mt, t])
     is_probe = np.concatenate([np.zeros(m, np.int8), np.ones(n, np.int8)])
-    order = np.lexsort((is_probe, comb_t, comb_b))
+    order = np.lexsort((is_probe, comb_t, comb_b, comb_n))
     ranks = np.where(is_probe[order] == 0, order, -1)
     last_marker = np.maximum.accumulate(ranks)
     pos_of = np.empty(m + n, np.int64)
@@ -218,7 +240,7 @@ def _asof_match(u, t, mb, mt):
     valid = probe_last >= 0
     midx = np.where(valid, probe_last, 0)
     if m:
-        valid &= mb[midx] == u
+        valid &= (mb[midx] == u) & ~mn[midx] & ~un
     else:
         valid[:] = False
     idx_arr = pa.array(np.where(valid, midx, 0), type=pa.int64())
@@ -254,23 +276,23 @@ def asof_join(ds, right, on: str, by: str, right_cols: dict,
     sign = -1 if direction == "forward" else 1
     if not isinstance(right, pa.Table):
         right = pa.Table.from_pandas(right, preserve_index=False)
-    rb = _asof_keys_np(right.column(by))
+    rb, rn = _asof_key_lanes(right.column(by))
     rt = right.column(on).cast(pa.int64()).to_numpy(
         zero_copy_only=False) * sign
-    rorder = np.lexsort((rt, rb))
-    rb, rt = rb[rorder], rt[rorder]
+    rorder = np.lexsort((rt, rb, rn))
+    rb, rn, rt = rb[rorder], rn[rorder], rt[rorder]
     rvals = {
         out: right.column(src).take(pa.array(rorder))
         for src, out in right_cols.items()
     }
-    state = ray.put((rb, rt, rvals))
+    state = ray.put((rb, rn, rt, rvals))
 
     def fn(batch: pa.Table) -> pa.Table:
-        mb, mt, vals = ray.get(state)
-        u = _asof_keys_np(batch.column(by))
+        mb, mn, mt, vals = ray.get(state)
+        u, un = _asof_key_lanes(batch.column(by))
         t = batch.column(on).cast(pa.int64()).to_numpy(
             zero_copy_only=False) * sign
-        idx_arr = _asof_match(u, t, mb, mt)
+        idx_arr = _asof_match(u, un, t, mb, mn, mt)
         out = batch
         for name, col in vals.items():
             out = out.append_column(name, col.take(idx_arr))
@@ -353,19 +375,19 @@ def asof_join_big(left_ds, right_ds, on: str, by: str, right_cols: dict,
         side = g.column("__side")
         probes = g.filter(pc.equal(side, 0)).select(lnames)
         markers = g.filter(pc.equal(side, 1))
-        mb = _asof_keys_np(markers.column(by))
+        mb, mn = _asof_key_lanes(markers.column(by))
         mt = markers.column(on).cast(pa.int64()).to_numpy(
             zero_copy_only=False) * sign
-        morder = np.lexsort((mt, mb))
-        mb, mt = mb[morder], mt[morder]
+        morder = np.lexsort((mt, mb, mn))
+        mb, mn, mt = mb[morder], mn[morder], mt[morder]
         mvals = {
             out: markers.column(out).take(pa.array(morder))
             for out in out_names
         }
-        u = _asof_keys_np(probes.column(by))
+        u, un = _asof_key_lanes(probes.column(by))
         t = probes.column(on).cast(pa.int64()).to_numpy(
             zero_copy_only=False) * sign
-        idx_arr = _asof_match(u, t, mb, mt)
+        idx_arr = _asof_match(u, un, t, mb, mn, mt)
         out = probes
         for name, col in mvals.items():
             out = out.append_column(name, col.take(idx_arr))
@@ -516,17 +538,17 @@ def range_join_big(left_ds, intervals_ds, value_col: str, by: str,
         side = g.column("__side")
         probes = g.filter(pc.equal(side, 0)).select(lnames)
         markers = g.filter(pc.equal(side, 1))
-        mb = _asof_keys_np(markers.column(by))
+        mb, mn = _asof_key_lanes(markers.column(by))
         mlo = markers.column("__lo").to_numpy(zero_copy_only=False)
         mhi = markers.column("__hi").to_numpy(zero_copy_only=False)
-        morder = np.lexsort((mlo, mb))
-        mb, mlo, mhi = mb[morder], mlo[morder], mhi[morder]
+        morder = np.lexsort((mlo, mb, mn))
+        mb, mn, mlo, mhi = mb[morder], mn[morder], mlo[morder], mhi[morder]
         mvals = {out: markers.column(out).take(pa.array(morder))
                  for out in out_names}
-        u = _asof_keys_np(probes.column(by))
+        u, un = _asof_key_lanes(probes.column(by))
         v = probes.column(value_col).cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        idx_arr = _asof_match(u, v, mb, mlo)
+        idx_arr = _asof_match(u, un, v, mb, mn, mlo)
         # enforce v < hi on the matched interval (nulls propagate)
         idx_np = idx_arr.to_numpy(zero_copy_only=False)
         matched = ~np.isnan(idx_np) if idx_np.dtype.kind == "f" else \

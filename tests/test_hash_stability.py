@@ -106,3 +106,40 @@ def test_running_agg_three_block_lane_mix_matches_pandas():
     exp = df.dropna(subset=["k"]).groupby("k")["v"].cumsum()
     got = out.dropna(subset=["k"]).sort_values(["k", "o"])["cs"]
     assert np.allclose(got.to_numpy(), exp.to_numpy())
+
+
+def test_asof_join_big_with_mixed_null_blocks():
+    from fluent_plugin_geoip_ray.stages.join import asof_join, asof_join_big
+
+    rng = np.random.default_rng(83)
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+
+    def ev_block(n, with_null):
+        k = rng.integers(0, 6, n)
+        karr = pa.array(k, pa.int64())
+        if with_null:
+            karr = pa.array([None if i == 0 else int(x)
+                             for i, x in enumerate(k)], pa.int64())
+        return pa.table({
+            "k": karr,
+            "t": pa.array(base + rng.integers(0, 3600, n)
+                          .astype("timedelta64[s]").astype("timedelta64[us]")),
+            "v": pa.array(rng.normal(size=n)),
+        })
+
+    left = [ev_block(40, False), ev_block(40, True), ev_block(40, False)]
+    right = [ev_block(25, True), ev_block(25, False)]
+    marks = [t.rename_columns(["k", "t", "m"]) for t in right]
+
+    big = asof_join_big(rd.from_arrow(left), rd.from_arrow(marks),
+                        on="t", by="k", right_cols={"m": "m"},
+                        num_buckets=8).to_pandas()
+    # referee: the broadcast path (no bucketing involved)
+    small = asof_join(rd.from_arrow(left),
+                      pa.concat_tables(marks).to_pandas(),
+                      on="t", by="k", right_cols={"m": "m"}).to_pandas()
+    sb = big.sort_values(["k", "t", "v"]).reset_index(drop=True)
+    ss = small.sort_values(["k", "t", "v"]).reset_index(drop=True)
+    assert len(sb) == len(ss)
+    assert np.allclose(sb["m"].to_numpy(), ss["m"].to_numpy(),
+                       equal_nan=True)
