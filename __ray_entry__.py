@@ -1253,7 +1253,8 @@ def q_events_cumulative(sf_dir: str):
                              ("event_id", "sum", "cum_eid"),
                              ("event_id", "row_number", "rn"),
                              ("event_id", "ntile:4", "tile"),
-                             ("value", "first_value", "fv")])
+                             ("value", "first_value", "fv"),
+                             ("value", "nth_value:2", "nv2")])
 
 
 def q_ranked_events(sf_dir: str):
@@ -1295,6 +1296,26 @@ def q_events_moving(sf_dir: str):
                              ("event_id", "sum", "mv_eid"),
                              ("event_id", "avg", "mv_avg_eid")],
                        window=5)
+
+
+def q_events_with_stats(sf_dir: str):
+    """eventstats: whole-partition aggregates on every row -- SQL
+    ``agg(col) OVER (PARTITION BY user_id)`` with no ORDER BY.  One
+    partial+final groupby (O(keys x blocks) shuffle) broadcast back via
+    index_in+take; the event stream never moves.  NTH_VALUE(2) rides the
+    same scan in events_cumulative."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.aggregate import group_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+    return group_stats(ds, ["user_id"],
+                       [("value", "count", "u_n"),
+                        ("value", "min", "u_min"),
+                        ("value", "max", "u_max"),
+                        ("event_id", "sum", "u_eid"),
+                        ("event_id", "mean", "u_avg_eid")])
 
 
 def q_active_customers(sf_dir: str):
@@ -2463,6 +2484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranked_events": q_ranked_events,
         "events_moving": q_events_moving,
         "events_moving_time": q_events_moving_time,
+        "events_with_stats": q_events_with_stats,
         "active_customers": q_active_customers,
         "idle_customers": q_idle_customers,
         "agg_subnet": q_agg_subnet,
@@ -3544,7 +3566,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(event_id) OVER w AS BIGINT) AS cum_eid,
                    ROW_NUMBER() OVER w AS rn,
                    NTILE(4) OVER w AS tile,
-                   FIRST_VALUE(value) OVER w AS fv
+                   FIRST_VALUE(value) OVER w AS fv,
+                   NTH_VALUE(value, 2) OVER w AS nv2
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS UNBOUNDED PRECEDING)""",
@@ -3575,6 +3598,14 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING
                                AND CURRENT ROW)""",
+        "events_with_stats": """
+            SELECT event_id, user_id, value,
+                   CAST(COUNT(value) OVER w AS BIGINT) AS u_n,
+                   MIN(value) OVER w AS u_min,
+                   MAX(value) OVER w AS u_max,
+                   CAST(SUM(event_id) OVER w AS BIGINT) AS u_eid,
+                   AVG(event_id) OVER w AS u_avg_eid
+            FROM events WINDOW w AS (PARTITION BY user_id)""",
         "active_customers": """
             SELECT c_custkey, c_name FROM customer c
             WHERE EXISTS (SELECT 1 FROM events e

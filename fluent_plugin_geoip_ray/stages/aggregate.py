@@ -1298,3 +1298,46 @@ def distinct_rows(ds, cols: list[str] | None = None, num_buckets: int = 32,
     bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
                                     zero_copy_batch=True)
     return hash_exchange(bucketed, num_buckets, local)
+
+
+def group_stats(ds, keys: list[str], aggs: list[tuple],
+                broadcast_limit: int = 5_000_000, batch_size: int = 65536):
+    """Whole-partition aggregates attached to EVERY row -- SQL ``agg(col)
+    OVER (PARTITION BY keys)`` with no ORDER BY (Splunk's ``eventstats``):
+    "each event plus its user's total/min/max/avg".
+
+    Composition, not a new shuffle: the stats table is one partial+final
+    :func:`groupby_agg` (shuffle volume O(keys x blocks)), broadcast ONCE
+    via ``ray.put``, and stitched onto the stream with the
+    ``index_in``+``take`` broadcast join -- the big side never moves.
+    ``aggs`` as in :func:`groupby_agg` ((col, fn, out) with fn in
+    {sum, count, count_star, min, max, mean}; mean = exact sum/count, one
+    IEEE division, so int sources compare bit-exact vs SQL).
+
+    Null-KEY caveat: SQL ``PARTITION BY`` groups null keys together and
+    gives them stats too; the broadcast join's ``index_in`` cannot match
+    null keys, so their stat columns come back NULL.  Filter or fill null
+    keys upstream if that distinction matters.
+
+    Guard: the stats table must fit a broadcast (``broadcast_limit``
+    rows); past that, use ``bucketed_join`` of :func:`groupby_agg` output
+    explicitly.
+    """
+    import ray
+
+    from .join import broadcast_join
+
+    stats = groupby_agg(ds, keys, aggs, batch_size=batch_size)
+    n_groups = stats.count()
+    if n_groups > broadcast_limit:
+        raise ValueError(
+            f"group_stats: {n_groups} groups exceed broadcast_limit="
+            f"{broadcast_limit}; join groupby_agg output via bucketed_join "
+            "instead")
+    stats_t = pa.concat_tables(
+        [t for t in ray.get(stats.to_arrow_refs()) if t.num_rows])
+    out_names = [out for _c, _f, out in aggs]
+    stats_t = stats_t.select(keys + out_names)
+    if len(keys) == 1:
+        return broadcast_join(ds, stats_t, on=keys[0], how="left")
+    return broadcast_join(ds, stats_t, on=keys, how="left")

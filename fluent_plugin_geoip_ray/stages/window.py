@@ -666,8 +666,11 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
 
     ``aggs`` is a list of ``(src, agg, out)`` with ``agg`` in ``{"sum",
     "count", "min", "max", "row_number", "rank", "dense_rank",
-    "percent_rank", "cume_dist", "first_value", "ntile:<k>"}`` (``src``
-    is ignored for the rank family and ``ntile``).  SQL null semantics:
+    "percent_rank", "cume_dist", "first_value", "nth_value:<n>",
+    "ntile:<k>"}`` (``src`` is ignored for the rank family and
+    ``ntile``; ``nth_value:<n>`` is the frame's n-th row's value once
+    the running frame reaches n rows, NULL before -- null-keeping like
+    ``first_value``).  SQL null semantics:
     ``sum``/``count``/``min``/``max`` skip NULL inputs and are NULL
     until the first non-null value of the key's frame; ``first_value``
     does NOT skip nulls (the SQL default); ``ntile:<k>`` assigns the
@@ -704,6 +707,9 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
         if agg in valid:
             continue
         if agg.startswith("ntile:") and agg[6:].isdigit() and int(agg[6:]) >= 1:
+            continue
+        if agg.startswith("nth_value:") and agg[10:].isdigit() \
+                and int(agg[10:]) >= 1:
             continue
         raise ValueError(f"running_agg: unknown agg {agg!r} for {src!r}")
     need_ties = any(a in ("rank", "dense_rank", "percent_rank", "cume_dist")
@@ -762,6 +768,19 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
                 if isinstance(src_col, pa.ChunkedArray):
                     src_col = src_col.combine_chunks()
                 col = src_col.take(pa.array(seg_base))
+            elif agg.startswith("nth_value:"):
+                # SQL NTH_VALUE(col, n) over the running frame: the
+                # frame's n-th row's value once the frame reaches n
+                # rows, NULL before that; null-keeping like FIRST_VALUE
+                nth = int(agg[10:])
+                src_col = t.column(src)
+                if isinstance(src_col, pa.ChunkedArray):
+                    src_col = src_col.combine_chunks()
+                have = rn >= nth
+                pos = np.where(have, seg_base + nth - 1, 0)
+                col = src_col.take(pa.array(pos))
+                col = pc.if_else(pa.array(have), col,
+                                 pa.scalar(None, col.type))
             elif agg.startswith("ntile:"):
                 k = int(agg[6:])
                 q, r = seg_len // k, seg_len % k

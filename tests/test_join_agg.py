@@ -1203,3 +1203,37 @@ def test_haversine_known_distances():
     assert d[0] == 0.0                            # self-distance exact
     assert abs(d[1] - 343.9) < 2.0                # Paris-London ~344 km
     assert abs(d[2] - 9712.0) < 30.0              # Paris-Tokyo ~9712 km
+
+
+def test_group_stats_eventstats_matches_pandas_transform():
+    import pandas as pd
+    from fluent_plugin_geoip_ray.stages.aggregate import group_stats
+
+    rng = np.random.default_rng(97)
+    n = 2000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 25, n),
+        "iv": rng.integers(-30, 30, n),
+        "fv": rng.normal(size=n),
+    })
+    df.loc[rng.random(n) < 0.1, "fv"] = np.nan
+    out = group_stats(
+        rd.from_pandas(df).repartition(5), ["k"],
+        [("fv", "count", "g_n"), ("fv", "min", "g_min"),
+         ("iv", "sum", "g_sum"), ("iv", "mean", "g_avg")],
+    ).to_pandas().set_index("id").sort_index()
+
+    g = df.groupby("k")
+    assert np.array_equal(out["g_n"].to_numpy(),
+                          g["fv"].transform("count").to_numpy())
+    assert np.allclose(out["g_min"].to_numpy(),
+                       g["fv"].transform("min").to_numpy(), equal_nan=True)
+    assert np.array_equal(out["g_sum"].to_numpy(),
+                          g["iv"].transform("sum").to_numpy())
+    assert np.allclose(out["g_avg"].to_numpy(),
+                       g["iv"].transform("mean").to_numpy())
+
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        group_stats(rd.from_pandas(df), ["id"], [("iv", "sum", "s")],
+                    broadcast_limit=10)

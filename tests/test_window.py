@@ -778,3 +778,32 @@ def test_rolling_time_agg_fractional_preceding_sec():
                            ).to_pandas().set_index("id").sort_index()
     # frames: [0], [0, 0.4s], [1.0s] (0.4s is 0.6s earlier -- outside)
     assert out["s"].tolist() == [1, 3, 4]
+
+
+def test_running_agg_nth_value():
+    from fluent_plugin_geoip_ray.stages.window import running_agg
+
+    rng = np.random.default_rng(101)
+    n = 800
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 10, n),
+        "v": rng.normal(size=n),
+    })
+    df.loc[rng.random(n) < 0.15, "v"] = np.nan   # null-keeping semantics
+    out = running_agg(
+        rd.from_pandas(df).repartition(4), "k", order_by=["id"],
+        aggs=[("v", "nth_value:3", "nv")],
+    ).to_pandas().set_index("id").loc[df["id"]]
+
+    s = df.sort_values(["k", "id"])
+    rn = s.groupby("k").cumcount() + 1
+    third = s.groupby("k")["v"].transform(
+        lambda x: x.iloc[2] if len(x) >= 3 else np.nan)
+    exp = np.where(rn >= 3, third, np.nan)
+    exp = pd.Series(exp, index=s["id"]).loc[df["id"]]
+    assert np.allclose(out["nv"].to_numpy(), exp.to_numpy(), equal_nan=True)
+
+    with pytest.raises(ValueError, match="unknown agg"):
+        running_agg(rd.from_pandas(df), "k", ["id"],
+                    [("v", "nth_value:0", "x")])
