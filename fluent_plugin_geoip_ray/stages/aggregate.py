@@ -1328,16 +1328,24 @@ def group_stats(ds, keys: list[str], aggs: list[tuple],
     from .join import broadcast_join
 
     stats = groupby_agg(ds, keys, aggs, batch_size=batch_size)
-    n_groups = stats.count()
+    tables = [t for t in ray.get(stats.to_arrow_refs()) if t.num_rows]
+    n_groups = sum(t.num_rows for t in tables)
     if n_groups > broadcast_limit:
         raise ValueError(
             f"group_stats: {n_groups} groups exceed broadcast_limit="
             f"{broadcast_limit}; join groupby_agg output via bucketed_join "
             "instead")
-    stats_t = pa.concat_tables(
-        [t for t in ray.get(stats.to_arrow_refs()) if t.num_rows])
     out_names = [out for _c, _f, out in aggs]
-    stats_t = stats_t.select(keys + out_names)
-    if len(keys) == 1:
-        return broadcast_join(ds, stats_t, on=keys[0], how="left")
-    return broadcast_join(ds, stats_t, on=keys, how="left")
+    if tables:
+        stats_t = pa.concat_tables(tables).select(keys + out_names)
+    else:
+        # empty input: stat columns still appear (all null via the left
+        # join against an empty right side); an empty Dataset reports no
+        # schema, so key types come from the INPUT and stat columns fall
+        # back to float64 (they are all-null regardless)
+        in_types = dict(zip(ds.schema().names, ds.schema().types))
+        cols = {k: pa.nulls(0, in_types[k]) for k in keys}
+        cols.update({o: pa.nulls(0, pa.float64()) for o in out_names})
+        stats_t = pa.table(cols)
+    return broadcast_join(ds, stats_t, on=keys if len(keys) > 1 else keys[0],
+                          how="left")

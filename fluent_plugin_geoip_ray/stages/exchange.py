@@ -51,23 +51,57 @@ def stable_hash(col) -> np.ndarray:
     (passed straight to ``pd.util.hash_array``).
     """
     import pandas as pd
+
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        return pd.util.hash_array(key_lanes(col)[0])
+    return pd.util.hash_array(col)
+
+
+def _int64_view(col: pa.Array):
+    """int64 view of an integer/bool/temporal column, total and
+    deterministic: uint64 >= 2^63 WRAPS via the unsafe cast (a bit
+    reinterpret -- injective, which is all hashing and equality need);
+    date32/time32 widen to their 64-bit kin first (Arrow has no direct
+    int64 kernel for them)."""
+    import pyarrow.compute as pc
+
+    t = col.type
+    if pa.types.is_date32(t):
+        col = pc.cast(col, pa.date64())
+    elif pa.types.is_time32(t):
+        col = pc.cast(col, pa.time64("us"))
+    return pc.cast(col, pa.int64(), safe=False)
+
+
+def key_lanes(col):
+    """Key column -> ``(filled_values, is_null)`` numpy pair -- THE
+    per-type-deterministic representation shared by bucket hashing
+    (:func:`stable_hash`), the window family's segment sort, and the
+    as-of matchers.  The lane never depends on a per-block property
+    (null count, inferred pandas dtype): integer/bool/temporal columns
+    always take the int64 lane (exact; uint64 wraps, date32/time32
+    widen), floats the float64 lane, strings ""-filled objects.  Nulls
+    are FILLED in the values lane (fill only decides null rows' bucket;
+    callers use the null lane to sort them last / match them nowhere /
+    segment them apart).  Object-lane NaN never appears, so np.lexsort
+    comparators stay consistent."""
     import pyarrow.compute as pc
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    if isinstance(col, pa.Array):
-        t = col.type
-        if pa.types.is_integer(t) or pa.types.is_boolean(t) or \
-                pa.types.is_temporal(t):
-            v = np.asarray(pc.fill_null(pc.cast(col, pa.int64()), 0))
-            return pd.util.hash_array(v)
-        if pa.types.is_floating(t):
-            # numeric lane for floats too: same stability argument, and
-            # ~68x cheaper than hashing a million Python objects
-            v = np.asarray(pc.fill_null(pc.cast(col, pa.float64()), 0.0))
-            return pd.util.hash_array(v)
-        return pd.util.hash_array(col.to_pandas().to_numpy(dtype=object))
-    return pd.util.hash_array(col)
+    kn = np.asarray(pc.is_null(col)) if col.null_count \
+        else np.zeros(len(col), dtype=bool)
+    t = col.type
+    if pa.types.is_integer(t) or pa.types.is_boolean(t) or \
+            pa.types.is_temporal(t):
+        kf = np.asarray(pc.fill_null(_int64_view(col), 0))
+    elif pa.types.is_floating(t):
+        kf = np.asarray(pc.fill_null(pc.cast(col, pa.float64()), 0.0))
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        kf = pc.fill_null(col, "").to_pandas().to_numpy(dtype=object)
+    else:
+        kf = col.to_pandas().to_numpy(dtype=object)
+    return kf, kn
 
 
 def stable_bucket_ids(table: pa.Table, keys: list[str],

@@ -182,33 +182,14 @@ def bucketed_join(left_ds, right_ds, on, num_buckets: int = 32,
 
 def _asof_key_lanes(col):
     """Join-key column -> ``(filled_values, is_null)`` numpy pair for
-    MATCHING (not hashing).  Nulls are never materialized as values:
-    astype(int64) on a null-carrying int column manufactured INT64_MIN
-    keys that matched each other, and object-lane NaN breaks lexsort's
-    comparator (NaN < x always False), which can interleave OTHER keys'
-    markers and corrupt the forward-fill -- instead values are
-    null-FILLED per type (int64 for ints -- exact, no 2^53 loss --
-    float64 for floats, "" objects for strings) and the null lane both
-    sorts nulls last and rejects their matches (SQL: NULL joins
-    nothing)."""
-    import numpy as np
-    import pyarrow.compute as pc
+    MATCHING (not hashing) -- delegates to :func:`exchange.key_lanes`.
+    Null keys sort last and are rejected by the matcher's null-lane
+    check (SQL: NULL joins nothing); values never materialize nulls, so
+    neither INT64_MIN-from-NaN keys nor object-lane NaN comparator
+    poison can occur."""
+    from .exchange import key_lanes
 
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    kn = np.asarray(pc.is_null(col)) if col.null_count \
-        else np.zeros(len(col), dtype=bool)
-    t = col.type
-    if pa.types.is_integer(t) or pa.types.is_boolean(t) or \
-            pa.types.is_temporal(t):
-        kf = np.asarray(pc.fill_null(pc.cast(col, pa.int64()), 0))
-    elif pa.types.is_floating(t):
-        kf = np.asarray(pc.fill_null(pc.cast(col, pa.float64()), 0.0))
-    elif pa.types.is_string(t) or pa.types.is_large_string(t):
-        kf = pc.fill_null(col, "").to_pandas().to_numpy(dtype=object)
-    else:
-        kf = col.to_pandas().to_numpy(dtype=object)
-    return kf, kn
+    return key_lanes(col)
 
 
 def _asof_match(u, un, t, mb, mn, mt):

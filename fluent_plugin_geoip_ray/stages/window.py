@@ -25,33 +25,14 @@ from .aggregate import groupby_agg
 
 def _key_lanes(col: pa.Array | pa.ChunkedArray):
     """Partition-key column -> ``(filled_values, is_null)`` numpy pair
-    for WITHIN-BUCKET lexsort and neighbor compares.  Nulls are never
-    materialized as values: an int64-with-nulls column used to round-
-    trip through pandas float64, and object-lane NaN breaks np.lexsort's
-    comparator (NaN < x is always False), which could interleave OTHER
-    keys' duplicates and split their segments.  Instead the values lane
-    is null-FILLED in a fixed per-type representation (int64 for
-    ints/temporals/bools -- exact, no 2^53 float loss -- float64 for
-    floats, ""-filled objects for strings) and the boolean null lane
-    both sorts nulls last and keeps each null row its own segment (the
-    documented null-key caveat)."""
-    import pyarrow.compute as pc
+    for WITHIN-BUCKET lexsort and neighbor compares -- delegates to
+    :func:`exchange.key_lanes` (one lane dispatch for hashing, sorting
+    and matching; see its docstring for the per-type contract).  The
+    null lane both sorts nulls last and keeps each null row its own
+    segment (the documented null-key caveat)."""
+    from .exchange import key_lanes
 
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    kn = np.asarray(pc.is_null(col)) if col.null_count \
-        else np.zeros(len(col), dtype=bool)
-    t = col.type
-    if pa.types.is_integer(t) or pa.types.is_boolean(t) or \
-            pa.types.is_temporal(t):
-        kf = np.asarray(pc.fill_null(pc.cast(col, pa.int64()), 0))
-    elif pa.types.is_floating(t):
-        kf = np.asarray(pc.fill_null(pc.cast(col, pa.float64()), 0.0))
-    elif pa.types.is_string(t) or pa.types.is_large_string(t):
-        kf = pc.fill_null(col, "").to_pandas().to_numpy(dtype=object)
-    else:
-        kf = col.to_pandas().to_numpy(dtype=object)
-    return kf, kn
+    return key_lanes(col)
 
 
 def _add_bucket_fn(key: str, num_buckets: int):
@@ -83,7 +64,8 @@ def _numeric_src(t: pa.Table, src: str) -> pa.Array:
     return col
 
 
-def _sorted_segments(t: pa.Table, key: str, order_by: list[str]):
+def _sorted_segments(t: pa.Table, key: str, order_by: list[str],
+                     need_order_cols: bool = False):
     """Shared reduce-side preamble of the frame family: lexsort the
     bucket by (key, *order_by) -- nulls-last null-safe key lanes via
     :func:`_key_lanes` -- then locate key segments.  Returns
@@ -91,7 +73,10 @@ def _sorted_segments(t: pa.Table, key: str, order_by: list[str]):
     seg_base)`` where ``g`` is the sorted filled key lane (length
     bookkeeping + equality together with ``starts``), ``starts`` flags
     segment heads (null keys each start one), ``seg`` is the per-row
-    segment id and ``seg_base`` each row's segment-head index."""
+    segment id and ``seg_base`` each row's segment-head index.
+    ``sorted_order_cols`` (the order columns re-gathered into sorted
+    row order) is only materialized when ``need_order_cols`` -- just
+    the rank family reads it; everyone else skips the O(n) gathers."""
     kf, kn = _key_lanes(t.column(key))
     sort_cols = [t.column(c).to_pandas().to_numpy()
                  for c in reversed(order_by)] + [kf, kn]
@@ -105,7 +90,8 @@ def _sorted_segments(t: pa.Table, key: str, order_by: list[str]):
     start_idx = np.flatnonzero(starts)
     seg = np.cumsum(starts) - 1
     seg_base = start_idx[seg]
-    ordered_cols = [c[order] for c in reversed(sort_cols[:-2])]
+    ordered_cols = [c[order] for c in reversed(sort_cols[:-2])] \
+        if need_order_cols else []
     return t, ordered_cols, g, starts, start_idx, seg, seg_base
 
 
@@ -717,7 +703,7 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
 
     def scan_bucket(t: pa.Table) -> pa.Table:
         t, ordered_cols, g, starts, start_idx, seg, seg_base = \
-            _sorted_segments(t, key, order_by)
+            _sorted_segments(t, key, order_by, need_order_cols=need_ties)
         n = len(g)
         rn = np.arange(n, dtype=np.int64) - seg_base + 1
         seg_len = np.diff(np.r_[start_idx, n])[seg]     # my segment's length
@@ -815,10 +801,25 @@ def running_agg(ds, key: str, order_by: list[str], aggs: list,
                     fill = np.inf if agg == "min" else -np.inf
                     v = np.asarray(pc.cast(src_col, pa.float64()),
                                    dtype=np.float64)
-                    s = pd.Series(np.where(notnull, v, fill))
+                    # float NaN VALUES follow the SQL total order (NaN
+                    # greatest): they become sentinels for the scan,
+                    # then running-NaN counts restore NaN where SQL
+                    # yields it (MAX once seen; MIN only if nothing but
+                    # NaN so far)
+                    isnan = notnull & np.isnan(v)
+                    s = pd.Series(np.where(notnull & ~isnan, v, fill))
                     grp = s.groupby(seg)
                     run = (grp.cummin() if agg == "min"
                            else grp.cummax()).to_numpy()
+                    if isnan.any():
+                        ncnt = np.cumsum(isnan.astype(np.int64))
+                        run_nan = ncnt - (ncnt[seg_base]
+                                          - isnan[seg_base])
+                        if agg == "min":
+                            run = np.where(run_cnt - run_nan == 0,
+                                           np.nan, run)
+                        else:
+                            run = np.where(run_nan > 0, np.nan, run)
                     col = pa.array(run, pa.float64())
                     col = pc.if_else(pa.array(run_cnt > 0), col,
                                      pa.scalar(None, pa.float64()))
@@ -959,20 +960,32 @@ def rolling_agg(ds, key: str, order_by: list[str], aggs: list,
                 # SQL MIN/MAX skip NULLs -> null slots become never-win
                 # sentinels of the SOURCE dtype (no float cast: int64
                 # extrema stay exact over the full range); all-null
-                # frames (mcnt == 0) null out below
+                # frames (mcnt == 0) null out below.  Float NaN VALUES
+                # (not nulls) follow the SQL total order (DuckDB,
+                # Postgres): NaN sorts GREATEST, so MAX is NaN when any
+                # NaN is in the frame and MIN is NaN only when the frame
+                # holds nothing but NaN.
                 src_col, notnull, mcnt = prep(src)
                 if pa.types.is_integer(src_col.type):
                     info = np.iinfo(src_col.type.to_pandas_dtype())
                     sentinel = info.max if agg == "min" else info.min
                     v = np.asarray(pc.fill_null(src_col, int(sentinel)))
+                    run = _range_extrema(v, lb, idx, agg == "min", sentinel)
                 else:
                     sentinel = np.inf if agg == "min" else -np.inf
-                    v = np.where(
-                        notnull,
-                        np.asarray(pc.cast(src_col, pa.float64()),
-                                   dtype=np.float64),
-                        sentinel)
-                run = _range_extrema(v, lb, idx, agg == "min", sentinel)
+                    vful = np.asarray(pc.cast(src_col, pa.float64()),
+                                      dtype=np.float64)
+                    isnan = notnull & np.isnan(vful)
+                    v = np.where(notnull & ~isnan, vful, sentinel)
+                    run = _range_extrema(v, lb, idx, agg == "min", sentinel)
+                    if isnan.any():
+                        nan_pre = np.r_[0, np.cumsum(
+                            isnan.astype(np.int64))]
+                        m_nan = nan_pre[idx + 1] - nan_pre[lb]
+                        if agg == "min":        # only-NaN frame -> NaN
+                            run = np.where(mcnt - m_nan == 0, np.nan, run)
+                        else:                   # any NaN -> NaN (greatest)
+                            run = np.where(m_nan > 0, np.nan, run)
                 col = pa.array(run)
                 col = pc.if_else(pa.array(mcnt > 0), col,
                                  pa.scalar(None, col.type))

@@ -167,3 +167,86 @@ def test_stable_hash_numeric_lanes_all_types():
     bd = pa.array([True, None, False], pa.bool_())
     hc, hd = stable_hash(bc), stable_hash(bd)
     assert hc[0] == hd[0] and hc[1] == hd[2]
+
+
+def test_date32_and_uint64_keys_work_everywhere():
+    """Round-5 second review: the numeric lanes must handle date32/time32
+    (no direct int64 cast kernel -- widen first) and uint64 >= 2^63
+    (unsafe cast wraps; injective bit reinterpret)."""
+    from fluent_plugin_geoip_ray.stages.aggregate import groupby_agg
+    from fluent_plugin_geoip_ray.stages.exchange import stable_hash
+    from fluent_plugin_geoip_ray.stages.window import running_agg
+
+    d = pa.array([1, 2, None, 1], pa.date32())
+    h = stable_hash(d)
+    assert h[0] == h[3]
+    t32 = pa.array([5, 6, 5], pa.time32("s"))
+    h = stable_hash(t32)
+    assert h[0] == h[2] and h[0] != h[1]
+    ub = pa.array([2**63 + 5, 1, 2**63 + 5], pa.uint64())
+    h = stable_hash(ub)
+    assert h[0] == h[2] and h[0] != h[1]
+
+    # end-to-end: date32 grouping key and uint64 window key
+    tbl = pa.table({
+        "d": pa.array([1, 1, 2, None], pa.date32()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+    })
+    out = groupby_agg(rd.from_arrow(tbl), ["d"], [("v", "sum", "s")],
+                      merge="bucketed").to_pandas()
+    assert len(out) == 3 and sorted(out["s"]) == [3.0, 3.0, 4.0]
+
+    wt = pa.table({
+        "k": pa.array([2**63 + 5, 2**63 + 5, 7], pa.uint64()),
+        "o": pa.array([1, 2, 1], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0]),
+    })
+    w = running_agg(rd.from_arrow(wt), "k", ["o"], [("v", "sum", "cs")]
+                    ).to_pandas().sort_values(["o", "cs"])
+    assert sorted(w["cs"].tolist()) == [1.0, 3.0, 3.0]
+
+
+def test_extrema_nan_values_follow_sql_total_order():
+    """Round-5 second review: float NaN VALUES (not nulls) -- SQL total
+    order (DuckDB-pinned): MAX is NaN once a NaN is in the frame, MIN
+    skips NaN unless the frame holds nothing but NaN."""
+    from fluent_plugin_geoip_ray.stages.window import (
+        rolling_agg,
+        running_agg,
+    )
+
+    nan = float("nan")
+    tbl = pa.table({
+        "k": pa.array([1] * 5, pa.int64()),
+        "o": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        # NaN as a VALUE (null_count == 0), plus one true null
+        "v": pa.array(np.array([3.0, nan, 2.0, nan, 0.0])),
+    })
+    assert tbl.column("v").null_count == 0
+
+    out = rolling_agg(rd.from_arrow(tbl), "k", ["o"],
+                      [("v", "min", "mn"), ("v", "max", "mx")], window=2
+                      ).to_pandas().set_index("o").sort_index()
+    # frames: [3],[3,N],[N,2],[2,N],[N,0] (DuckDB-pinned expectations)
+    assert out["mn"].tolist()[0] == 3.0
+    assert out["mn"].tolist()[2] == 2.0
+    assert np.isnan(out["mx"].tolist()[1]) and np.isnan(out["mx"].tolist()[3])
+    assert out["mx"].tolist()[4] == 0.0 or np.isnan(out["mx"].tolist()[4])
+
+    run = running_agg(rd.from_arrow(tbl), "k", ["o"],
+                      [("v", "min", "mn"), ("v", "max", "mx")]
+                      ).to_pandas().set_index("o").sort_index()
+    assert run["mn"].tolist() == [3.0, 3.0, 2.0, 2.0, 0.0]
+    assert run["mx"].tolist()[0] == 3.0
+    assert all(np.isnan(x) for x in run["mx"].tolist()[1:])
+
+
+def test_group_stats_empty_input():
+    from fluent_plugin_geoip_ray.stages.aggregate import group_stats
+
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.float64())})
+    out = group_stats(rd.from_arrow(empty), ["k"], [("v", "sum", "s")])
+    # no crash, zero rows (Ray reports no schema for an empty mapped
+    # dataset -- nothing to assert beyond emptiness)
+    assert out.count() == 0
