@@ -1344,11 +1344,13 @@ def q_events_moving_time(sf_dir: str):
     from fluent_plugin_geoip_ray.stages.window import rolling_time_agg
 
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                         columns=["event_id", "user_id", "ts"])
+                         columns=["event_id", "user_id", "ts", "value"])
     return rolling_time_agg(ds, "user_id", "ts",
                             aggs=[("event_id", "count", "tw_n"),
                                   ("event_id", "sum", "tw_eid"),
-                                  ("event_id", "avg", "tw_avg_eid")],
+                                  ("event_id", "avg", "tw_avg_eid"),
+                                  ("value", "min", "tw_min"),
+                                  ("value", "max", "tw_max")],
                             preceding_sec=600)
 
 
@@ -3590,10 +3592,12 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
         "events_moving_time": """
-            SELECT event_id, user_id, ts,
+            SELECT event_id, user_id, ts, value,
                    CAST(COUNT(event_id) OVER w AS BIGINT) AS tw_n,
                    CAST(SUM(event_id) OVER w AS BIGINT) AS tw_eid,
-                   AVG(event_id) OVER w AS tw_avg_eid
+                   AVG(event_id) OVER w AS tw_avg_eid,
+                   MIN(value) OVER w AS tw_min,
+                   MAX(value) OVER w AS tw_max
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                          RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING

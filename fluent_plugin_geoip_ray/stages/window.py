@@ -1009,14 +1009,15 @@ def rolling_time_agg(ds, key: str, ts_col: str, aggs: list,
     frames), this (RANGE frames).
 
     ``aggs`` is ``[(src, agg, out), ...]`` with ``agg`` in ``{"sum",
-    "count", "avg"}`` (extrema need a two-sided deque RANGE frames
-    don't admit vectorized -- use :func:`rolling_agg` for ROWS
-    extrema).  SQL RANGE semantics are honored exactly, INCLUDING
-    peers: rows sharing a timestamp share one frame that contains all
-    of them, regardless of physical order.  NULL inputs don't
-    contribute; an all-null frame yields NULL (``count`` 0).  sum/avg
-    on INTEGER sources are exact vs SQL (int64 prefix sums, one IEEE
-    division); float sums carry the prefix-sum last-ulp caveat.
+    "count", "avg", "min", "max"}``.  SQL RANGE semantics are honored
+    exactly, INCLUDING peers: rows sharing a timestamp share one frame
+    that contains all of them, regardless of physical order.  NULL
+    inputs don't contribute; an all-null frame yields NULL (``count``
+    0).  sum/avg on INTEGER sources are exact vs SQL (int64 prefix
+    sums, one IEEE division); float sums carry the prefix-sum last-ulp
+    caveat; min/max are exact selections in the SOURCE dtype (the
+    sparse-table RMQ answers the two-sided variable frames), float NaN
+    VALUES per the SQL total order (NaN greatest).
 
     Null-KEY caveat shared with :func:`running_agg`; NULL timestamps
     are rejected (SQL RANGE frames require a non-null sort key).
@@ -1034,7 +1035,7 @@ def rolling_time_agg(ds, key: str, ts_col: str, aggs: list,
 
     from .exchange import hash_exchange
 
-    valid = {"sum", "count", "avg"}
+    valid = {"sum", "count", "avg", "min", "max"}
     for src, agg, _out in aggs:
         if agg not in valid:
             raise ValueError(
@@ -1088,29 +1089,69 @@ def rolling_time_agg(ds, key: str, ts_col: str, aggs: list,
             notnull = ~np.asarray(pc.is_null(src_col))
             cnt_pre = np.r_[0, np.cumsum(notnull.astype(np.int64))]
             mcnt = cnt_pre[ub] - cnt_pre[lb]
+            cache[src] = (src_col, notnull, mcnt)
+            return cache[src]
+
+        def msum_of(src):
+            if (src, "sum") in cache:
+                return cache[(src, "sum")]
+            src_col, _notnull, mcnt = prep(src)
             is_int = pa.types.is_integer(src_col.type)
             v = np.asarray(pc.fill_null(src_col, 0)) \
                 .astype(np.int64 if is_int else np.float64)
             pre = np.r_[0, np.cumsum(v)]
-            msum = pre[ub] - pre[lb]
-            cache[src] = (mcnt, msum, is_int)
-            return cache[src]
+            cache[(src, "sum")] = (pre[ub] - pre[lb], mcnt, is_int)
+            return cache[(src, "sum")]
 
         out = t
         for src, agg, out_name in aggs:
-            mcnt, msum, is_int = prep(src)
             if agg == "count":
+                _c, _nn, mcnt = prep(src)
                 col = pa.array(mcnt)
             elif agg == "sum":
+                msum, mcnt, is_int = msum_of(src)
                 col = pa.array(msum, pa.int64() if is_int else pa.float64())
                 col = pc.if_else(pa.array(mcnt > 0), col,
                                  pa.scalar(None, col.type))
-            else:                                       # avg
+            elif agg == "avg":
+                msum, mcnt, _is_int = msum_of(src)
                 col = pa.array(
                     msum.astype(np.float64)
                     / np.maximum(mcnt, 1).astype(np.float64))
                 col = pc.if_else(pa.array(mcnt > 0), col,
                                  pa.scalar(None, pa.float64()))
+            else:                                       # min / max
+                # same dtype-preserving RMQ + SQL-total-order NaN
+                # handling as rolling_agg; the RMQ takes arbitrary
+                # [lb, ub-1] ranges so peer-inclusive RANGE frames need
+                # no deque (ub >= idx+1 > lb, so lb <= ub-1 always)
+                src_col, notnull, mcnt = prep(src)
+                rb = ub - 1
+                if pa.types.is_integer(src_col.type):
+                    info = np.iinfo(src_col.type.to_pandas_dtype())
+                    sentinel = info.max if agg == "min" else info.min
+                    v = np.asarray(pc.fill_null(src_col, int(sentinel)))
+                    run = _range_extrema(v, lb, rb, agg == "min", sentinel)
+                else:
+                    sentinel = np.inf if agg == "min" else -np.inf
+                    vful = np.asarray(pc.cast(src_col, pa.float64()),
+                                      dtype=np.float64)
+                    isnan = notnull & np.isnan(vful)
+                    v = np.where(notnull & ~isnan, vful, sentinel)
+                    run = _range_extrema(v, lb, rb, agg == "min", sentinel)
+                    if isnan.any():
+                        nan_pre = np.r_[0, np.cumsum(
+                            isnan.astype(np.int64))]
+                        m_nan = nan_pre[ub] - nan_pre[lb]
+                        if agg == "min":
+                            run = np.where(mcnt - m_nan == 0, np.nan, run)
+                        else:
+                            run = np.where(m_nan > 0, np.nan, run)
+                col = pa.array(run)
+                col = pc.if_else(pa.array(mcnt > 0), col,
+                                 pa.scalar(None, col.type))
+                if col.type != src_col.type:
+                    col = pc.cast(col, src_col.type)
             out = out.append_column(out_name, col)
         return out
 

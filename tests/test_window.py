@@ -637,10 +637,13 @@ def test_rolling_time_agg_matches_bruteforce_with_peers():
         "ts": ts.astype("datetime64[us]"),
         "iv": rng.integers(-9, 9, n),
     })
+    df["fv"] = np.round(rng.normal(size=n), 3)
     delta = 30  # seconds
     out = rolling_time_agg(
         rd.from_pandas(df).repartition(4), "k", "ts",
-        [("iv", "count", "c"), ("iv", "sum", "s"), ("iv", "avg", "a")],
+        [("iv", "count", "c"), ("iv", "sum", "s"), ("iv", "avg", "a"),
+         ("fv", "min", "mn"), ("fv", "max", "mx"),
+         ("iv", "min", "imn")],
         preceding_sec=delta,
     ).to_pandas().set_index("id").sort_index()
 
@@ -649,14 +652,23 @@ def test_rolling_time_agg_matches_bruteforce_with_peers():
     tus = df["ts"].astype("int64").to_numpy()
     kk = df["k"].to_numpy()
     iv = df["iv"].to_numpy()
+    fv = df["fv"].to_numpy()
     ec, es = np.empty(n, np.int64), np.empty(n, np.int64)
+    emn, emx = np.empty(n), np.empty(n)
+    eimn = np.empty(n, np.int64)
     for i in range(n):
         m = (kk == kk[i]) & (tus >= tus[i] - delta * 1_000_000) \
             & (tus <= tus[i])
         ec[i], es[i] = m.sum(), iv[m].sum()
+        emn[i], emx[i] = fv[m].min(), fv[m].max()
+        eimn[i] = iv[m].min()
     assert np.array_equal(out["c"].to_numpy(), ec)
     assert np.array_equal(out["s"].to_numpy(), es)
     assert np.array_equal(out["a"].to_numpy(), es / ec)
+    assert np.array_equal(out["mn"].to_numpy(), emn)
+    assert np.array_equal(out["mx"].to_numpy(), emx)
+    assert np.array_equal(out["imn"].to_numpy(), eimn)
+    assert out["imn"].dtype == np.int64
 
 
 def test_rolling_time_agg_null_semantics_and_validation():
@@ -678,7 +690,7 @@ def test_rolling_time_agg_null_semantics_and_validation():
 
     ds = rd.from_pandas(df)
     with pytest.raises(ValueError, match="unknown agg"):
-        rolling_time_agg(ds, "k", "ts", [("v", "min", "m")], 10)
+        rolling_time_agg(ds, "k", "ts", [("v", "median", "m")], 10)
     with pytest.raises(ValueError, match="preceding_sec"):
         rolling_time_agg(ds, "k", "ts", [("v", "sum", "s")], -1)
 

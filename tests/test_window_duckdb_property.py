@@ -136,13 +136,15 @@ def test_window_family_matches_duckdb(case):
     got = _ray(rolling_time_agg(
         ds(), "k", "ts",
         aggs=[("iv_i", "count", "tc"), ("iv_i", "sum", "tsum"),
-              ("iv_i", "avg", "tavg")], preceding_sec=delta))
+              ("iv_i", "avg", "tavg"), ("fv", "min", "tmin"),
+              ("fv", "max", "tmax")], preceding_sec=delta))
     exp = _duck(t, f"""
         SELECT id,
                CAST(COUNT(iv_i) OVER w AS BIGINT) AS tc,
                CAST(SUM(iv_i) OVER w AS BIGINT) AS tsum,
-               AVG(iv_i) OVER w AS tavg
+               AVG(iv_i) OVER w AS tavg,
+               MIN(fv) OVER w AS tmin, MAX(fv) OVER w AS tmax
         FROM t WINDOW w AS (PARTITION BY k ORDER BY ts
                             RANGE BETWEEN INTERVAL {delta} SECOND PRECEDING
                                   AND CURRENT ROW)""")
-    _assert_eq(got, exp, ["tc", "tsum", "tavg"])
+    _assert_eq(got, exp, ["tc", "tsum", "tavg", "tmin", "tmax"])
