@@ -254,3 +254,41 @@ def _ip_subnet_stage(ds, ip_col: str = "ip", bits: int = 16,
     from .parse import ip_subnet_column
 
     return ip_subnet_column(ds, ip_col=ip_col, bits=bits, out=out)
+
+
+@register_stage("rolling_agg")
+def _rolling_agg_stage(ds, key: str, order_by: list, aggs: list,
+                       window: int):
+    from .window import rolling_agg
+
+    return rolling_agg(ds, key, order_by=list(order_by),
+                       aggs=[tuple(a) for a in aggs], window=window)
+
+
+@register_stage("rolling_time_agg")
+def _rolling_time_agg_stage(ds, key: str, ts_col: str, aggs: list,
+                            preceding_sec: float):
+    from .window import rolling_time_agg
+
+    return rolling_time_agg(ds, key, ts_col,
+                            aggs=[tuple(a) for a in aggs],
+                            preceding_sec=preceding_sec)
+
+
+@register_stage("semi_join")
+def _semi_join_stage(ds, right_path: str, on: str,
+                     right_on: str | None = None, num_buckets: int = 32):
+    import ray.data as rd
+
+    from .join import semi_join_big
+
+    right = rd.read_parquet(right_path, columns=[right_on or on])
+    return semi_join_big(ds, right, on=on, right_on=right_on,
+                         num_buckets=num_buckets)
+
+
+@register_stage("group_stats")
+def _group_stats_stage(ds, keys: list, aggs: list):
+    from .aggregate import group_stats
+
+    return group_stats(ds, list(keys), [tuple(a) for a in aggs])

@@ -170,3 +170,37 @@ def test_embed_stage_from_conf():
     ]).to_pandas().sort_values("doc_id")
     e = np.stack(out["embedding"].to_numpy())
     assert e.shape[1] == 64 and np.array_equal(e[0], e[1])
+
+
+def test_round5_frame_and_join_stages_via_conf():
+    import numpy as np
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "o": pa.array([1, 2, 3, 1, 2], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0, 10.0, 20.0]),
+    }))
+    out = apply_stages(ds, [
+        {"use": "rolling_agg", "key": "k", "order_by": ["o"],
+         "aggs": [["v", "sum", "ms"]], "window": 2},
+        {"use": "group_stats", "keys": ["k"],
+         "aggs": [["v", "mean", "gavg"]]},
+    ]).to_pandas().sort_values(["k", "o"])
+    assert out["ms"].tolist() == [1.0, 3.0, 5.0, 10.0, 30.0]
+    assert np.allclose(out["gavg"].tolist(), [2.0, 2.0, 2.0, 15.0, 15.0])
+
+
+def test_semi_join_stage_via_conf(tmp_path):
+    import pyarrow.parquet as pq
+
+    right = pa.table({"k": pa.array([1, 3], pa.int64())})
+    rp = str(tmp_path / "right.parquet")
+    pq.write_table(right, rp)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0]),
+    }))
+    out = apply_stages(ds, [
+        {"use": "semi_join", "right_path": rp, "on": "k"},
+    ]).to_pandas().sort_values("k")
+    assert out["k"].tolist() == [1, 3]
