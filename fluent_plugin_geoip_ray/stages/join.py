@@ -121,6 +121,8 @@ def bucketed_join(left_ds, right_ds, on, num_buckets: int = 32,
 
     # union needs one schema: pad each side with the other's columns (nulls)
     lschema, rschema = left_ds.schema(), right_ds.schema()
+    _require_arrow_types(lschema, "bucketed_join(left)")
+    _require_arrow_types(rschema, "bucketed_join(right)")
     lnames = list(lschema.names)
     rnames = [c for c in rschema.names if c not in on_keys]
     overlap = (set(lnames) - set(on_keys)) & set(rnames)
@@ -178,6 +180,21 @@ def bucketed_join(left_ds, right_ds, on, num_buckets: int = 32,
     from .exchange import hash_exchange
 
     return hash_exchange(both, num_buckets, join_bucket)
+
+
+def _require_arrow_types(schema, where: str):
+    """Fail fast when Ray cannot derive Arrow types (pandas extension
+    dtypes like Int64 ingest as pandas blocks whose schema reports
+    ``None`` types): the bucketed joins pad and cast against these
+    types, and a None only surfaces later as an opaque worker
+    TypeError.  Ingest via pyarrow (``rd.from_arrow`` /
+    ``read_parquet``) or plain numpy dtypes instead."""
+    for name, t in zip(schema.names, schema.types):
+        if t is None:
+            raise ValueError(
+                f"{where}: column {name!r} has no Arrow type (pandas "
+                "extension dtype input?); ingest via pyarrow or numpy "
+                "dtypes")
 
 
 def _asof_key_lanes(col):
@@ -313,6 +330,8 @@ def asof_join_big(left_ds, right_ds, on: str, by: str, right_cols: dict,
                          f"{direction!r}")
     sign = -1 if direction == "forward" else 1
     lschema, rschema = left_ds.schema(), right_ds.schema()
+    _require_arrow_types(lschema, "asof_join_big(left)")
+    _require_arrow_types(rschema, "asof_join_big(right)")
     lnames = list(lschema.names)
     rtypes = dict(zip(rschema.names, rschema.types))
     out_names = list(right_cols.values())
@@ -472,6 +491,8 @@ def range_join_big(left_ds, intervals_ds, value_col: str, by: str,
     import pyarrow.compute as pc
 
     lschema, rschema = left_ds.schema(), intervals_ds.schema()
+    _require_arrow_types(lschema, "range_join_big(left)")
+    _require_arrow_types(rschema, "range_join_big(intervals)")
     lnames = list(lschema.names)
     rtypes = dict(zip(rschema.names, rschema.types))
     out_names = list(out_cols.values())
