@@ -204,3 +204,37 @@ def test_semi_join_stage_via_conf(tmp_path):
         {"use": "semi_join", "right_path": rp, "on": "k"},
     ]).to_pandas().sort_values("k")
     assert out["k"].tolist() == [1, 3]
+
+
+def test_analytics_example_conf_through_cli(tmp_path):
+    """examples/analytics.json (frame-family stages chain) runs
+    end-to-end through run.py and lands the window columns."""
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from fluent_plugin_geoip_ray.sources.transcripts import ensure_for_sf_dir
+
+    inp = ensure_for_sf_dir("/root/testdata/sf0.001")
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, "-m", "fluent_plugin_geoip_ray.run",
+         "--input", inp, "--out", str(out),
+         "--conf", "/root/repo/examples/analytics.json",
+         "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    files = list((out / "enriched").rglob("*.parquet"))
+    assert files
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    for c in ("conv_tokens_so_far", "turn_rank", "tokens_moving_avg5",
+              "conv_tokens_total", "conv_tokens_avg"):
+        assert c in t.column_names, c
+    df = t.to_pandas().sort_values(["conv_id", "turn_idx"])
+    g = df.groupby("conv_id")
+    assert (df["conv_tokens_so_far"].to_numpy()
+            == g["n_tokens"].cumsum().to_numpy()).all()
+    assert (df["conv_tokens_total"].to_numpy()
+            == g["n_tokens"].transform("sum").to_numpy()).all()
