@@ -435,7 +435,15 @@ def run_partitioned(
     enrich_concurrency=None,
 ) -> dict:
     """Resumable partitioned run (lineage.py): skip committed partitions,
-    re-run (after cleanup) incomplete ones, then merge partial aggregates."""
+    re-run (after cleanup) incomplete ones, then merge partial aggregates.
+
+    Partitioning caveat for GROUPWISE conf stages (``running_agg``,
+    ``rolling_agg``, ``group_stats``, ``funnel``, ...): each partition is
+    processed independently, so their windows/stats cover one partition's
+    files only.  That is exact when inputs are key-aligned (one
+    conversation never spans partitions -- the transcript layout); for
+    arbitrary layouts either co-partition inputs by key upstream or run
+    the unpartitioned path."""
     import ray.data as rd
 
     routes = routes if routes is not None else canonical_routes(out_dir)
