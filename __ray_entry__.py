@@ -1318,6 +1318,22 @@ def q_events_with_stats(sf_dir: str):
                         ("event_id", "mean", "u_avg_eid")])
 
 
+def q_events_ewma(sf_dir: str):
+    """Per-user EWMA of value over time (smoothed metric).  No SQL
+    oracle: the pandas-semantics EWMA has no numerically robust SQL
+    form (the closed-form (1-a)^(-i) weights overflow), so the driver
+    records the weaker rows-only check; exactness is pinned by
+    test_window.py::test_ewma_by_matches_reference_loop against a
+    hand-rolled referee."""
+    import ray.data as rd
+
+    from fluent_plugin_geoip_ray.stages.window import ewma_by
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+    return ewma_by(ds, "user_id", ["ts", "event_id"], "value", alpha=0.2)
+
+
 def q_active_customers(sf_dir: str):
     """Large-large SEMI join (EXISTS): customers with at least one event
     -- the EXISTS mirror of ``idle_customers``.  Neither side broadcast;
@@ -2487,6 +2503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_moving": q_events_moving,
         "events_moving_time": q_events_moving_time,
         "events_with_stats": q_events_with_stats,
+        "events_ewma": q_events_ewma,
         "active_customers": q_active_customers,
         "idle_customers": q_idle_customers,
         "agg_subnet": q_agg_subnet,

@@ -292,3 +292,11 @@ def _group_stats_stage(ds, keys: list, aggs: list):
     from .aggregate import group_stats
 
     return group_stats(ds, list(keys), [tuple(a) for a in aggs])
+
+
+@register_stage("ewma")
+def _ewma_stage(ds, key: str, order_by: list, src: str, alpha: float,
+                out: str = "ewma"):
+    from .window import ewma_by
+
+    return ewma_by(ds, key, list(order_by), src, alpha=alpha, out=out)

@@ -1158,3 +1158,48 @@ def rolling_time_agg(ds, key: str, ts_col: str, aggs: list,
     bucketed = ds.map_batches(_add_bucket_fn(key, num_buckets),
                               batch_format="pyarrow", zero_copy_batch=True)
     return hash_exchange(bucketed, num_buckets, scan_bucket)
+
+
+def ewma_by(ds, key: str, order_by: list[str], src: str,
+            alpha: float, out: str = "ewma", adjust: bool = True,
+            num_buckets: int = 32):
+    """Per-key exponentially weighted moving average over the ordered
+    stream -- the log pipeline's smoothed-latency / trend signal
+    (pandas ``groupby.ewm(alpha).mean()`` semantics, which SQL cannot
+    express without a numerically explosive recursive form -- hence a
+    pytest referee instead of a SQL oracle).
+
+    ``adjust=True`` (default): ewma_t = sum_i a(1-a)^(t-i) x_i
+    normalized by the same weights (the pandas default); NULL inputs
+    are ignored entirely (``ignore_na=True``: they neither contribute
+    nor decay the weights) and yield NULL until the first value.
+
+    Scale shape: the standard frame-family shape -- ONE hash exchange
+    on the key, per-bucket lexsort, one Cython ``groupby.ewm`` pass.
+    """
+    import pyarrow.compute as pc
+
+    from .exchange import hash_exchange
+
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"ewma_by: alpha must be in (0, 1], got {alpha}")
+
+    def scan_bucket(t: pa.Table) -> pa.Table:
+        t, _oc, g, _st, _si, seg, _sb = _sorted_segments(t, key, order_by)
+        src_col = _numeric_src(t, src)
+        notnull = ~np.asarray(pc.is_null(src_col))
+        v = np.where(notnull,
+                     np.asarray(pc.cast(src_col, pa.float64()),
+                                dtype=np.float64),
+                     np.nan)
+        s = pd.Series(v)
+        run = (s.groupby(seg)
+               .ewm(alpha=alpha, adjust=adjust, ignore_na=True)
+               .mean().to_numpy())
+        col = pc.if_else(pa.array(~np.isnan(run)), pa.array(run),
+                         pa.scalar(None, pa.float64()))
+        return t.append_column(out, col)
+
+    bucketed = ds.map_batches(_add_bucket_fn(key, num_buckets),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    return hash_exchange(bucketed, num_buckets, scan_bucket)

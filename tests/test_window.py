@@ -819,3 +819,36 @@ def test_running_agg_nth_value():
     with pytest.raises(ValueError, match="unknown agg"):
         running_agg(rd.from_pandas(df), "k", ["id"],
                     [("v", "nth_value:0", "x")])
+
+
+def test_ewma_by_matches_reference_loop():
+    from fluent_plugin_geoip_ray.stages.window import ewma_by
+
+    rng = np.random.default_rng(113)
+    n = 1200
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "k": rng.integers(0, 12, n),
+        "v": rng.normal(size=n),
+    })
+    df.loc[rng.random(n) < 0.15, "v"] = np.nan
+    alpha = 0.3
+    out = ewma_by(rd.from_pandas(df).repartition(4), "k", ["id"],
+                  "v", alpha=alpha).to_pandas().set_index("id").sort_index()
+
+    # hand-rolled adjust=True, ignore_na=True referee
+    exp = np.full(n, np.nan)
+    state: dict = {}
+    for i in range(n):
+        k, v = df["k"].iloc[i], df["v"].iloc[i]
+        num, den = state.get(k, (0.0, 0.0))
+        if not np.isnan(v):
+            num = v + (1 - alpha) * num
+            den = 1 + (1 - alpha) * den
+            state[k] = (num, den)
+        if state.get(k, (0, 0))[1] > 0:
+            exp[df["id"].iloc[i]] = state[k][0] / state[k][1]
+    assert np.allclose(out["ewma"].to_numpy(), exp, equal_nan=True)
+
+    with pytest.raises(ValueError, match="alpha"):
+        ewma_by(rd.from_pandas(df), "k", ["id"], "v", alpha=0.0)
