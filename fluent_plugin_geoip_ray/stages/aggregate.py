@@ -27,6 +27,11 @@ NULL_KEY = "\x00__NULL__\x00"
 def _encode_nulls(arr):
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
         return pc.fill_null(arr, NULL_KEY)
+    if pa.types.is_floating(arr.type):
+        # canonicalize -0.0 to +0.0: SQL GROUP BY treats them as one
+        # key, but Arrow's group_by hashes bit patterns and would emit
+        # two groups (x + 0.0 is the IEEE identity except at -0.0)
+        return pc.add(arr, pa.scalar(0.0, arr.type))
     return arr
 
 

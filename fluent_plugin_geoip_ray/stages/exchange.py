@@ -96,7 +96,11 @@ def key_lanes(col):
             pa.types.is_temporal(t):
         kf = np.asarray(pc.fill_null(_int64_view(col), 0))
     elif pa.types.is_floating(t):
-        kf = np.asarray(pc.fill_null(pc.cast(col, pa.float64()), 0.0))
+        # + 0.0 canonicalizes -0.0 to +0.0: SQL equality treats them as
+        # one key, but hash_array hashes BIT PATTERNS and would split
+        # them across buckets (the object lane's Python hash agreed
+        # with equality here)
+        kf = np.asarray(pc.fill_null(pc.cast(col, pa.float64()), 0.0)) + 0.0
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
         kf = pc.fill_null(col, "").to_pandas().to_numpy(dtype=object)
     else:

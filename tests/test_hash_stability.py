@@ -250,3 +250,22 @@ def test_group_stats_empty_input():
     # no crash, zero rows (Ray reports no schema for an empty mapped
     # dataset -- nothing to assert beyond emptiness)
     assert out.count() == 0
+
+
+def test_float_keys_negative_zero_co_buckets():
+    """SQL equality: -0.0 = 0.0 -- they must land in one bucket (the
+    numeric hash lane hashes bit patterns, which differ)."""
+    from fluent_plugin_geoip_ray.stages.aggregate import groupby_agg
+    from fluent_plugin_geoip_ray.stages.exchange import stable_hash
+
+    h = stable_hash(pa.array([0.0, -0.0, 1.5], pa.float64()))
+    assert h[0] == h[1] and h[0] != h[2]
+
+    a = pa.table({"k": pa.array([0.0, 1.5], pa.float64()),
+                  "v": pa.array([1.0, 2.0])})
+    b = pa.table({"k": pa.array([-0.0, 1.5], pa.float64()),
+                  "v": pa.array([10.0, 20.0])})
+    out = groupby_agg(rd.from_arrow([a, b]), ["k"], [("v", "sum", "s")],
+                      merge="bucketed").to_pandas()
+    assert len(out) == 2
+    assert sorted(out["s"]) == [11.0, 22.0]
