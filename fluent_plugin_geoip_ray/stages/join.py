@@ -144,7 +144,8 @@ def bucketed_join(left_ds, right_ds, on, num_buckets: int = 32,
             cols = {}
             for name in all_names:
                 if name in batch.column_names:
-                    cols[name] = batch.column(name)
+                    cols[name] = (_canon_float(batch.column(name))
+                                  if name in on_keys else batch.column(name))
                 else:
                     cols[name] = pa.nulls(batch.num_rows, type=types[name])
             cols["__bucket"] = pa.array(b)
@@ -180,6 +181,19 @@ def bucketed_join(left_ds, right_ds, on, num_buckets: int = 32,
     from .exchange import hash_exchange
 
     return hash_exchange(both, num_buckets, join_bucket)
+
+
+def _canon_float(col):
+    """Canonicalize -0.0 to +0.0 on float join keys (x + 0.0): SQL
+    equality treats them as one key, the Arrow join/is_in kernels hash
+    bit patterns."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_floating(col.type):
+        return pc.add(col, pa.scalar(0.0, col.type))
+    return col
 
 
 def _require_arrow_types(schema, where: str):
@@ -666,11 +680,11 @@ def _exists_join_big(left_ds, right_ds, on, right_on: str | None,
     def exists_bucket(g: pa.Table) -> pa.Table:
         side = g.column("__side")
         lf = g.filter(pc.equal(side, 0)).select(lnames)
-        keys = pc.unique(g.filter(pc.equal(side, 1)).column("__rkey")
-                         .combine_chunks())
+        keys = pc.unique(_canon_float(
+            g.filter(pc.equal(side, 1)).column("__rkey").combine_chunks()))
         if len(keys) == 0:
             return lf if anti else lf.slice(0, 0)
-        mask = pc.is_in(lf.column(on), value_set=keys)
+        mask = pc.is_in(_canon_float(lf.column(on)), value_set=keys)
         if anti:                       # NULL left key -> no match -> keep
             return lf.filter(pc.fill_null(pc.invert(mask), True))
         return lf.filter(pc.fill_null(mask, False))

@@ -269,3 +269,27 @@ def test_float_keys_negative_zero_co_buckets():
                       merge="bucketed").to_pandas()
     assert len(out) == 2
     assert sorted(out["s"]) == [11.0, 22.0]
+
+
+def test_float_keys_negative_zero_joins():
+    from fluent_plugin_geoip_ray.stages.join import (
+        anti_join_big,
+        bucketed_join,
+        semi_join_big,
+    )
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([-0.0, 1.5, 2.5], pa.float64()),
+        "v": pa.array([1.0, 2.0, 3.0]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([0.0, 1.5], pa.float64()),
+        "name": pa.array(["zero", "one-five"]),
+    }))
+    out = bucketed_join(left, right, on=["k"]).to_pandas()
+    assert len(out) == 2 and set(out["name"]) == {"zero", "one-five"}
+
+    semi = semi_join_big(left, right, on="k").to_pandas()
+    assert sorted(semi["v"]) == [1.0, 2.0]        # -0.0 matches 0.0
+    anti = anti_join_big(left, right, on="k").to_pandas()
+    assert anti["v"].tolist() == [3.0]
