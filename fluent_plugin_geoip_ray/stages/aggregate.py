@@ -28,10 +28,11 @@ def _encode_nulls(arr):
     if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
         return pc.fill_null(arr, NULL_KEY)
     if pa.types.is_floating(arr.type):
-        # canonicalize -0.0 to +0.0: SQL GROUP BY treats them as one
-        # key, but Arrow's group_by hashes bit patterns and would emit
-        # two groups (x + 0.0 is the IEEE identity except at -0.0)
-        return pc.add(arr, pa.scalar(0.0, arr.type))
+        # -0.0 -> +0.0: SQL GROUP BY treats the zeros as one key, but
+        # Arrow's group_by hashes bit patterns (exchange.canon_float)
+        from .exchange import canon_float
+
+        return canon_float(arr)
     return arr
 
 
@@ -332,7 +333,12 @@ def quantiles_by(ds, key: str, value: str, qs: tuple = (0.5, 0.95, 0.99),
         def partial(batch: pa.Table) -> pa.Table:
             import numpy as np
 
+            from .exchange import canon_float
+
             t = batch.select([key, value])
+            # SQL equality: one zero key (Arrow group_by hashes bit
+            # patterns); string-null handling stays the raw null group
+            t = t.set_column(0, key, canon_float(t.column(key)))
             g = t.group_by(key).aggregate([(value, "list")])
             return g.rename_columns([key, "__vals"])
 
@@ -1287,7 +1293,14 @@ def distinct_rows(ds, cols: list[str] | None = None, num_buckets: int = 32,
     keys = cols or list(ds.schema().names)
 
     def local(t: pa.Table) -> pa.Table:
-        return t.select(keys).group_by(keys).aggregate([])
+        from .exchange import canon_float
+
+        t = t.select(keys)
+        for i, k in enumerate(keys):
+            # SQL equality: one zero key (Arrow group_by hashes bit
+            # patterns); canon_float no-ops every non-float column
+            t = t.set_column(i, k, canon_float(t.column(k)))
+        return t.group_by(keys).aggregate([])
 
     partials = ds.map_batches(local, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=batch_size)

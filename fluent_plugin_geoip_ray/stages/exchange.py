@@ -57,6 +57,25 @@ def stable_hash(col) -> np.ndarray:
     return pd.util.hash_array(col)
 
 
+def canon_float(col):
+    """Canonicalize IEEE -0.0 to +0.0 on float columns used as KEYS
+    (``x + 0.0`` -- the identity everywhere else): SQL equality treats
+    the two zeros as one key while Arrow's group_by / join / is_in and
+    pandas hash_array all compare BIT PATTERNS.  The ONE helper every
+    key consumer shares (hash lanes, aggregate key encoding, join
+    kernels) so the invariant cannot drift.  halffloat passes through
+    untouched (Arrow has no float16 add kernel; those keys keep the
+    pre-existing bit-pattern behavior)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array) and pa.types.is_floating(col.type) \
+            and col.type != pa.float16():
+        return pc.add(col, pa.scalar(0.0, col.type))
+    return col
+
+
 def _int64_view(col: pa.Array):
     """int64 view of an integer/bool/temporal column, total and
     deterministic: uint64 >= 2^63 WRAPS via the unsafe cast (a bit
@@ -96,10 +115,8 @@ def key_lanes(col):
             pa.types.is_temporal(t):
         kf = np.asarray(pc.fill_null(_int64_view(col), 0))
     elif pa.types.is_floating(t):
-        # + 0.0 canonicalizes -0.0 to +0.0: SQL equality treats them as
-        # one key, but hash_array hashes BIT PATTERNS and would split
-        # them across buckets (the object lane's Python hash agreed
-        # with equality here)
+        # + 0.0 canonicalizes -0.0 (see canon_float): hash_array hashes
+        # BIT PATTERNS and would split the two zeros across buckets
         kf = np.asarray(pc.fill_null(pc.cast(col, pa.float64()), 0.0)) + 0.0
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
         kf = pc.fill_null(col, "").to_pandas().to_numpy(dtype=object)

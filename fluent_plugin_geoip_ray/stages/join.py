@@ -35,6 +35,11 @@ class BroadcastJoin:
             right = right.rename_columns(
                 [c if c in keys else right_prefix + c for c in right.column_names]
             )
+        from .exchange import canon_float
+
+        for k in keys:        # SQL equality: -0.0 and +0.0 are one key
+            right = right.set_column(right.column_names.index(k), k,
+                                     canon_float(right.column(k)))
         self.right = right.combine_chunks()
         self.on, self.how, self.keys = on, how, keys
         # fast path: single unique-keyed join column -> per-batch index_in +
@@ -53,8 +58,11 @@ class BroadcastJoin:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        from .exchange import canon_float
+
         if self._key_arr is not None:
-            idx = pc.index_in(batch.column(self.keys[0]), value_set=self._key_arr)
+            idx = pc.index_in(canon_float(batch.column(self.keys[0])),
+                              value_set=self._key_arr)
             if isinstance(idx, pa.ChunkedArray):
                 idx = idx.combine_chunks()
             if self.how == "inner":
@@ -66,6 +74,9 @@ class BroadcastJoin:
                 out = out.append_column(name, col.take(idx))
             return out
         arrow_how = {"inner": "inner", "left": "left outer"}[self.how]
+        for k in self.keys:
+            batch = batch.set_column(batch.column_names.index(k), k,
+                                     canon_float(batch.column(k)))
         return batch.join(self.right, keys=self.keys, join_type=arrow_how)
 
 
@@ -184,16 +195,12 @@ def bucketed_join(left_ds, right_ds, on, num_buckets: int = 32,
 
 
 def _canon_float(col):
-    """Canonicalize -0.0 to +0.0 on float join keys (x + 0.0): SQL
+    """-0.0 -> +0.0 on float join keys (exchange.canon_float): SQL
     equality treats them as one key, the Arrow join/is_in kernels hash
     bit patterns."""
-    import pyarrow.compute as pc
+    from .exchange import canon_float
 
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    if pa.types.is_floating(col.type):
-        return pc.add(col, pa.scalar(0.0, col.type))
-    return col
+    return canon_float(col)
 
 
 def _require_arrow_types(schema, where: str):
@@ -462,11 +469,11 @@ def semi_join_filter(ds, key_col: str, keys, anti: bool = False,
     import pyarrow.compute as pc
     import ray
 
-    keys_ref = ray.put(pa.array(sorted(keys)))
+    keys_ref = ray.put(_canon_float(pa.array(sorted(keys))))
 
     def fn(batch: pa.Table) -> pa.Table:
         vs = ray.get(keys_ref)
-        mask = pc.is_in(batch.column(key_col), value_set=vs)
+        mask = pc.is_in(_canon_float(batch.column(key_col)), value_set=vs)
         if anti:
             mask = pc.invert(mask)
         return batch.filter(pc.fill_null(mask, anti))

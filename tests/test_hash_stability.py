@@ -293,3 +293,38 @@ def test_float_keys_negative_zero_joins():
     assert sorted(semi["v"]) == [1.0, 2.0]        # -0.0 matches 0.0
     anti = anti_join_big(left, right, on="k").to_pandas()
     assert anti["v"].tolist() == [3.0]
+
+
+def test_negative_zero_broadcast_join_distinct_quantiles_eventstats():
+    """Round-5 third review: the -0.0 invariant must hold in the
+    BROADCAST join (group_stats' stitch path), semi_join_filter,
+    distinct_rows, and quantiles_by -- not just the bucketed kernels."""
+    from fluent_plugin_geoip_ray.stages.aggregate import (
+        distinct_rows,
+        group_stats,
+        quantiles_by,
+    )
+    from fluent_plugin_geoip_ray.stages.join import semi_join_filter
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([-0.0, 0.0, 1.5], pa.float64()),
+        "v": pa.array([1.0, 2.0, 3.0]),
+    }))
+    # eventstats through the broadcast join: -0.0 row gets the merged
+    # zero-group stats, not NULL
+    out = group_stats(ds, ["k"], [("v", "sum", "gs")]).to_pandas()
+    assert sorted(out["gs"]) == [3.0, 3.0, 3.0]
+
+    # broadcast semi filter
+    semi = semi_join_filter(ds, "k", keys=[0.0]).to_pandas()
+    assert sorted(semi["v"]) == [1.0, 2.0]
+
+    # SELECT DISTINCT
+    d = distinct_rows(ds, cols=["k"]).to_pandas()
+    assert len(d) == 2
+
+    # exact per-group quantiles: one zero group
+    q = quantiles_by(ds, "k", "v", qs=(0.5,), mode="exact").to_pandas()
+    assert len(q) == 2
+    zero_row = q[q["k"] == 0.0]
+    assert float(zero_row.iloc[0, 1]) == 1.5   # median of {1, 2}
