@@ -346,12 +346,11 @@ def _session_windows_scan(ds, key: str, ts_col: str, gap_sec: int,
 
     partials = rd.from_arrow_refs(part_refs)
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        kn = t.column(key).to_pandas().to_numpy(dtype=object)
-        b = (pd.util.hash_array(kn) % num_buckets).astype(np.int32)
-        return t.append_column("__bucket", pa.array(b))
+    from .exchange import hash_exchange, stable_bucket_ids
 
-    from .exchange import hash_exchange
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket", pa.array(stable_bucket_ids(t, [key], num_buckets)))
 
     bucketed = partials.map_batches(add_bucket, batch_format="pyarrow",
                                     zero_copy_batch=True)
@@ -507,9 +506,10 @@ def funnel(ds, key: str, ts_col: str, type_col: str, steps: list[str],
             "__ts": t.column(ts_col).filter(keep).cast(pa.int64()),
             "__step": idx.filter(keep).cast(pa.int8()),
         })
-        kv = sub.column(key).to_pandas().to_numpy(dtype=object)
-        b = (pd.util.hash_array(kv) % num_buckets).astype(np.int32)
-        return sub.append_column("__bucket", pa.array(b))
+        from .exchange import stable_bucket_ids
+
+        return sub.append_column(
+            "__bucket", pa.array(stable_bucket_ids(sub, [key], num_buckets)))
 
     projected = ds.map_batches(project, batch_format="pyarrow",
                                zero_copy_batch=True, batch_size=batch_size)
@@ -587,12 +587,14 @@ def dense_tumbling(ds, ts_col: str = "ts", size_sec: int = 3600,
                              keys=keys)
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        # composite-key bucket: per-column hashes combined with distinct
-        # odd multipliers (plain XOR cancels when two key columns agree)
+        # composite-key bucket: per-column TYPE-STABLE hashes combined
+        # with distinct odd multipliers (plain XOR cancels when two key
+        # columns agree)
+        from .exchange import stable_hash
+
         h = np.zeros(t.num_rows, dtype=np.uint64)
         for j, k in enumerate(keys):
-            kv = t.column(k).to_pandas().to_numpy(dtype=object)
-            h ^= pd.util.hash_array(kv) * np.uint64(2 * j + 1)
+            h ^= stable_hash(t.column(k)) * np.uint64(2 * j + 1)
         b = (h % num_buckets).astype(np.int32)
         return t.append_column("__bucket", pa.array(b))
 
